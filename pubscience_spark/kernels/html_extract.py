@@ -1,0 +1,282 @@
+"""HTML main-content extraction kernel (operator family H).
+
+A from-scratch, stdlib-only (html.parser) DOM extractor implementing the
+semantics the reference expresses through puppeteer/selenium scrapers and
+regex pulls:
+
+- tag→markdown mapping: H1-H4 → ``#`` headers, LI → ``- ``, P → plain
+  paragraph (cf. ``scripts/scrapers/mayo/src/index.ts:26-28,140-148``,
+  ``nice/src/index.ts:109-121``, ``wikidoc/src/index.ts:132-141``) (H4)
+- DOM-path boilerplate skip: nav/footer/references/toc-like ancestors are
+  never emitted; extraction stops at a "References" / "Last updated"
+  heading (cf. ``mayo/src/index.ts:125-136``, ``rch/src/index.ts:119-139``,
+  ``wikidoc/src/index.ts:117-122``) (H5)
+- link-density block scoring in the Readability/trafilatura spirit the
+  north star mandates: a block whose anchor-text share exceeds
+  LINK_DENSITY_MAX is boilerplate unless it is long enough to be prose
+- citation scrub ``[12]`` (cf. ``nice/src/index.ts:122``) happens later in
+  :func:`pubscience_spark.kernels.textclean.clean_markdown` (H7)
+
+Output is a plain dict so the Arrow UDF wrapper can build a struct column.
+Everything is deterministic pure Python — the byte-identical contract.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from html.parser import HTMLParser
+
+# containers whose subtree is never content
+SKIP_TAGS = frozenset({
+    "script", "style", "noscript", "iframe", "svg", "canvas", "template",
+    "nav", "header", "footer", "aside", "form", "button", "select", "option",
+})
+
+# class/id substrings marking boilerplate subtrees (H5 analog)
+BOILERPLATE_MARKERS = (
+    "nav", "menu", "footer", "header", "sidebar", "side-bar", "breadcrumb",
+    "toc", "table-of-contents", "reference", "cookie", "banner", "social",
+    "share", "comment", "advert", "ad-", "promo", "related", "pagination",
+    "skip-link", "modal", "popup", "subscribe", "newsletter",
+)
+
+# headings that terminate the article body (H5 stop rule)
+STOP_HEADINGS = (
+    "references", "last updated", "see also", "external links",
+    "related content", "sources", "acknowledgements", "bibliography",
+)
+
+HEADING_TAGS = {"h1": "#", "h2": "##", "h3": "###", "h4": "####",
+                "h5": "####", "h6": "####"}
+BLOCK_TAGS = frozenset({"p", "div", "section", "article", "main", "body",
+                        "ul", "ol", "table", "blockquote", "pre", "figure",
+                        "figcaption", "tr"})
+
+LINK_DENSITY_MAX = 0.5     # anchor-char share above which a block is navigation
+MIN_PROSE_CHARS = 80       # long blocks survive high link density (prose w/ cites)
+
+_WS = re.compile(r"\s+")
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "parent", "skip")
+
+    def __init__(self, tag, attrs, parent, skip):
+        self.tag = tag
+        self.attrs = attrs
+        self.children = []      # _Node or str
+        self.parent = parent
+        self.skip = skip
+
+
+def _is_boilerplate_attrs(attrs: dict) -> bool:
+    blob = " ".join(
+        v for k, v in attrs.items() if k in ("class", "id", "role") and v
+    ).lower()
+    if not blob:
+        return False
+    if attrs.get("role") in ("navigation", "banner", "contentinfo", "complementary"):
+        return True
+    return any(m in blob for m in BOILERPLATE_MARKERS)
+
+
+class _TreeBuilder(HTMLParser):
+    """Builds a minimal DOM tree; malformed markup degrades gracefully."""
+
+    VOID = frozenset({"br", "hr", "img", "input", "meta", "link", "area",
+                      "base", "col", "embed", "source", "track", "wbr"})
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("__root__", {}, None, False)
+        self.cur = self.root
+        self.meta: list[dict] = []
+        self.title_parts: list[str] = []
+        self._in_title = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self.VOID:
+            if tag == "meta":
+                self.meta.append(dict(attrs))
+            elif tag == "br":
+                self.cur.children.append("\n")
+            return
+        if tag == "title":
+            self._in_title = True
+        attrs_d = dict(attrs)
+        skip = (self.cur.skip or tag in SKIP_TAGS
+                or _is_boilerplate_attrs(attrs_d))
+        node = _Node(tag, attrs_d, self.cur, skip)
+        self.cur.children.append(node)
+        self.cur = node
+
+    def handle_endtag(self, tag):
+        if tag == "title":
+            self._in_title = False
+        node = self.cur
+        while node is not self.root and node.tag != tag:
+            node = node.parent
+        if node is not self.root:
+            self.cur = node.parent
+
+    def handle_data(self, data):
+        if self._in_title:
+            self.title_parts.append(data)
+        self.cur.children.append(data)
+
+
+def _node_text(node) -> tuple[str, int]:
+    """Flattened text and anchor-char count of a subtree."""
+    if isinstance(node, str):
+        return node, 0
+    text, anchor = [], 0
+    for ch in node.children:
+        t, a = _node_text(ch)
+        text.append(t)
+        anchor += a
+    joined = "".join(text)
+    if node.tag == "a":
+        anchor = len(_WS.sub(" ", joined).strip())
+    return joined, anchor
+
+
+def _norm(s: str) -> str:
+    return _WS.sub(" ", s).strip()
+
+
+class _Emitter:
+    """Walks the tree emitting markdown-ish blocks with link-density gating."""
+
+    def __init__(self):
+        self.blocks: list[tuple[str, str]] = []   # (kind, text)
+        self.stopped = False
+
+    def walk(self, node: _Node):
+        if self.stopped:
+            return
+        for ch in node.children:
+            if self.stopped:
+                return
+            if isinstance(ch, str):
+                continue
+            if ch.skip:
+                continue
+            tag = ch.tag
+            if tag in HEADING_TAGS:
+                text = _norm(_node_text(ch)[0])
+                if not text:
+                    continue
+                if any(text.lower().startswith(s) for s in STOP_HEADINGS):
+                    self.stopped = True
+                    return
+                self.blocks.append(("heading:" + HEADING_TAGS[tag], text))
+            elif tag == "li":
+                text, anchor = _node_text(ch)
+                text = _norm(text)
+                if text and not self._is_navlike(text, anchor):
+                    self.blocks.append(("li", text))
+            elif tag == "p":
+                text, anchor = _node_text(ch)
+                text = _norm(text)
+                if text and not self._is_navlike(text, anchor):
+                    self.blocks.append(("p", text))
+            elif tag in ("ul", "ol"):
+                # gate the whole list by aggregate link density (menus die here)
+                text, anchor = _node_text(ch)
+                if self._is_navlike(_norm(text), anchor):
+                    continue
+                self.walk(ch)
+            elif tag in ("table",):
+                continue  # tables removed (B5 analog)
+            else:
+                self.walk(ch)
+
+    @staticmethod
+    def _is_navlike(text: str, anchor_chars: int) -> bool:
+        n = len(text)
+        if n == 0:
+            return True
+        density = anchor_chars / n
+        return density > LINK_DENSITY_MAX and n < MIN_PROSE_CHARS
+
+
+def extract_html(html: str) -> dict:
+    """Extract main content + metadata from an HTML document.
+
+    Returns dict with keys: extracted_text, title, abstract, authors,
+    headings, spans (list of (start, end, kind, text) over extracted_text).
+    """
+    tb = _TreeBuilder()
+    try:
+        tb.feed(html)
+        tb.close()
+    except Exception:
+        pass  # keep whatever tree we built from malformed input
+
+    title = _norm("".join(tb.title_parts)) or None
+    authors: list[str] = []
+    abstract = None
+    for m in tb.meta:
+        name = (m.get("name") or m.get("property") or "").lower()
+        content = m.get("content")
+        if not content:
+            continue
+        if name in ("author", "article:author", "citation_author", "dc.creator"):
+            authors.append(_norm(content))
+        elif name in ("description", "og:description", "citation_abstract",
+                      "dc.description") and abstract is None:
+            abstract = _norm(content)
+
+    em = _Emitter()
+    em.walk(tb.root)
+
+    parts: list[str] = []
+    spans: list[tuple[int, int, str, str]] = []
+    pos = 0
+    first_heading = None
+    for kind, text in em.blocks:
+        if kind.startswith("heading:"):
+            hashes = kind.split(":", 1)[1]
+            rendered = f"{hashes} {text}"
+            span_kind = "heading"
+            if first_heading is None:
+                first_heading = text
+        elif kind == "li":
+            rendered = f"- {text}"
+            span_kind = "list_item"
+        else:
+            rendered = text
+            span_kind = "paragraph"
+        start = pos
+        parts.append(rendered)
+        pos += len(rendered) + 1  # '\n' joiner
+        spans.append((start, start + len(rendered), span_kind, text))
+
+    extracted = "\n".join(parts)
+    if title is None:
+        title = first_heading
+    if abstract is None:
+        # first prose paragraph long enough to be a lede
+        for kind, text in em.blocks:
+            if kind == "p" and len(text) >= 40:
+                abstract = text
+                break
+    headings = [t for k, t in em.blocks if k.startswith("heading:")]
+    return {
+        "extracted_text": extracted,
+        "title": title,
+        "abstract": abstract,
+        "authors": authors,
+        "headings": headings,
+        "spans": spans,
+    }
+
+
+def extract_html_bytes(raw: bytes) -> dict:
+    """Decode (utf-8, latin-1 fallback) then extract."""
+    try:
+        html = raw.decode("utf-8")
+    except UnicodeDecodeError:
+        html = raw.decode("latin-1")
+    return extract_html(html)

@@ -1,0 +1,279 @@
+"""PDF extraction kernels (operator family P).
+
+The container has no pypdf/fitz/pdfminer, so P1's backend cascade is
+re-expressed as: (a) a from-scratch minimal PDF text extractor that handles
+uncompressed (and zlib ``FlateDecode``) content streams — sufficient for the
+deterministic synthetic fixture PDFs (FIXTURES.md §1c) — and (b) a
+clearly-gated hook where a real backend would slot in on a production
+cluster. Semantics re-derived from the reference:
+
+- producer-keyword scan detection; the per-page empty-ratio probe resets
+  its counter every page, making the producer match the effective detector
+  — documented reference bug reproduced as spec
+  (cf. ``retrieve/OAI/parse_pdfs.py:139-158``, SURVEY.md §2.11) (P2)
+- Dutch/English summary page-capture state machine: trigger/stop phrases in
+  the first/last 60 lowercase chars, section-number reset, ≤20 pages, then
+  the 6-regex cleanup; the English pass reads ``section_num`` left over
+  from the Dutch pass — as-written bug reproduced
+  (cf. ``retrieve/OAI/parse_pdfs.py:244-353``) (P5)
+- body page cleanup: ≥50-word pages, number/line scrubs, phrase-based page
+  drops, ≥25-word final gate, per-page word counts
+  (cf. ``retrieve/OAI/parse_pdfs.py:356-421``) (P6)
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+# --- P1: minimal PDF text extraction ---------------------------------------
+
+_RE_STREAM = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_RE_TJ = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
+_RE_TJ_ARRAY = re.compile(rb"\[(.*?)\]\s*TJ", re.DOTALL)
+_RE_STR_IN_ARRAY = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+_RE_PRODUCER = re.compile(rb"/Producer\s*\(((?:[^()\\]|\\.)*)\)")
+_RE_PAGE_COUNT = re.compile(rb"/Type\s*/Page\b(?!s)")
+
+_ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+            b"(": b"(", b")": b")", b"\\": b"\\"}
+
+
+def _unescape_pdf_string(raw: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i:i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1:i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal escape, up to 3 digits
+                j = i + 1
+                oct_digits = b""
+                while j < len(raw) and raw[j:j + 1].isdigit() and len(oct_digits) < 3:
+                    oct_digits += raw[j:j + 1]
+                    j += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+                i = j
+                continue
+            i += 1
+            continue
+        out += c
+        i += 1
+    return bytes(out)
+
+
+def _stream_text(body: bytes) -> str:
+    """Text shown by Tj / TJ operators; ET or TD newlines preserved as \\n."""
+    pieces: list[bytes] = []
+    for m in _RE_TJ.finditer(body):
+        pieces.append(_unescape_pdf_string(m.group(1)))
+    for m in _RE_TJ_ARRAY.finditer(body):
+        for s in _RE_STR_IN_ARRAY.finditer(m.group(1)):
+            pieces.append(_unescape_pdf_string(s.group(1)))
+    return "\n".join(p.decode("latin-1") for p in pieces)
+
+
+def is_pdf(raw: bytes) -> bool:
+    return raw[:5] == b"%PDF-"
+
+
+def pdf_to_pages(raw: bytes) -> tuple[list[str], str | None, bool, str]:
+    """P1+P2: (pages, error, scanned, producer).
+
+    One page per PDF content stream (the synthetic corpus emits one stream
+    per page). FlateDecode streams are inflated; other filters yield an
+    error entry instead of killing the task (reference watchdog analog,
+    ``parse_pdfs.py:94-112`` → error column, SURVEY.md §4).
+    """
+    if not is_pdf(raw):
+        return [], "not-a-pdf", False, ""
+    producer = ""
+    m = _RE_PRODUCER.search(raw)
+    if m:
+        producer = _unescape_pdf_string(m.group(1)).decode("latin-1", "replace")
+    scanned = any(k in producer.lower()
+                  for k in ("scanner", "scan", "image", "finereader", "tesseract"))
+    pages: list[str] = []
+    error = None
+    for hdr, body in _RE_STREAM.findall(raw):
+        if b"FlateDecode" in hdr:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                error = "flate-decode-failed"
+                pages.append("")
+                continue
+        elif b"/Filter" in hdr:
+            error = "unsupported-filter"
+            pages.append("")
+            continue
+        pages.append(_stream_text(body))
+    if not pages:
+        n_pages = len(_RE_PAGE_COUNT.findall(raw))
+        pages = [""] * n_pages
+        if n_pages and not scanned:
+            error = error or "no-text-streams"
+    return pages, error, scanned, producer
+
+
+# --- P5: summary capture state machine (parse_pdfs.py:244-353) --------------
+
+_RE_SECTION_NUM = re.compile(r"^\d+\n(\d*)")
+_RE_NUMS_START_PLUS = re.compile(r"(\d+\n\d*)")
+_RE_NUMS_START = re.compile(r"(\d+)\n")
+_RE_NUMS_STRING_START = re.compile(r"^(\d+)")
+_RE_ONLY_NUM_LINES = re.compile(r"^\s*\d+\s*$", re.MULTILINE)
+_RE_MULTI_NL = re.compile(r"\n+")
+_RE_EMPTY_LINES = re.compile(r"\n\s*\n")
+_RE_EMPTY_START = re.compile(r"^\s*\n")
+_RE_EMPTY_END = re.compile(r"\n\s*$")
+_RE_MULTI_SPACE = re.compile(r"\s+")
+
+_DUTCH_TRIGGERS = ("s amenvatting", "samenvatting", "nederlandse samenvatting",
+                   "samenvatting in het nederlands",
+                   "s amenvatting in het nederlands", "d utch summary",
+                   "dutch summary", "n ederlandse samenvatting")
+_ENGLISH_TRIGGERS = ("s ummary", "summary", "english summary", "summery")
+_STOPPERS = ("d ankwoord", "na woord", "a cknowledgment", "c ontents",
+             "t able of contents", "l ist of figures",
+             "l ist of abbreviations", "a cknowledgements", "r eferences",
+             "dankwoord", "nawoord", "acknowledgment", "contents",
+             "table of contents", "list of figures", "list of abbreviations",
+             "acknowledgements", "references")
+
+
+def _page_has(page: str, phrases: tuple[str, ...]) -> bool:
+    low = page.lower()
+    return any((x in low[:60]) or (x in low[-60:]) for x in phrases)
+
+
+def _cleanup_pages(pages: list[str]) -> list[str]:
+    pages = [_RE_NUMS_START.sub("", s) for s in pages]
+    pages = [_RE_EMPTY_START.sub("", s) for s in pages]
+    pages = [_RE_EMPTY_END.sub("", s) for s in pages]
+    pages = [_RE_EMPTY_LINES.sub("", s) for s in pages]
+    pages = [_RE_ONLY_NUM_LINES.sub("", s) for s in pages]
+    pages = [_RE_NUMS_STRING_START.sub("\n", s) for s in pages]
+    return pages
+
+
+def extract_summary(pages: list[str], max_scount: int = 20) -> tuple[str, str]:
+    """Returns (english_summary, dutch_summary) page concatenations."""
+    dutch: list[str] = []
+    capture = False
+    scount = 0
+    init_section_num: list = []
+    section_num: list = []
+    for page in pages:
+        section_num = _RE_SECTION_NUM.findall(page)
+        page = _RE_NUMS_START_PLUS.sub("", page)
+        if _page_has(page, _DUTCH_TRIGGERS):
+            capture = True
+            init_section_num = section_num
+            scount += 1
+        elif _page_has(page, _STOPPERS + ("s ummary", "summary", "english summary")):
+            capture = False
+        elif section_num != init_section_num:
+            capture = False
+        if capture:
+            scount += 1
+            dutch.append(page)
+        if scount >= max_scount:
+            break
+
+    english: list[str] = []
+    capture = False
+    scount = 0
+    for page in pages:
+        # as-written reference bug: section_num is NOT recomputed in this
+        # pass — it keeps the last value of the Dutch loop (parse_pdfs.py:296-326)
+        page = _RE_NUMS_START_PLUS.sub("", page)
+        if _page_has(page, _ENGLISH_TRIGGERS):
+            capture = True
+            init_section_num = section_num
+            scount += 1
+        elif _page_has(page, _STOPPERS + ("s amenvatting", "samenvatting",
+                                          "nederlandse samenvatting",
+                                          "d utch summary", "dutch summary",
+                                          "n ederlandse samenvatting")):
+            capture = False
+        elif section_num != init_section_num:
+            capture = False
+        if capture:
+            scount += 1
+            english.append(page)
+        if scount >= max_scount:
+            break
+
+    return "\n".join(_cleanup_pages(english)), "\n".join(_cleanup_pages(dutch))
+
+
+# --- P6: body page cleanup (parse_pdfs.py:356-421) --------------------------
+
+_DROP_PHRASES = (
+    ("references", "literature", "bibliography", "referenties", "literatuurlijst"),
+    ("list of figures", "lijst van figuren"),
+    ("list of abbreviations", "lijst van afkortingen"),
+    ("all rights reserved", "no part of this publication may be reproduced",
+     "copyright", "uitgeverij"),
+    ("volgens besluit van het college voor promoties", "de graad van doctor aan"),
+    ("inhoudsopgave", "table of contents"),
+    ("acknowledgements", "dankwoord", "dankbetuiging"),
+    ("list of publications", "lijst van publicaties", "bibliography",
+     "bibliografie"),
+)
+_CHAPTER_PHRASES = ("chapter ", "hoofdstuk ")
+_RE_LINE_NUM_START = re.compile(r"^\d+")
+
+
+def text_extractor(pages: list[str]) -> tuple[list[str], list[int]]:
+    """Kept body pages + per-page word counts."""
+    kept = [t for t in pages if len(t.split()) > 50]
+    kept = [_RE_NUMS_START.sub("", t) for t in kept]
+    kept = [_RE_NUMS_STRING_START.sub("", t) for t in kept]
+    kept = [_RE_ONLY_NUM_LINES.sub("", t) for t in kept]
+    kept = [_RE_MULTI_NL.sub("\n", t) for t in kept]
+    kept = [_RE_EMPTY_LINES.sub("\n", t) for t in kept]
+    kept = [_RE_EMPTY_START.sub("", t) for t in kept]
+    kept = [_RE_EMPTY_END.sub("", t) for t in kept]
+    kept = [_RE_MULTI_SPACE.sub(" ", t) for t in kept]
+    kept = [t for t in kept if len(t.split()) > 50]
+
+    drop_idx = 0  # reference drops reference-phrase pages before line scrub
+    kept = [t for t in kept
+            if not any(p in t.lower() for p in _DROP_PHRASES[drop_idx])]
+
+    scrubbed: list[str] = []
+    for page in kept:
+        lines = [ln for ln in page.split("\n")
+                 if not _RE_LINE_NUM_START.search(ln) and "doi:10" not in ln.lower()]
+        scrubbed.append("\n".join(lines))
+    kept = scrubbed
+
+    for phrases in _DROP_PHRASES[1:]:
+        kept = [t for t in kept if not any(p in t.lower() for p in phrases)]
+    kept = [t for t in kept
+            if sum(t.lower().count(c) for c in _CHAPTER_PHRASES) < 2]
+    kept = [t for t in kept if len(t.split()) > 25]
+    return kept, [len(t.split()) for t in kept]
+
+
+def extract_pdf(raw: bytes) -> dict:
+    """Full PDF route: pages → summaries + filtered body."""
+    pages, error, scanned, producer = pdf_to_pages(raw)
+    english, dutch = extract_summary(pages)
+    body_pages, word_counts = text_extractor(pages)
+    return {
+        "pages": body_pages,
+        "page_word_counts": word_counts,
+        "summary_en": english,
+        "summary_nl": dutch,
+        "scanned": scanned,
+        "producer": producer,
+        "error": error,
+        "extracted_text": "\n".join(body_pages),
+    }

@@ -1,0 +1,122 @@
+"""Deduplication operators (X1-X4 + the MinHash/SimHash near-dup tier).
+
+Spark-first design notes:
+- exact dedup uses the native ``sha2`` (JVM, codegen) — byte-equal to
+  Python's sha256 on UTF-8 text, verified in tests; keep-first is a
+  window ``row_number() == 1`` ordered by a total order (url / doc_id),
+  since the reference's "file order" is not reproducible
+  (``deduplicate/deduplicater.py:47-60``, SURVEY.md §2.5);
+- near-dup follows shingle → minhash → band → bucket self-join: the
+  LSH bands turn an O(n²) similarity search into a shuffle on band keys;
+  at 10^12 docs the band key space keeps bucket sizes bounded;
+- each function returns a DataFrame and never collects.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StringType
+
+from ..kernels import hashing as H
+
+
+def keep_first(df: DataFrame, key: str, order: str) -> DataFrame:
+    """Generic keep-first-per-key: window row_number over a total order."""
+    w = Window.partitionBy(key).orderBy(order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                order_col: str = "url") -> DataFrame:
+    """X1: sha256 exact dedup, keep first by ``order_col``."""
+    keyed = df.withColumn("sha256_key", F.sha2(F.col(text_col), 256))
+    return keep_first(keyed, "sha256_key", order_col)
+
+
+def mark_duplicates(df: DataFrame, key_col: str,
+                    order_col: str = "url") -> DataFrame:
+    """Adds ``is_duplicate`` instead of dropping (README.md:139 semantics)."""
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    return df.withColumn(
+        "is_duplicate", F.row_number().over(w) > 1)
+
+
+@pandas_udf(ArrayType(StringType()))
+def _minhash_bands_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda t: H.minhash_bands(H.minhash_signature(t or "")))
+
+
+@pandas_udf(LongType())
+def _simhash_udf(s: pd.Series) -> pd.Series:
+    # store as signed 64-bit (two's complement view of the unsigned hash)
+    def _h(t):
+        v = H.simhash(t or "")
+        return v - (1 << 64) if v >= (1 << 63) else v
+    return s.map(_h)
+
+
+def minhash_candidates(df: DataFrame, id_col: str,
+                       text_col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via MinHash LSH band buckets.
+
+    Pure DataFrame plan: bands explode → self-join on band key → distinct
+    pairs. The shuffle key is the band hash — uniformly distributed, so no
+    salting needed here.
+    """
+    banded = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+              .withColumn("band", F.explode(_minhash_bands_udf(F.col("t"))))
+              .select("id", "band"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+@pandas_udf(DoubleType())
+def _jaccard_pair_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+    return pd.Series([H.jaccard(x or "", y or "") for x, y in zip(ta, tb)])
+
+
+def minhash_neardup(df: DataFrame, id_col: str, text_col: str = "text",
+                    threshold: float = 0.8) -> DataFrame:
+    """Near-dup pairs with exact Jaccard verification of LSH candidates.
+
+    Returns (id_a, id_b, jaccard). The verify join broadcasts nothing —
+    both sides repartition on id; texts are fetched via two joins so only
+    candidate rows move."""
+    cands = minhash_candidates(df, id_col, text_col)
+    texts = df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("t"))
+    pairs = (cands
+             .join(texts.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("t", "t_a"), "id_a")
+             .join(texts.withColumnRenamed("id", "id_b")
+                   .withColumnRenamed("t", "t_b"), "id_b"))
+    return (pairs.withColumn("jaccard",
+                             _jaccard_pair_udf(F.col("t_a"), F.col("t_b")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash_keys(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds a ``simhash`` column (64-bit signed)."""
+    return df.withColumn("simhash", _simhash_udf(F.col(text_col)))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                        k: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for *adjacent-id* pairs — the linear-cost oracle
+    shape (full pairwise is what MinHash LSH avoids at scale)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("t_a"))
+    b = df.select((F.col(id_col) - 1).alias("id_a"),
+                  F.col(id_col).alias("id_b"), F.col(text_col).alias("t_b"))
+    pairs = a.join(b, "id_a")
+    return (pairs.withColumn("jaccard",
+                             _jaccard_pair_udf(F.col("t_a"), F.col("t_b")))
+            .select("id_a", "id_b", "jaccard"))

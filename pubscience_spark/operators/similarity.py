@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (training-data tier).
+
+- brute-force cosine top-k: native ``zip_with``/``aggregate`` dot products
+  (JVM-side, no Python) against a *broadcast* query set — the correctness
+  baseline;
+- LSH-bucketed variant: random-hyperplane signatures (pUDF) bucket the
+  corpus so each query probes one bucket family — the 100 TB scale path
+  (bucket join instead of full cross product).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set, cross-join,
+    JVM-side dot products, per-query window top-k.
+
+    Returns (query_id, neighbor_id, cosine) with ties broken by neighbor_id.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cosine",
+                          _dot(F.col("qv"), F.col("cv"))
+                          / (_norm(F.col("qv")) * _norm(F.col("cv")))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from blake2b bytes."""
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        vals = []
+        for c in range(0, dim, 8):
+            d = hashlib.blake2b(f"{seed}:{p}:{c}".encode(),
+                                digest_size=64).digest()
+            vals.extend(struct.unpack("<8q", d)[:min(8, dim - c)])
+        out[p] = np.array(vals[:dim], dtype=np.float64)
+    return out / np.abs(out).max()
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @pandas_udf(StringType())
+    def _sig(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        bits = (mat @ planes.T) > 0  # (n, planes)
+        return pd.Series(["".join("1" if b else "0" for b in row)
+                          for row in bits])
+    return _sig
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             n_planes: int = 10, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Scale-path ANN: sign-LSH bucket join, then exact cosine within
+    buckets. Recall < 1 by design — candidates share all hyperplane signs."""
+    sig = lsh_bucket_udf(dim, n_planes)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv")) \
+        .withColumn("bucket", sig(F.col("cv")))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv")) \
+        .withColumn("bucket", sig(F.col("qv")))
+    scored = (c.join(F.broadcast(q), "bucket")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cosine",
+                          _dot(F.col("qv"), F.col("cv"))
+                          / (_norm(F.col("qv")) * _norm(F.col("cv")))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cosine", 6).alias("cosine"), "rank"))

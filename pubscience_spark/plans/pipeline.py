@@ -1,0 +1,158 @@
+"""The end-to-end extraction pipeline (SURVEY.md §7.1 DAG).
+
+    pages(url, warc_ts, html, text, lang)
+      └─ resume gate: anti-join vs committed lineage buckets      [R1-R3]
+      └─ salted size-balanced repartition over url-hash           [north rule]
+      └─ mapInPandas extract (html | pubmed-xml | pdf routes)     [H*,B*,C*,P*]
+      └─ language gate (input col ∥ seeded detector)              [F8]
+      └─ dedup keys + keep-first duplicate marking                [X1,X2]
+      └─ write extracted, partitioned by bucket(url)
+      └─ lineage rows (bucket, row_count, checksum, wall_time)    [R4]
+
+Commit protocol (Iceberg-analog on plain parquet): extracted data for a
+bucket is visible only once its lineage row exists — lineage is written
+last (write-at-end-marks-success, ``extractor/parse.py:75-79`` analog).
+Resume anti-joins the lineage table, so re-running after a crash reprocesses
+only uncommitted buckets; dynamic partition overwrite makes that idempotent.
+
+Scale notes:
+- the shuffle key is ``pmod(xxhash64(url, SALT), n_buckets)`` — url hashing
+  defeats domain skew (Zipf hosts), the salt constant decorrelates this
+  shuffle from any earlier url-hash partitioning;
+- ``n_buckets`` targets ~BYTES_PER_BUCKET of html per bucket, computed from
+  a cheap (count, sum(length)) pre-agg — size-balanced partitions instead
+  of file-boundary skew (the reference's per-file fan-out problem,
+  BASELINE.md "parallelism model");
+- AQE re-coalesces post-filter partitions at runtime.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dedup_ops
+from ..operators.extract import extract_pages
+
+SALT = 0x5CA1AB1E
+BYTES_PER_BUCKET = 64 * 1024 * 1024  # ~64 MB of raw html per bucket
+
+
+def bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("url"), F.lit(SALT)), F.lit(n_buckets))
+
+
+def plan_buckets(pages: DataFrame, target_bytes: int = BYTES_PER_BUCKET,
+                 min_buckets: int | None = None) -> int:
+    """Size-balanced bucket count from a cheap pre-agg."""
+    row = pages.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("html")).alias("b")).collect()[0]
+    total = row["b"] or 0
+    if min_buckets is None:
+        min_buckets = pages.sparkSession.sparkContext.defaultParallelism
+    return max(min_buckets, math.ceil(total / target_bytes))
+
+
+def committed_buckets(spark: SparkSession, lineage_path: str) -> DataFrame | None:
+    """Buckets whose lineage row exists (= committed)."""
+    try:
+        return spark.read.parquet(lineage_path).select("bucket").distinct()
+    except Exception:
+        return None  # no lineage yet → nothing committed
+
+
+def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
+                   *, n_buckets: int | None = None, resume: bool = True,
+                   lang_keep: str | None = None,
+                   use_detector_gate: bool = False) -> dict:
+    """Run the pipeline; returns run metrics. Idempotent under re-run."""
+    extracted_path = os.path.join(out_dir, "extracted")
+    lineage_path = os.path.join(out_dir, "lineage")
+
+    if n_buckets is None:
+        n_buckets = plan_buckets(pages)
+
+    pages = pages.withColumn("bucket", bucket_col(n_buckets))
+
+    skipped = 0
+    committed = None
+    if resume:
+        committed = committed_buckets(spark, lineage_path)
+        if committed is not None:
+            n_committed = committed.count()
+            if n_committed:
+                # partition-level resume: committed bucket list is tiny →
+                # broadcast left-anti join prunes whole buckets (R1/R2)
+                pages = pages.join(F.broadcast(committed), "bucket",
+                                   "left_anti")
+                skipped = n_committed
+
+    # salted size-balanced repartition over url-hash (north rule): one
+    # shuffle that co-locates each bucket, balanced by byte-targeted count
+    pages = pages.repartition(n_buckets, "bucket")
+
+    extracted = extract_pages(pages.select("url", "html", "bucket")) \
+        .withColumn("bucket", bucket_col(n_buckets))
+
+    if lang_keep is not None:
+        from ..operators.clean import detect_lang_udf
+        if use_detector_gate:
+            extracted = extracted.where(
+                detect_lang_udf(F.col("extracted_text")) == F.lit(lang_keep))
+        else:
+            extracted = extracted.where(F.col("language") == F.lit(lang_keep))
+
+    # X1/X2 duplicate marking (keep-first by url — deterministic total order)
+    extracted = dedup_ops.mark_duplicates(extracted, "dedup_key", "url") \
+        .withColumnRenamed("is_duplicate", "is_prefix_duplicate")
+    extracted = dedup_ops.mark_duplicates(extracted, "sha256", "url") \
+        .withColumn("is_duplicate",
+                    F.col("is_duplicate") | F.col("is_prefix_duplicate")) \
+        .drop("is_prefix_duplicate")
+
+    # write data first, lineage last (commit marker). Dynamic partition
+    # overwrite keeps crashed half-written buckets idempotent.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    import time
+    t0 = time.time()
+    extracted.write.mode("overwrite").partitionBy("bucket") \
+        .parquet(extracted_path)
+    wall = time.time() - t0
+
+    # empty run (everything committed already, or empty input): dynamic
+    # overwrite writes no files, so there may be nothing to read
+    has_files = any(
+        f.endswith(".parquet")
+        for root, _, files in os.walk(extracted_path)
+        for f in files) if os.path.isdir(extracted_path) else False
+    if not has_files:
+        return {"rows_written": 0, "buckets": n_buckets,
+                "buckets_skipped": skipped, "write_wall_s": wall,
+                "extracted_path": extracted_path,
+                "lineage_path": lineage_path}
+
+    # lineage from the *written* data: counts/checksum reflect committed rows;
+    # only buckets processed this run get a lineage row (append-only log)
+    written = spark.read.parquet(extracted_path)
+    new_buckets = written
+    if committed is not None and skipped:
+        new_buckets = written.join(F.broadcast(committed), "bucket",
+                                   "left_anti")
+    lineage = (new_buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(F.when(F.col("is_duplicate"), 1).otherwise(0)).alias("dup_count"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("error_count"),
+        F.sum(F.crc32(F.concat_ws("|", "url", "sha256"))).alias("checksum"),
+        F.sum("cpu_seconds").alias("wall_time_s"))
+        .withColumn("input_split", F.concat(F.lit("bucket="), F.col("bucket")))
+        .withColumn("committed_at", F.current_timestamp()))
+    lineage.write.mode("append").parquet(lineage_path)
+
+    n_rows = written.count()
+    return {"rows_written": n_rows, "buckets": n_buckets,
+            "buckets_skipped": skipped, "write_wall_s": wall,
+            "extracted_path": extracted_path, "lineage_path": lineage_path}
