@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship document pipeline on sf0.001;
+``queries()``/``oracle_sql()`` expose the operator battery from
+``pubscience_spark.queries`` (SURVEY.md §2 coverage) for the DuckDB
+correctness gate.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pubscience_spark import queries as Q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the document-corpus curation pass — quality features,
+    exact+prefix dedup marking, deterministic split, per-source stats."""
+    from pyspark.sql import functions as F
+
+    from pubscience_spark.operators import dedup as dedup_ops
+    from pubscience_spark.operators.sampling import train_val_test_split
+    from pubscience_spark.operators.stats import word_count_col
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    enriched = (docs
+                .withColumn("n_words", word_count_col("text").cast("long"))
+                .withColumn("sha256_key", F.sha2(F.col("text"), 256)))
+    marked = dedup_ops.mark_duplicates(enriched, "sha256_key", "doc_id")
+    split = train_val_test_split(marked, "doc_id")
+    return (split.groupBy("source", "lang", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").alias("total_words"),
+                 F.sum(F.when(F.col("is_duplicate"), 1).otherwise(0))
+                 .alias("n_duplicates"))
+            .orderBy("source", "lang", "split"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (keys ⊆ queries())."""
+    return dict(Q.ORACLES)

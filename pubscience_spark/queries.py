@@ -1,0 +1,547 @@
+"""Driver-facing query battery: one entry per operator family (SURVEY.md §2)
+plus the training-data tier, each with a DuckDB oracle where the semantics
+are SQL-expressible.
+
+Cross-engine determinism rules used throughout:
+- floats are rounded (4-6 dp) on BOTH sides; money sums go through
+  decimal(18,4) so accumulation order cannot change the result;
+- sampling/splits use md5-prefix buckets (engine-portable), never rand();
+- keep-first dedup uses an explicit total order (doc_id / url), never
+  file/partition order;
+- every computed column is aliased identically in Spark and SQL (driver
+  hash-compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup as dedup_ops
+from .operators import filters as filter_ops
+from .operators import similarity as sim_ops
+from .operators import stats as stats_ops
+from .operators.clean import detect_lang_udf, split_sentences_udf
+from .operators.stats import word_count_col
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# dedup family (X1, X2, J2)
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    """X1: sha256 exact dedup, keep-first by doc_id."""
+    return (dedup_ops.exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+            .select("doc_id", "sha256_key"))
+
+
+SQL_EXACT_DEDUP = """
+SELECT doc_id, sha256(text) AS sha256_key
+FROM (SELECT doc_id, text,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) rn
+      FROM documents) WHERE rn = 1
+"""
+
+
+def q_prefix_dedup(spark, sf_dir):
+    """X2: 500-char normalized-prefix dedup key + keep-first survivors.
+
+    ASCII corpus ⇒ the native regexp is byte-equal to the CPython kernel
+    (the kernel-backed pUDF variant is byte-contract-tested in pytest)."""
+    d = _docs(spark, sf_dir).withColumn(
+        "dedup_key",
+        F.regexp_replace(F.lower(F.substring("text", 1, 500)),
+                         "[^a-zA-Z0-9]", ""))
+    return dedup_ops.keep_first(d, "dedup_key", "doc_id") \
+        .select("doc_id", "dedup_key")
+
+
+SQL_PREFIX_DEDUP = """
+SELECT doc_id, dedup_key FROM (
+  SELECT doc_id,
+         regexp_replace(lower(substr(text, 1, 500)), '[^a-zA-Z0-9]', '', 'g')
+           AS dedup_key,
+         row_number() OVER (
+           PARTITION BY regexp_replace(lower(substr(text, 1, 500)),
+                                       '[^a-zA-Z0-9]', '', 'g')
+           ORDER BY doc_id) rn
+  FROM documents) WHERE rn = 1
+"""
+
+
+def q_events_keepfirst(spark, sf_dir):
+    """J2/window: first event per user by (ts, event_id) total order."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (_events(spark, sf_dir)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", F.col("ts").alias("first_ts"),
+                    F.col("event_type").alias("first_type")))
+
+
+SQL_EVENTS_KEEPFIRST = """
+SELECT user_id, ts AS first_ts, event_type AS first_type
+FROM (SELECT user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) rn
+      FROM events) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# stats family (A1, A2, A3, A5, A6)
+# --------------------------------------------------------------------------
+
+def q_corpus_stats(spark, sf_dir):
+    """A1: per-source corpus stats (scripts/clean.py:872-907). Averages are
+    derived from exact integer sums → bit-identical across engines."""
+    d = _docs(spark, sf_dir).withColumn("__w", word_count_col("text"))
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("__w").cast("long")).alias("total_words"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"))
+    return agg.select(
+        "source", "n_docs", "total_words", "total_chars",
+        F.round(F.col("total_words") / F.col("n_docs"), 4).alias("avg_words"),
+        F.round(F.col("total_chars") / F.col("n_docs"), 4).alias("avg_chars"))
+
+
+SQL_CORPUS_STATS = r"""
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_words,
+         sum(length(text)) AS total_chars
+  FROM documents GROUP BY source)
+SELECT source, n_docs, total_words, total_chars,
+       round(CAST(total_words AS DOUBLE) / n_docs, 4) AS avg_words,
+       round(CAST(total_chars AS DOUBLE) / n_docs, 4) AS avg_chars
+FROM s
+"""
+
+
+def q_vocab_stats(spark, sf_dir):
+    """A2: corpus word total + exact vocabulary size."""
+    return stats_ops.vocab_stats(_docs(spark, sf_dir))
+
+
+SQL_VOCAB_STATS = """
+SELECT count(w) AS total_words, count(DISTINCT w) AS vocab_size
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0)
+"""
+
+
+def q_dup_counts(spark, sf_dir):
+    """A3: per-source duplicate counting (scripts/clean.py:699-720)."""
+    return stats_ops.dup_counts(_docs(spark, sf_dir), "source")
+
+
+SQL_DUP_COUNTS = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT text) AS n_distinct_texts,
+       count(*) - count(DISTINCT text) AS n_duplicates
+FROM documents GROUP BY source
+"""
+
+
+def q_group_concat(spark, sf_dir):
+    """A5: order-pinned per-user event-type concat
+    (sandbox/stats_testing.ipynb cell 10)."""
+    e = _events(spark, sf_dir)
+    packed = F.array_sort(F.collect_list(
+        F.struct(F.col("ts").alias("o1"), F.col("event_id").alias("o2"),
+                 F.col("event_type").alias("t"))))
+    return (e.groupBy("user_id")
+            .agg(F.array_join(F.transform(packed, lambda s: s["t"]), "|")
+                 .alias("concat_types")))
+
+
+SQL_GROUP_CONCAT = """
+SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS concat_types
+FROM events GROUP BY user_id
+"""
+
+
+def q_group_sizes(spark, sf_dir):
+    """A6: groupby-size histogram."""
+    return _events(spark, sf_dir).groupBy("event_type") \
+        .agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_GROUP_SIZES = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
+# --------------------------------------------------------------------------
+# filter family (F1/F2, F3/F4, F8)
+# --------------------------------------------------------------------------
+
+def q_length_gate(spark, sf_dir):
+    """F1+F2: char- and word-length gates."""
+    d = _docs(spark, sf_dir).withColumn(
+        "n_words", word_count_col("text").cast("long"))
+    return (d.where(filter_ops.min_chars("text", 100)
+                    & (F.col("n_words") > 40))
+            .select("doc_id", "n_words"))
+
+
+SQL_LENGTH_GATE = """
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+FROM documents
+WHERE length(text) >= 100
+  AND len(regexp_split_to_array(trim(text), '\\s+')) > 40
+"""
+
+
+def q_term_filter(spark, sf_dir):
+    """F3/F4 conservative: any(include) AND NOT any(exclude)
+    (identify/identify.py:135-145)."""
+    return (_docs(spark, sf_dir)
+            .where(filter_ops.include_exclude(
+                "text", include=["spark", "window"], exclude=["slow"]))
+            .select("doc_id"))
+
+
+SQL_TERM_FILTER = """
+SELECT doc_id FROM documents
+WHERE (text LIKE '%spark%' OR text LIKE '%window%')
+  AND text NOT LIKE '%slow%'
+"""
+
+
+def q_lang_gate(spark, sf_dir):
+    """F8 (column mode): per-source counts of English docs."""
+    return (_docs(spark, sf_dir).where(F.col("lang") == "en")
+            .groupBy("source").agg(F.count(F.lit(1)).alias("n_en")))
+
+
+SQL_LANG_GATE = """
+SELECT source, count(*) AS n_en FROM documents WHERE lang = 'en' GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# sampling family (O4, O6) — md5-bucket deterministic
+# --------------------------------------------------------------------------
+
+def q_hash_sample(spark, sf_dir):
+    """O4: ~10% deterministic sample via md5 hex-prefix compare."""
+    return (_docs(spark, sf_dir)
+            .where(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+                   < "1a")
+            .select("doc_id"))
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id FROM documents WHERE substr(md5(doc_id::VARCHAR), 1, 2) < '1a'
+"""
+
+
+def q_split_assign(spark, sf_dir):
+    """O6: 90/5/5 split counts via md5 buckets (engine-portable randomSplit)."""
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    d = _docs(spark, sf_dir).withColumn(
+        "split", F.when(h < "e6", "train").when(h < "f3", "val")
+        .otherwise("test"))
+    return d.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_SPLIT_ASSIGN = """
+SELECT CASE WHEN substr(md5(doc_id::VARCHAR),1,2) < 'e6' THEN 'train'
+            WHEN substr(md5(doc_id::VARCHAR),1,2) < 'f3' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# generic relational harness checks (J3, A6 over TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style aggregation. All money goes through decimal(18,4)
+    sums (order-independent); averages derive from those exact sums; the
+    final columns are doubles so both engines hash identically."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = "decimal(18,4)"
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              * (1 + F.col("l_tax"))).cast(dec)
+    agg = (li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(F.col("l_quantity").cast(dec)).alias("sq"),
+                F.sum(F.col("l_extendedprice").cast(dec)).alias("sbp"),
+                F.sum(disc_price).alias("sdp"),
+                F.sum(charge).alias("sc"),
+                F.sum(F.col("l_discount").cast(dec)).alias("sd"),
+                F.count(F.lit(1)).alias("count_order")))
+    n = F.col("count_order")
+    return agg.select(
+        "l_returnflag", "l_linestatus",
+        F.round(F.col("sq").cast("double"), 2).alias("sum_qty"),
+        F.round(F.col("sbp").cast("double"), 2).alias("sum_base_price"),
+        F.round(F.col("sdp").cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.col("sc").cast("double"), 2).alias("sum_charge"),
+        F.round(F.col("sq").cast("double") / n, 4).alias("avg_qty"),
+        F.round(F.col("sbp").cast("double") / n, 4).alias("avg_price"),
+        F.round(F.col("sd").cast("double") / n, 4).alias("avg_disc"),
+        "count_order")
+
+
+SQL_PRICING_SUMMARY = """
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sbp,
+         sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS sdp,
+         sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,4))) AS sc,
+         sum(CAST(l_discount AS DECIMAL(18,4))) AS sd,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sq AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sbp AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sdp AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sc AS DOUBLE), 2) AS sum_charge,
+       round(CAST(sq AS DOUBLE) / count_order, 4) AS avg_qty,
+       round(CAST(sbp AS DOUBLE) / count_order, 4) AS avg_price,
+       round(CAST(sd AS DOUBLE) / count_order, 4) AS avg_disc,
+       count_order
+FROM a
+"""
+
+
+def q_nation_revenue(spark, sf_dir):
+    """J3-style star join: revenue by supplier nation. Dimensions are
+    broadcast (tiny sides never shuffle the fact table)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    return (li.join(F.broadcast(sup),
+                    li["l_suppkey"] == sup["s_suppkey"])
+            .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+            .groupBy("n_name")
+            .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+                  AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# text-analysis tier (quality, tokens, PII)
+# --------------------------------------------------------------------------
+
+# NB: doubled backslash — Spark SQL string literals un-escape '\s' to 's'
+_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def q_quality_tokens(spark, sf_dir):
+    """Token counting: whitespace words + BPE-ish regex tokens per doc."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_c"),
+        word_count_col("text").cast("long").alias("n_words"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_TOKEN_PATTERN}', 0)"))
+        .cast("long").alias("n_tokens"))
+
+
+SQL_QUALITY_TOKENS = r"""
+SELECT doc_id, length(text) AS n_chars_c,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens
+FROM documents
+"""
+
+
+def q_mask_numbers(spark, sf_dir):
+    """D4: [FLOAT]/[INT] masking over events.props (native regexp — ASCII
+    digits only, Java≡RE2; kernel variant byte-tested in pytest)."""
+    return (_events(spark, sf_dir)
+            .select("event_id",
+                    F.regexp_replace(
+                        F.regexp_replace("props", r"\d+\.\d+", "[FLOAT]"),
+                        r"\d+", "[INT]").alias("props_masked")))
+
+
+SQL_MASK_NUMBERS = r"""
+SELECT event_id,
+       regexp_replace(regexp_replace(props, '\d+\.\d+', '[FLOAT]', 'g'),
+                      '\d+', '[INT]', 'g') AS props_masked
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# near-dup tier (n-gram Jaccard w/ oracle; MinHash/SimHash rows-only)
+# --------------------------------------------------------------------------
+
+def q_jaccard_adjacent(spark, sf_dir):
+    """3-gram Jaccard for adjacent doc_id pairs (linear-cost oracle shape
+    of the near-dup tier)."""
+    return (dedup_ops.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id")
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jacc")))
+
+
+SQL_JACCARD_ADJACENT = """
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+              ELSE list_distinct([arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                                 for i in range(1, len(arr) - 1)])
+         END AS s
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+        FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jacc
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs, Jaccard-verified ≥ 0.5
+    (rows-only check: LSH banding is not SQL-expressible)."""
+    return dedup_ops.minhash_neardup(_docs(spark, sf_dir), "doc_id",
+                                     "text", threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash 64-bit signatures (rows-only)."""
+    return dedup_ops.simhash_keys(_docs(spark, sf_dir)) \
+        .select("doc_id", "simhash")
+
+
+def q_langid(spark, sf_dir):
+    """F8 detector mode: deterministic n-gram langid counts (rows-only)."""
+    return (_docs(spark, sf_dir)
+            .withColumn("detected", detect_lang_udf(F.col("text")))
+            .groupBy("detected").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_sentences(spark, sf_dir):
+    """G1: sentence segmentation counts per doc (rows-only)."""
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.size(split_sentences_udf(F.col("text")))
+                    .alias("n_sentences")))
+
+
+# --------------------------------------------------------------------------
+# similarity search tier
+# --------------------------------------------------------------------------
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for the first 10 vectors."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim_ops.cosine_topk(emb, queries, k=5) \
+        .withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           AS cos_raw
+  FROM c CROSS JOIN q WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+FROM (SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN (scale path; rows-only — recall < 1 vs oracle)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim_ops.lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "prefix_dedup": q_prefix_dedup,
+    "events_keepfirst": q_events_keepfirst,
+    "corpus_stats": q_corpus_stats,
+    "vocab_stats": q_vocab_stats,
+    "dup_counts": q_dup_counts,
+    "group_concat": q_group_concat,
+    "group_sizes": q_group_sizes,
+    "length_gate": q_length_gate,
+    "term_filter": q_term_filter,
+    "lang_gate": q_lang_gate,
+    "hash_sample": q_hash_sample,
+    "split_assign": q_split_assign,
+    "pricing_summary": q_pricing_summary,
+    "nation_revenue": q_nation_revenue,
+    "quality_tokens": q_quality_tokens,
+    "mask_numbers": q_mask_numbers,
+    "jaccard_adjacent": q_jaccard_adjacent,
+    "embedding_topk": q_embedding_topk,
+    # rows-only (not SQL-expressible): driver records weaker check
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "langid": q_langid,
+    "sentences": q_sentences,
+    "lsh_topk": q_lsh_topk,
+}
+
+ORACLES = {
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "prefix_dedup": SQL_PREFIX_DEDUP,
+    "events_keepfirst": SQL_EVENTS_KEEPFIRST,
+    "corpus_stats": SQL_CORPUS_STATS,
+    "vocab_stats": SQL_VOCAB_STATS,
+    "dup_counts": SQL_DUP_COUNTS,
+    "group_concat": SQL_GROUP_CONCAT,
+    "group_sizes": SQL_GROUP_SIZES,
+    "length_gate": SQL_LENGTH_GATE,
+    "term_filter": SQL_TERM_FILTER,
+    "lang_gate": SQL_LANG_GATE,
+    "hash_sample": SQL_HASH_SAMPLE,
+    "split_assign": SQL_SPLIT_ASSIGN,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "nation_revenue": SQL_NATION_REVENUE,
+    "quality_tokens": SQL_QUALITY_TOKENS,
+    "mask_numbers": SQL_MASK_NUMBERS,
+    "jaccard_adjacent": SQL_JACCARD_ADJACENT,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+}
