@@ -1,0 +1,181 @@
+"""Unit tests for the html / xml / pdf extraction kernels."""
+
+from pubscience_spark.kernels import html_extract, pdfmini, xml_harvest
+
+HTML = """<!DOCTYPE html><html><head><title>My Title | Site</title>
+<meta name="author" content="A. Writer">
+<meta name="description" content="A lede description here.">
+</head><body>
+<nav class="main-menu"><ul><li><a href="/a">Link1</a></li></ul></nav>
+<article>
+<h1>My Title</h1>
+<p>First paragraph with enough prose to keep around for scoring.</p>
+<h2>Section</h2>
+<p>Second paragraph body text.</p>
+<ul><li>item one text</li><li>item two text</li></ul>
+<h2>References</h2>
+<ol><li>Ref A</li><li>Ref B</li></ol>
+</article>
+<footer><a href="/x">foot</a></footer>
+</body></html>"""
+
+
+def test_html_extract_basics():
+    r = html_extract.extract_html(HTML)
+    assert r["title"] == "My Title | Site"
+    assert r["authors"] == ["A. Writer"]
+    assert r["abstract"] == "A lede description here."
+    text = r["extracted_text"]
+    assert text.startswith("# My Title")
+    assert "First paragraph" in text and "## Section" in text
+    assert "- item one text" in text
+
+
+def test_html_stops_at_references():
+    r = html_extract.extract_html(HTML)
+    assert "Ref A" not in r["extracted_text"]
+
+
+def test_html_skips_nav_and_footer():
+    r = html_extract.extract_html(HTML)
+    assert "Link1" not in r["extracted_text"]
+    assert "foot" not in r["extracted_text"]
+
+
+def test_html_link_density_gate():
+    nav = ("<html><body><ul>" +
+           "".join(f'<li><a href="/{i}">nav {i}</a></li>' for i in range(8)) +
+           "</ul><p>Real prose sentence that should survive the gate "
+           "because it is long and mostly plain text.</p></body></html>")
+    r = html_extract.extract_html(nav)
+    assert "nav 0" not in r["extracted_text"]
+    assert "Real prose" in r["extracted_text"]
+
+
+def test_html_spans_offsets():
+    r = html_extract.extract_html(HTML)
+    for start, end, kind, text in r["spans"]:
+        rendered = r["extracted_text"][start:end]
+        assert text in rendered  # rendered includes '#'/'- ' prefixes
+
+
+def test_html_malformed_no_crash():
+    r = html_extract.extract_html("<html><body><p>unclosed "
+                                  "<div><b>messy</body>")
+    assert "unclosed" in r["extracted_text"] or r["extracted_text"] == "" \
+        or "messy" in r["extracted_text"]
+
+
+XML = """<?xml version="1.0"?>
+<PubmedArticle><MedlineCitation>
+<PMID>123</PMID>
+<Article><ArticleTitle>T  itle here</ArticleTitle>
+<Abstract><AbstractText>Abstract body.</AbstractText>
+<CopyrightInformation>(c) pub</CopyrightInformation></Abstract>
+<Language>eng</Language>
+<Journal><JournalIssue><PubDate><Year>1999</Year><Month>5</Month></PubDate></JournalIssue></Journal>
+</Article>
+<MeshHeadingList>
+<MeshHeading><DescriptorName UI="D001">Heart Disease</DescriptorName></MeshHeading>
+<MeshHeading><DescriptorName UI="D002">Lungs</DescriptorName></MeshHeading>
+</MeshHeadingList>
+</MedlineCitation>
+<PubmedData><ArticleIdList><ArticleId IdType="pmc">PMC9</ArticleId></ArticleIdList></PubmedData>
+<body><p>Para one words here.</p><p>Para two <xref rid="b1">[1]</xref>more
+<ext-link href="http://x">link</ext-link>.</p></body>
+</PubmedArticle>"""
+
+
+def test_xml_harvest_fields():
+    m = xml_harvest.harvest_article(XML)
+    assert m["pmid"] == "123"
+    assert m["title"] == "T itle here"  # whitespace-normalized
+    assert m["abstract"] == "Abstract body."  # copyright removed
+    assert m["pubdate_year"] == "1999" and m["pubdate_month"] == "5"
+    assert m["mesh_ids"] == ["D001", "D002"]
+    assert m["mesh_terms"] == ["Heart Disease", "Lungs"]
+    assert m["pmc"] == "PMC9" and m["language"] == "eng"
+
+
+def test_xml_harvest_missing_fields_returns_none():
+    assert xml_harvest.harvest_article("<PubmedArticle><PMID>1</PMID>"
+                                       "</PubmedArticle>") is None
+
+
+def test_xml_body_paragraphs_strip_xref_extlink():
+    paras = xml_harvest.body_paragraphs(XML)
+    assert paras[0] == "Para one words here."
+    assert "[1]" not in paras[1] and "link" not in paras[1]
+
+
+def test_xml_chunking():
+    chunks = xml_harvest.chunk_paragraphs(["a b c", "d e", "f g h i"],
+                                          max_words=5)
+    # greedy: [a b c + d e] = 5 words, then [f g h i]
+    assert chunks == ["a b c d e", "f g h i"]
+
+
+def test_xml_split_articles():
+    blob = XML + "\n" + XML.replace("123", "456")
+    parts = xml_harvest.split_pubmed_articles(blob)
+    assert len(parts) == 2
+
+
+def test_extract_fulltext_title_abstract_head():
+    r = xml_harvest.extract_fulltext(XML)
+    assert r["extracted_text"].startswith("T itle here\nAbstract body.")
+    assert "Para one" in r["extracted_text"]
+
+
+def _mini_pdf(pages, producer="SynthWriter 1.0"):
+    objs = []
+    for pt in pages:
+        safe = pt.replace("(", r"\(").replace(")", r"\)").replace("\n", r"\n")
+        content = f"BT /F1 12 Tf ({safe}) Tj ET".encode()
+        objs.append(b"<< /Length %d >>\nstream\n%s\nendstream"
+                    % (len(content), content))
+    body = b"\n".join(b"obj\n/Type /Page\n%s\nendobj" % o for o in objs)
+    return (b"%PDF-1.4\n/Producer (" + producer.encode() + b")\n" + body
+            + b"\n%%EOF\n")
+
+
+def test_pdf_pages_roundtrip():
+    pdf = _mini_pdf(["hello world page one", "page two text"])
+    pages, error, scanned, producer = pdfmini.pdf_to_pages(pdf)
+    assert pages == ["hello world page one", "page two text"]
+    assert error is None and scanned is False
+    assert producer == "SynthWriter 1.0"
+
+
+def test_pdf_scan_detection_via_producer():
+    # producer keywords are the effective detector (SURVEY.md §2.11)
+    pdf = _mini_pdf(["x"], producer="ACME Scanner 2")
+    _, _, scanned, _ = pdfmini.pdf_to_pages(pdf)
+    assert scanned is True
+
+
+def test_pdf_not_a_pdf():
+    pages, error, scanned, _ = pdfmini.pdf_to_pages(b"<html>nope</html>")
+    assert pages == [] and error == "not-a-pdf"
+
+
+def test_pdf_summary_capture():
+    filler = " ".join(f"word{i}" for i in range(60))
+    pages = [f"intro {filler}",
+             "Summary\n" + filler,
+             f"more summary body {filler}",
+             "References\n1. a\n2. b"]
+    english, dutch = pdfmini.extract_summary(pages)
+    assert "Summary" in english and "word3" in english
+    assert "References" not in english
+    assert dutch == ""
+
+
+def test_pdf_body_filter():
+    filler = " ".join(f"w{i}" for i in range(60))
+    pages = [filler,                       # kept
+             "short page",                 # < 50 words → dropped
+             f"{filler} all rights reserved",  # copyright → dropped
+             f"chapter one {filler} chapter two"]  # ≥2 'chapter ' → dropped
+    kept, counts = pdfmini.text_extractor(pages)
+    assert len(kept) == 1 and counts == [60]

@@ -1,0 +1,159 @@
+"""Unit tests: entropy repetition removal, PII, langid, quality, hashing,
+segmentation."""
+
+from pubscience_spark.kernels import (entropy, hashing, langid, pii, quality,
+                                      segment)
+
+
+def test_entropy_removes_repetition():
+    text = "aaaaaaaaaaaaaaaaaaaa normal words follow here"
+    out = entropy.remove_spurious_repetitions(text)
+    assert "aaaaaaaa" not in out
+    assert "words" in out
+
+
+def test_entropy_keeps_normal_text():
+    text = "The quick brown fox jumps over the lazy dog repeatedly."
+    assert entropy.remove_spurious_repetitions(text) == text
+
+
+def test_bsn_checksum():
+    # known-valid examples from the 11-proof spec (anonymise/deduce.py:145-160)
+    assert pii.bsn_is_valid("111222333")
+    assert pii.bsn_is_valid("123456782")
+    assert not pii.bsn_is_valid("123456789")
+
+
+def test_bsn_mask():
+    assert pii.mask_bsn(" 111222333 ") == " [BSN] "
+    assert pii.mask_bsn(" 123456789 ") == " 123456789 "  # invalid → kept
+
+
+def test_patient_id_mask():
+    out = pii.mask_patient_ids("zie patientnr: 1234567 verder")
+    assert "[PATIENTNUMMER]" in out and "1234567" not in out
+
+
+def test_date_mask():
+    assert pii.mask_dates("op 2021-03-04 was") == "op [DATUM] was"
+    assert pii.mask_dates("op 4/3/2021 was") == "op [DATUM] was"
+
+
+def test_number_mask_order():
+    # floats first, then ints (anonymise/deduce.py:267-271)
+    assert pii.mask_numbers("x 3.14 y 42") == "x [FLOAT] y [INT]"
+
+
+def test_url_doi_mask():
+    assert pii.mask_urls("zie www.ziekenhuis.nl/afdeling hier") == \
+        "zie [URL] hier"
+    assert pii.mask_dois("DOI 10.1000/182 end") == "[DOI] end"
+
+
+def test_langid_en_nl_de():
+    en = ("the patient was treated with the new therapy and the results "
+          "were good for all of them")
+    nl = ("de patiënt werd behandeld met een nieuwe therapie en de "
+          "resultaten waren goed voor het onderzoek")
+    de = ("der patient wurde mit einer neuen therapie behandelt und die "
+          "ergebnisse waren gut für die untersuchung")
+    assert langid.detect_lang(en) == "en"
+    assert langid.detect_lang(nl) == "nl"
+    assert langid.detect_lang(de) == "de"
+    assert langid.detect_lang("") == "unknown"
+    assert langid.detect_lang("zzz qqq xxx 123") == "unknown"
+
+
+def test_langid_deterministic():
+    text = "the and of to in is that the patient"
+    assert all(langid.detect_lang(text) == "en" for _ in range(5))
+
+
+def test_quality_features():
+    f = quality.quality_features("The cat sat. The dog ran!")
+    assert f["n_words"] == 6
+    assert f["n_chars"] == 25
+    assert 0 < f["punct_ratio"] < 0.2
+    assert f["stopword_ratio"] > 0
+
+
+def test_token_count():
+    assert quality.token_count("ab 12 c!") == 4  # ab / 12 / c / !
+
+
+def test_quality_score_bounds():
+    assert 0.0 <= quality.quality_score("") <= 1.0
+    good = "the " * 50 + "patient was treated well"
+    assert quality.quality_score(good) > 0.5
+
+
+def test_fingerprint_deterministic_and_shift_sensitive():
+    a = quality.rolling_fingerprint("some document text here" * 10)
+    b = quality.rolling_fingerprint("some document text here" * 10)
+    assert a == b
+    # min-of-rolling-windows is robust to a prefix change when the window
+    # set still contains the minimizer
+    assert quality.rolling_fingerprint("") == 0
+
+
+def test_shingles_and_jaccard():
+    a = "the quick brown fox jumps over the lazy dog"
+    assert hashing.jaccard(a, a) == 1.0
+    b = "the quick brown fox jumps over the lazy cat"
+    assert 0.4 < hashing.jaccard(a, b) < 1.0
+    assert hashing.jaccard("one two", "three four") == 0.0
+
+
+def test_minhash_estimates_jaccard():
+    a = " ".join(f"tok{i}" for i in range(100))
+    b = " ".join(f"tok{i}" for i in range(50, 150))
+    true_j = hashing.jaccard(a, b)
+    sa = hashing.minhash_signature(a, num_perm=256)
+    sb = hashing.minhash_signature(b, num_perm=256)
+    est = sum(x == y for x, y in zip(sa, sb)) / 256
+    assert abs(est - true_j) < 0.12
+
+
+def test_minhash_bands_identical_for_identical_text():
+    a = hashing.minhash_bands(hashing.minhash_signature("x y z w v u"))
+    b = hashing.minhash_bands(hashing.minhash_signature("x y z w v u"))
+    assert a == b and len(a) == 16
+
+
+def test_simhash_similar_texts_close():
+    a = " ".join(f"tok{i}" for i in range(100))
+    b = a.replace("tok50", "changed")
+    d_sim = hashing.hamming64(hashing.simhash(a), hashing.simhash(b))
+    c = " ".join(f"other{i}" for i in range(100))
+    d_diff = hashing.hamming64(hashing.simhash(a), hashing.simhash(c))
+    assert d_sim < d_diff
+
+
+def test_sha256_matches_stdlib():
+    import hashlib as h
+    assert hashing.sha256_hex("abc") == h.sha256(b"abc").hexdigest()
+
+
+def test_sentence_split():
+    s = segment.split_sentences("First one. Second here! Dr. Smith stayed. "
+                                "Last")
+    assert s[0] == "First one."
+    assert s[1] == "Second here!"
+    assert s[2] == "Dr. Smith stayed."  # abbreviation guard
+    assert s[-1] == "Last"
+
+
+def test_sentence_spans_offsets():
+    text = "One here. Two there. Three."
+    for start, end, kind, s in segment.sentence_spans(text):
+        assert text[start:end] == s
+
+
+def test_chunking_budget():
+    sents = ["a b c", "d e", "f g h i j k"]
+    chunks = segment.chunk_sentences(sents, max_tokens=6)
+    assert chunks == ["a b c d e", "f g h i j k"]
+    # hard split of an over-budget sentence
+    chunks = segment.chunk_sentences(["one two three four five six"],
+                                     max_tokens=4)
+    assert chunks == ["one two three four", "five six"]

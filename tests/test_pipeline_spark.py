@@ -1,0 +1,134 @@
+"""Spark-level contract tests.
+
+The core contract (BASELINE.json): byte-identical extracted text per url.
+With no external fixture source available (reference deps absent from the
+container), the golden fixture is the *sequential single-process run of the
+same deterministic kernels* — the tests prove the distributed plan yields
+exactly those bytes regardless of partitioning, ordering, or resume state.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pubscience_spark.datagen.pages import generate_pages
+from pubscience_spark.operators.extract import extract_one, extract_pages
+from pubscience_spark.plans.pipeline import run_extraction
+
+
+@pytest.fixture(scope="module")
+def golden(pages_path):
+    """Sequential reference run: url → extracted record."""
+    import pyarrow.parquet as pq
+    table = pq.read_table(pages_path)
+    out = {}
+    for url, raw in zip(table["url"].to_pylist(), table["html"].to_pylist()):
+        out[url] = extract_one(raw if raw is not None else b"")
+    return out
+
+
+def test_byte_identity_vs_sequential(spark, pages_path, golden):
+    pages = spark.read.parquet(pages_path)
+    got = {r["url"]: r for r in extract_pages(pages).collect()}
+    assert set(got) == set(golden)
+    for url, g in golden.items():
+        row = got[url]
+        assert row["extracted_text"] == g["extracted_text"], url
+        assert row["sha256"] == g["sha256"], url
+        assert row["title"] == g["title"], url
+        assert (row["pages"] or []) == g["pages"], url
+
+
+def test_permutation_invariance(spark, pages_path, golden):
+    """Output bytes independent of partitioning/order (SURVEY.md §3.1 —
+    the property the reference lacks)."""
+    pages = spark.read.parquet(pages_path)
+    for df in (pages.repartition(7), pages.coalesce(1),
+               pages.orderBy(F.desc("url"))):
+        got = {r["url"]: r["extracted_text"]
+               for r in extract_pages(df).collect()}
+        assert got == {u: g["extracted_text"] for u, g in golden.items()}
+
+
+def test_pipeline_end_to_end_and_resume(spark, pages_path, tmp_path):
+    pages = spark.read.parquet(pages_path)
+    out = str(tmp_path / "out")
+    r1 = run_extraction(spark, pages, out, n_buckets=5)
+    assert r1["rows_written"] == pages.count()
+    ext = spark.read.parquet(r1["extracted_path"])
+    assert ext.select("url").distinct().count() == r1["rows_written"]
+
+    # idempotent resume: everything committed → nothing reprocessed
+    r2 = run_extraction(spark, pages, out, n_buckets=5)
+    assert r2["buckets_skipped"] == 5
+    lineage = spark.read.parquet(r1["lineage_path"])
+    assert lineage.count() == 5  # no duplicate lineage rows
+    assert lineage.groupBy("bucket").count().where("count > 1").count() == 0
+
+    # lineage row_count sums to written rows; checksums are non-null
+    total = lineage.agg(F.sum("row_count")).collect()[0][0]
+    assert total == r1["rows_written"]
+    assert lineage.where(F.col("checksum").isNull()).count() == 0
+
+
+def test_partial_resume_reprocesses_only_missing(spark, pages_path, tmp_path):
+    pages = spark.read.parquet(pages_path)
+    out = str(tmp_path / "out")
+    r1 = run_extraction(spark, pages, out, n_buckets=4)
+    # drop one bucket's lineage row → that bucket must be reprocessed
+    lineage_path = r1["lineage_path"]
+    lin = spark.read.parquet(lineage_path).collect()
+    keep = [r for r in lin if r["bucket"] != lin[0]["bucket"]]
+    import shutil
+    shutil.rmtree(lineage_path)
+    if keep:
+        spark.createDataFrame(keep).write.parquet(lineage_path)
+    r2 = run_extraction(spark, pages, out, n_buckets=4)
+    assert r2["buckets_skipped"] == 3
+    ext = spark.read.parquet(r1["extracted_path"])
+    assert ext.count() == r1["rows_written"]
+    assert ext.select("url").distinct().count() == r1["rows_written"]
+
+
+def test_duplicate_marking(spark, pages_path, tmp_path):
+    pages = spark.read.parquet(pages_path)
+    out = str(tmp_path / "out")
+    r = run_extraction(spark, pages, out, n_buckets=3)
+    ext = spark.read.parquet(r["extracted_path"])
+    # datagen plants exact duplicates under /dup/ urls — the dup group's
+    # keep-first survivor is the smallest url, the rest are marked
+    groups = (ext.groupBy("sha256")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.when(F.col("is_duplicate"), 1).otherwise(0))
+                   .alias("n_marked"),
+                   F.min(F.struct("url", "is_duplicate")).alias("first"))
+              .where(F.col("n") > 1).collect())
+    assert groups, "datagen should plant duplicate groups"
+    for g in groups:
+        assert g["n_marked"] == g["n"] - 1
+        assert g["first"]["is_duplicate"] is False
+
+
+def test_error_rows_never_fail_tasks(spark):
+    rows = [("u1", None), ("u2", b"\x00\xffgarbage"),
+            ("u3", b"%PDF-1.4 broken"), ("u4", b"<?xml version=\"1.0\"?><bad")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = extract_pages(df).collect()
+    assert len(got) == 4  # nothing threw
+
+
+def test_datagen_deterministic(pages_path):
+    rows_a = generate_pages(50)
+    rows_b = generate_pages(50)
+    assert [r["url"] for r in rows_a] == [r["url"] for r in rows_b]
+    assert [r["html"] for r in rows_a] == [r["html"] for r in rows_b]
+
+
+def test_lang_gate_detector(spark, pages_path, tmp_path):
+    pages = spark.read.parquet(pages_path)
+    out = str(tmp_path / "out")
+    r = run_extraction(spark, pages, out, n_buckets=3,
+                       lang_keep="en", use_detector_gate=True)
+    ext = spark.read.parquet(r["extracted_path"])
+    assert 0 < ext.count() < pages.count()
