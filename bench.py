@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Driver benchmark: headline extraction throughput + query battery.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <sec>, "unit": "sec", "queries": {name: sec},
+   "sf": ..., ...extras}
+
+Headline job = the north-rule extraction pipeline (salted url-hash
+repartition -> mapInPandas extract -> dedup marking -> aggregate consume)
+over a deterministic synthetic `pages` corpus (seed 42, cached under
+.bench/). The same job runs at two parallelism levels (local[8] and
+local[$SPARK_GRAFT_CPUS]) on identical input bytes — the sandbox stand-in
+for N vs 4N executors (BASELINE.json:14) — and the scaling efficiency
+throughput(4N) / (4 * throughput(N)) is reported under "scaling".
+
+The query battery (every entry in __spark_entry__.queries()) is timed at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir        (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     high parallelism    (default 32)
+  BENCH_PAGES          override page count (default 3_000_000 * sf)
+  BENCH_SCALING        "0" skips the low-parallelism run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+LOW_CPUS = max(1, CPUS // 4)
+N_BUCKETS = 4 * CPUS  # fixed across both runs: same plan, same granularity
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1).rstrip(".")) if m else 0.1
+
+
+SF = _sf_from_dir(SF_DIR)
+N_PAGES = int(os.environ.get("BENCH_PAGES", str(max(2000, int(3_000_000 * SF)))))
+
+
+def ensure_pages(n_rows: int) -> str:
+    """Generate-once cache of the synthetic pages corpus (pure fn of seed)."""
+    bench_dir = os.path.join(REPO, ".bench")
+    os.makedirs(bench_dir, exist_ok=True)
+    path = os.path.join(bench_dir, f"pages_n{n_rows}_seed42.parquet")
+    if not os.path.exists(path):
+        from pubscience_spark.datagen.pages import write_pages_parquet
+        tmp = path + ".tmp"
+        write_pages_parquet(tmp, n_rows, seed=42)
+        os.replace(tmp, path)
+    return path
+
+
+def extraction_job(spark, pages_path: str) -> int:
+    """The timed unit: scan -> salted repartition -> extract -> dedup-mark ->
+    aggregate consume (no sink, so the two parallelism levels compare pure
+    compute+shuffle; the sink run is timed separately)."""
+    from pyspark.sql import functions as F
+
+    from pubscience_spark.operators import dedup as dedup_ops
+    from pubscience_spark.operators.extract import extract_pages
+    from pubscience_spark.plans.pipeline import bucket_col
+
+    pages = (spark.read.parquet(pages_path)
+             .withColumn("bucket", bucket_col(N_BUCKETS))
+             .repartition(N_BUCKETS, "bucket"))
+    extracted = extract_pages(pages.select("url", "html", "bucket"))
+    marked = dedup_ops.mark_duplicates(extracted, "sha256", "url")
+    row = marked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.when(F.col("is_duplicate"), 1).otherwise(0)).alias("dups"),
+    ).collect()[0]
+    return int(row["n"])
+
+
+def timed_extraction(master_cores: int, pages_path: str) -> tuple[float, int]:
+    from pubscience_spark.session import get_spark
+    spark = get_spark(app_name=f"bench-local{master_cores}",
+                      master=f"local[{master_cores}]",
+                      shuffle_partitions=N_BUCKETS)
+    try:
+        _warmup(spark, pages_path)
+        t0 = time.perf_counter()
+        n = extraction_job(spark, pages_path)
+        wall = time.perf_counter() - t0
+    finally:
+        spark.stop()
+    return wall, n
+
+
+def _warmup(spark, pages_path: str) -> None:
+    """Warm JVM codegen + every python worker through the real Arrow/UDF
+    path so the timed run measures the job, not interpreter startup."""
+    from pubscience_spark.operators.extract import extract_pages
+    cores = spark.sparkContext.defaultParallelism
+    small = spark.read.parquet(pages_path).limit(8 * cores).repartition(cores)
+    extract_pages(small).count()
+
+
+def main() -> None:
+    pages_path = ensure_pages(N_PAGES)
+
+    scaling = None
+    if os.environ.get("BENCH_SCALING", "1") != "0":
+        low_wall, n_low = timed_extraction(LOW_CPUS, pages_path)
+    else:
+        low_wall, n_low = None, None
+
+    # high-parallelism session also hosts the battery + the sink run
+    from pubscience_spark.session import get_spark
+    spark = get_spark(app_name=f"bench-local{CPUS}",
+                      master=f"local[{CPUS}]", shuffle_partitions=N_BUCKETS)
+    try:
+        _warmup(spark, pages_path)
+        t0 = time.perf_counter()
+        n_docs = extraction_job(spark, pages_path)
+        high_wall = time.perf_counter() - t0
+
+        if low_wall is not None:
+            tp_low, tp_high = n_low / low_wall, n_docs / high_wall
+            scaling = {
+                "cores_low": LOW_CPUS, "cores_high": CPUS,
+                "secs_low": round(low_wall, 3), "secs_high": round(high_wall, 3),
+                "docs_per_sec_low": round(tp_low, 1),
+                "docs_per_sec_high": round(tp_high, 1),
+                "efficiency": round(tp_high / (tp_low * (CPUS / LOW_CPUS)), 4),
+            }
+
+        # full pipeline incl. parquet sink + lineage (reported, not headline)
+        import shutil
+        import tempfile
+        from pubscience_spark.plans.pipeline import run_extraction
+        out_dir = tempfile.mkdtemp(prefix="bench_out_", dir=os.path.join(REPO, ".bench"))
+        t0 = time.perf_counter()
+        run_extraction(spark, spark.read.parquet(pages_path), out_dir,
+                       n_buckets=N_BUCKETS, resume=False)
+        sink_wall = time.perf_counter() - t0
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+        # query battery at SF_DIR
+        import __spark_entry__ as entrymod
+        qtimes: dict[str, float] = {}
+        for name, fn in entrymod.queries().items():
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.collect()
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+    finally:
+        spark.stop()
+
+    out = {
+        "metric": f"extraction pipeline wall seconds, {n_docs} docs, local[{CPUS}]",
+        "value": round(high_wall, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / high_wall, 1),
+        "pipeline_with_sink_secs": round(sink_wall, 3),
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -493,6 +493,241 @@ def q_lsh_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# quality / fingerprint tier (README.md:118 stats spec; training-data ops)
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+              "for", "with", "as", "by", "at", "it", "that", "this", "are",
+              "was"]
+
+
+def q_quality_features(spark, sf_dir):
+    """Quality scoring: alpha/digit/whitespace ratios, mean word length,
+    stopword ratio — all native char-class exprs (JVM, codegen)."""
+    d = _docs(spark, sf_dir)
+    n_chars = F.length("text").cast("double")
+    n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    non_ws = F.length(F.regexp_replace("text", r"\s", ""))
+    words = F.when(F.length(F.trim(F.col("text"))) == 0,
+                   F.array().cast("array<string>")) \
+        .otherwise(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    z = F.lit(0.0)
+    return d.select(
+        "doc_id",
+        F.when(n_chars > 0, F.round(n_alpha / n_chars, 6)).otherwise(z)
+        .alias("alpha_ratio"),
+        F.when(n_chars > 0, F.round(n_digit / n_chars, 6)).otherwise(z)
+        .alias("digit_ratio"),
+        F.when(n_chars > 0, F.round((n_chars - non_ws) / n_chars, 6))
+        .otherwise(z).alias("ws_ratio"),
+        F.when(n_words > 0, F.round(non_ws / n_words, 6)).otherwise(z)
+        .alias("mean_word_len"),
+        F.when(n_words > 0, F.round(n_stop / n_words, 6)).otherwise(z)
+        .alias("stop_ratio"))
+
+
+_SQL_STOPLIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+SQL_QUALITY_FEATURES = rf"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '\s', '', 'g')) AS non_ws,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS words
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN n_chars > 0 THEN round(n_alpha / n_chars, 6) ELSE 0.0 END AS alpha_ratio,
+       CASE WHEN n_chars > 0 THEN round(n_digit / n_chars, 6) ELSE 0.0 END AS digit_ratio,
+       CASE WHEN n_chars > 0 THEN round((n_chars - non_ws) / n_chars, 6) ELSE 0.0 END AS ws_ratio,
+       CASE WHEN len(words) > 0 THEN round(CAST(non_ws AS DOUBLE) / len(words), 6) ELSE 0.0 END AS mean_word_len,
+       CASE WHEN len(words) > 0
+            THEN round(CAST(len(list_filter(words, w -> w IN ({_SQL_STOPLIST})))
+                       AS DOUBLE) / len(words), 6) ELSE 0.0 END AS stop_ratio
+FROM b
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: min-hash over word 5-gram shingles
+    (deterministic content fingerprint; the single-hash core of MinHash)."""
+    d = _docs(spark, sf_dir).withColumn(
+        "arr", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+    fp = F.expr("""
+      CASE WHEN size(arr) >= 5 THEN
+        array_min(transform(sequence(1, size(arr) - 4),
+                  i -> md5(concat_ws(' ', slice(arr, i, 5)))))
+      ELSE md5(concat_ws(' ', arr)) END""")
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       CASE WHEN len(arr) >= 5 THEN
+              list_min([md5(array_to_string(arr[i:i+4], ' '))
+                        for i in range(1, len(arr) - 3)])
+            ELSE md5(array_to_string(arr, ' ')) END AS fingerprint
+FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+      FROM documents)
+"""
+
+
+def q_top_docs_per_source(spark, sf_dir):
+    """O1/top-k: 3 longest docs per source (window rank, grouped top-k —
+    scales as one shuffle on the group key, never a global sort)."""
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(),
+                                             F.col("doc_id"))
+    return (_docs(spark, sf_dir)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("source", "doc_id", "n_chars",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+SQL_TOP_DOCS_PER_SOURCE = """
+SELECT source, doc_id, n_chars, rank FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents) WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# event-stream tier: sessionization + as-of join
+# --------------------------------------------------------------------------
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): per-user session and
+    event counts. lag + conditional-sum windows, one shuffle on user_id.
+    Gap math is interval arithmetic — exact and timezone-free on
+    TIMESTAMP_NTZ in both engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    is_new = (prev.isNull()
+              | ((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTES"))
+              ).cast("long")
+    return (_events(spark, sf_dir)
+            .withColumn("is_new", is_new)
+            .groupBy("user_id")
+            .agg(F.sum("is_new").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, sum(is_new) AS n_sessions, count(*) AS n_events
+FROM (SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+GROUP BY user_id
+"""
+
+
+def q_asof_last_click(spark, sf_dir):
+    """As-of join expressed as a running window: for every purchase, the
+    user's most recent strictly-preceding click (no range self-join —
+    one shuffle on user_id, linear scan per user)."""
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")),
+        ignorenulls=True).over(w)
+    return (_events(spark, sf_dir)
+            .withColumn("last_click_ts", last_click)
+            .where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id",
+                    F.col("ts").alias("purchase_ts"), "last_click_ts"))
+
+
+SQL_ASOF_LAST_CLICK = """
+SELECT event_id, user_id, ts AS purchase_ts, last_click_ts
+FROM (SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM events)
+WHERE event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# relational coverage: outer join histogram + global top-k
+# --------------------------------------------------------------------------
+
+def q_orders_per_customer(spark, sf_dir):
+    """TPC-H Q13 shape: orders-per-customer histogram (left outer join +
+    double aggregation)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (cust.join(orders, cust["c_custkey"] == orders["o_custkey"],
+                          "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("n_orders")))
+    return per_cust.groupBy("n_orders") \
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+SQL_ORDERS_PER_CUSTOMER = """
+SELECT n_orders, count(*) AS n_customers
+FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY n_orders
+"""
+
+
+def q_top_parts_by_revenue(spark, sf_dir):
+    """Global top-10 parts by revenue: broadcast dim join + TakeOrdered
+    (orderBy+limit never global-sorts; ties broken by p_partkey; ordering
+    on the exact decimal sum, not the rounded double)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    return (li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .groupBy("p_partkey", "p_name")
+            .agg(F.sum(rev).alias("rev_exact"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy(F.col("rev_exact").desc(), F.col("p_partkey"))
+            .limit(10)
+            .select("p_partkey", "p_name",
+                    F.round(F.col("rev_exact").cast("double"), 2)
+                    .alias("revenue"), "n_items"))
+
+
+SQL_TOP_PARTS_BY_REVENUE = """
+SELECT p_partkey, p_name, round(CAST(rev_exact AS DOUBLE), 2) AS revenue,
+       n_items
+FROM (SELECT p_partkey, p_name,
+             sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+               AS rev_exact,
+             count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_partkey, p_name)
+ORDER BY rev_exact DESC, p_partkey LIMIT 10
+"""
+
+
+def q_token_chunks(spark, sf_dir):
+    """G2: token-budget chunk counts per doc (greedy sentence packing,
+    kernel pUDF; rows-only — stateful fold is not SQL-expressible)."""
+    from .operators.clean import chunks_udf
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.size(chunks_udf(64)(F.col("text")))
+                    .cast("long").alias("n_chunks")))
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -516,12 +751,20 @@ QUERIES = {
     "mask_numbers": q_mask_numbers,
     "jaccard_adjacent": q_jaccard_adjacent,
     "embedding_topk": q_embedding_topk,
+    "quality_features": q_quality_features,
+    "doc_fingerprint": q_doc_fingerprint,
+    "top_docs_per_source": q_top_docs_per_source,
+    "sessionize": q_sessionize,
+    "asof_last_click": q_asof_last_click,
+    "orders_per_customer": q_orders_per_customer,
+    "top_parts_by_revenue": q_top_parts_by_revenue,
     # rows-only (not SQL-expressible): driver records weaker check
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "langid": q_langid,
     "sentences": q_sentences,
     "lsh_topk": q_lsh_topk,
+    "token_chunks": q_token_chunks,
 }
 
 ORACLES = {
@@ -544,4 +787,11 @@ ORACLES = {
     "mask_numbers": SQL_MASK_NUMBERS,
     "jaccard_adjacent": SQL_JACCARD_ADJACENT,
     "embedding_topk": SQL_EMBEDDING_TOPK,
+    "quality_features": SQL_QUALITY_FEATURES,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "top_docs_per_source": SQL_TOP_DOCS_PER_SOURCE,
+    "sessionize": SQL_SESSIONIZE,
+    "asof_last_click": SQL_ASOF_LAST_CLICK,
+    "orders_per_customer": SQL_ORDERS_PER_CUSTOMER,
+    "top_parts_by_revenue": SQL_TOP_PARTS_BY_REVENUE,
 }
