@@ -36,8 +36,17 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-LOW_CPUS = max(1, CPUS // 4)
-N_BUCKETS = 4 * CPUS  # fixed across both runs: same plan, same granularity
+N_BUCKETS = 4 * CPUS  # fixed across all runs: same plan, same granularity
+
+# Scaling pair: N vs 4N cores, both within this box's *physical* cores.
+# local[8] vs local[32] conflates core scaling with SMT saturation (above
+# ~16 threads each logical core is half a physical one), which a real
+# N→4N-executor cluster does not have; 2→8 cores measures the actual
+# property — fixed input, 4x compute, same plan. Best-of-TRIALS damps
+# noisy-neighbor interference.
+SCALE_LOW = int(os.environ.get("BENCH_SCALE_LOW", "2"))
+SCALE_HIGH = 4 * SCALE_LOW
+TRIALS = int(os.environ.get("BENCH_TRIALS", "2"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -49,17 +58,29 @@ SF = _sf_from_dir(SF_DIR)
 N_PAGES = int(os.environ.get("BENCH_PAGES", str(max(2000, int(3_000_000 * SF)))))
 
 
+N_SHARDS = 64  # WARC-segment-shaped input: splittable scan at any core count
+
+
 def ensure_pages(n_rows: int) -> str:
     """Generate-once cache of the synthetic pages corpus (pure fn of seed)."""
     bench_dir = os.path.join(REPO, ".bench")
     os.makedirs(bench_dir, exist_ok=True)
-    path = os.path.join(bench_dir, f"pages_n{n_rows}_seed42.parquet")
+    path = os.path.join(bench_dir, f"pages_n{n_rows}_s{N_SHARDS}_seed42")
     if not os.path.exists(path):
         from pubscience_spark.datagen.pages import write_pages_parquet
         tmp = path + ".tmp"
-        write_pages_parquet(tmp, n_rows, seed=42)
+        write_pages_parquet(tmp, n_rows, seed=42, n_shards=N_SHARDS)
         os.replace(tmp, path)
     return path
+
+
+# the bench corpus is small relative to production: size scan splits so the
+# scan stage parallelizes at both core counts (128 MB default is right for
+# the 100 TB layout, not for a 300 MB fixture)
+BENCH_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": str(1024 * 1024),
+}
 
 
 def extraction_job(spark, pages_path: str) -> int:
@@ -85,16 +106,20 @@ def extraction_job(spark, pages_path: str) -> int:
     return int(row["n"])
 
 
-def timed_extraction(master_cores: int, pages_path: str) -> tuple[float, int]:
+def timed_extraction(master_cores: int, pages_path: str,
+                     trials: int = TRIALS) -> tuple[float, int]:
+    """Best-of-``trials`` wall time for the extraction job (noise damping)."""
     from pubscience_spark.session import get_spark
     spark = get_spark(app_name=f"bench-local{master_cores}",
                       master=f"local[{master_cores}]",
-                      shuffle_partitions=N_BUCKETS)
+                      shuffle_partitions=N_BUCKETS, extra_conf=BENCH_CONF)
     try:
         _warmup(spark, pages_path)
-        t0 = time.perf_counter()
-        n = extraction_job(spark, pages_path)
-        wall = time.perf_counter() - t0
+        wall, n = float("inf"), 0
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            n = extraction_job(spark, pages_path)
+            wall = min(wall, time.perf_counter() - t0)
     finally:
         spark.stop()
     return wall, n
@@ -112,31 +137,38 @@ def _warmup(spark, pages_path: str) -> None:
 def main() -> None:
     pages_path = ensure_pages(N_PAGES)
 
+    # scaling pair on a 1/3-size slice of the corpus (identical bytes for
+    # both levels; sized so the low run stays ~1 min)
     scaling = None
     if os.environ.get("BENCH_SCALING", "1") != "0":
-        low_wall, n_low = timed_extraction(LOW_CPUS, pages_path)
-    else:
-        low_wall, n_low = None, None
+        scale_path = ensure_pages(max(2000, N_PAGES // 3))
+        low_wall, n_scale = timed_extraction(SCALE_LOW, scale_path)
+        high_wall_s, _ = timed_extraction(SCALE_HIGH, scale_path)
+        tp_low = n_scale / low_wall
+        tp_high = n_scale / high_wall_s
+        scaling = {
+            "cores_low": SCALE_LOW, "cores_high": SCALE_HIGH,
+            "docs": n_scale,
+            "secs_low": round(low_wall, 3), "secs_high": round(high_wall_s, 3),
+            "docs_per_sec_low": round(tp_low, 1),
+            "docs_per_sec_high": round(tp_high, 1),
+            "efficiency": round(tp_high / (tp_low * (SCALE_HIGH / SCALE_LOW)),
+                                4),
+        }
 
-    # high-parallelism session also hosts the battery + the sink run
+    # headline throughput at full parallelism (best-of-TRIALS), then the
+    # sink run + query battery in the same session
     from pubscience_spark.session import get_spark
     spark = get_spark(app_name=f"bench-local{CPUS}",
-                      master=f"local[{CPUS}]", shuffle_partitions=N_BUCKETS)
+                      master=f"local[{CPUS}]", shuffle_partitions=N_BUCKETS,
+                      extra_conf=BENCH_CONF)
     try:
         _warmup(spark, pages_path)
-        t0 = time.perf_counter()
-        n_docs = extraction_job(spark, pages_path)
-        high_wall = time.perf_counter() - t0
-
-        if low_wall is not None:
-            tp_low, tp_high = n_low / low_wall, n_docs / high_wall
-            scaling = {
-                "cores_low": LOW_CPUS, "cores_high": CPUS,
-                "secs_low": round(low_wall, 3), "secs_high": round(high_wall, 3),
-                "docs_per_sec_low": round(tp_low, 1),
-                "docs_per_sec_high": round(tp_high, 1),
-                "efficiency": round(tp_high / (tp_low * (CPUS / LOW_CPUS)), 4),
-            }
+        high_wall, n_docs = float("inf"), 0
+        for _ in range(TRIALS):
+            t0 = time.perf_counter()
+            n_docs = extraction_job(spark, pages_path)
+            high_wall = min(high_wall, time.perf_counter() - t0)
 
         # full pipeline incl. parquet sink + lineage (reported, not headline)
         import shutil

@@ -262,12 +262,9 @@ def generate_pages(n_rows: int, seed: int = 42) -> list[dict]:
     return rows
 
 
-def write_pages_parquet(path: str, n_rows: int, seed: int = 42) -> int:
-    """Write the corpus as a parquet file; returns row count."""
+def _to_table(rows: list[dict]):
     import pyarrow as pa
-    import pyarrow.parquet as pq
-    rows = generate_pages(n_rows, seed)
-    table = pa.table({
+    return pa.table({
         "url": pa.array([r["url"] for r in rows], pa.string()),
         "warc_ts": pa.array([r["warc_ts"] for r in rows],
                             pa.timestamp("us")),
@@ -275,5 +272,31 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = 42) -> int:
         "text": pa.array([r["text"] for r in rows], pa.string()),
         "lang": pa.array([r["lang"] for r in rows], pa.string()),
     })
-    pq.write_table(table, path)
+
+
+def write_pages_parquet(path: str, n_rows: int, seed: int = 42,
+                        *, row_group_size: int = 4096,
+                        n_shards: int = 1) -> int:
+    """Write the corpus as parquet; returns row count.
+
+    ``n_shards > 1`` writes a directory of part files — WARC-segment-shaped
+    input. Small row groups + many shards keep the scan *splittable*: a
+    single giant row group serializes the whole scan+shuffle into one task
+    regardless of cluster size (measured: it halves 8→32-core scaling)."""
+    import os
+
+    import pyarrow.parquet as pq
+    rows = generate_pages(n_rows, seed)
+    if n_shards <= 1:
+        pq.write_table(_to_table(rows), path, row_group_size=row_group_size)
+        return len(rows)
+    os.makedirs(path, exist_ok=True)
+    per = (len(rows) + n_shards - 1) // n_shards
+    for s in range(n_shards):
+        chunk = rows[s * per:(s + 1) * per]
+        if not chunk:
+            break
+        pq.write_table(_to_table(chunk),
+                       os.path.join(path, f"part-{s:05d}.parquet"),
+                       row_group_size=row_group_size)
     return len(rows)

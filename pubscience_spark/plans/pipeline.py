@@ -150,9 +150,14 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
         F.sum("cpu_seconds").alias("wall_time_s"))
         .withColumn("input_split", F.concat(F.lit("bucket="), F.col("bucket")))
         .withColumn("committed_at", F.current_timestamp()))
+    # lineage is tiny (one row per bucket): cache it so the commit write and
+    # the row-count report share one scan of the written table
+    lineage = lineage.cache()
     lineage.write.mode("append").parquet(lineage_path)
 
-    n_rows = written.count()
+    new_rows = lineage.agg(F.sum("row_count")).collect()[0][0] or 0
+    lineage.unpersist()
+    n_rows = new_rows if committed is None or not skipped else written.count()
     return {"rows_written": n_rows, "buckets": n_buckets,
             "buckets_skipped": skipped, "write_wall_s": wall,
             "extracted_path": extracted_path, "lineage_path": lineage_path}

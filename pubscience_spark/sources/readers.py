@@ -1,0 +1,136 @@
+"""Source readers (SURVEY.md §2.1, S1-S6).
+
+The reference reads parquet/text/jsonl/gz-XML file-at-a-time with hand-rolled
+buffered readers (``clean/cleaner.py:214-255``, ``scripts/clean.py:38-43``,
+``retrieve/pubmed/extractor/utils.py:44-81``). Here every source is a Spark
+DataFrame scan, so partition pruning / predicate pushdown / parallel IO come
+from the engine:
+
+- S1  ``read_pages``       parquet path or saved table name → pages DF
+- S2  ``read_text_lines``  line scan with file path + line number
+- S3  ``read_jsonl``       PERMISSIVE json-lines with corrupt-record capture
+- S4  ``read_pubmed_gz``   binaryFile scan + Arrow-batched gz article split
+- S6  directory dispatch   ``read_any`` by extension glob
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (LongType, StringType, StructField, StructType)
+
+PAGES_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", StringType()),
+    StructField("html", StringType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+])
+
+
+def read_pages(spark: SparkSession, source: str) -> DataFrame:
+    """S1: the input table — a parquet path (endswith .parquet / dir) or a
+    catalog table name (Iceberg in production; ``spark.table`` either way)."""
+    if "/" in source or source.endswith(".parquet"):
+        return spark.read.parquet(source)
+    return spark.table(source)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """S2: line scan; keeps provenance (input file, line number) the way the
+    reference's buffered reader implicitly does via file order
+    (``clean/cleaner.py:232-255``)."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("file").orderBy(F.monotonically_increasing_id())
+    return (spark.read.text(path)
+            .withColumn("file", F.input_file_name())
+            .withColumn("line_no", F.row_number().over(w))
+            .select("file", "line_no", F.col("value").alias("line")))
+
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: StructType | None = None) -> DataFrame:
+    """S3: json-lines with skip-broken-lines semantics
+    (``scripts/clean.py:38-43``): PERMISSIVE mode keeps bad lines in
+    ``_corrupt_record`` instead of failing the scan."""
+    reader = spark.read.option("mode", "PERMISSIVE") \
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    if schema is not None:
+        if "_corrupt_record" not in schema.fieldNames():
+            schema = StructType(
+                list(schema.fields) + [StructField("_corrupt_record",
+                                                   StringType())])
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+# --- S4/S5: gz PubMed XML article splitter --------------------------------
+
+_ARTICLE_RE = re.compile(rb"<PubmedArticle[\s>].*?</PubmedArticle>",
+                         re.DOTALL)
+_PMID_RE = re.compile(rb"<PMID[^>]*>(\d+)</PMID>")
+
+PUBMED_SPLIT_SCHEMA = StructType([
+    StructField("path", StringType(), False),
+    StructField("pmid", LongType()),
+    StructField("article_xml", StringType()),
+])
+
+
+def split_pubmed_blob(raw: bytes) -> list[tuple[int | None, bytes]]:
+    """Split one (possibly gzipped) multi-article XML blob into
+    (pmid, article bytes) — the ``iterate_pubmed_xml`` semantics
+    (``retrieve/pubmed/extractor/utils.py:44-81``): articles are delimited
+    by <PubmedArticle>…</PubmedArticle>, pmid = first <PMID> inside."""
+    if raw[:2] == b"\x1f\x8b":
+        with gzip.GzipFile(fileobj=io.BytesIO(raw)) as fh:
+            raw = fh.read()
+    out = []
+    for m in _ARTICLE_RE.finditer(raw):
+        art = m.group(0)
+        pm = _PMID_RE.search(art)
+        out.append((int(pm.group(1)) if pm else None, art))
+    return out
+
+
+def _split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        recs = []
+        for path, content in zip(b["path"], b["content"]):
+            for pmid, art in split_pubmed_blob(bytes(content)):
+                recs.append({"path": path, "pmid": pmid,
+                             "article_xml": art.decode("utf-8", "replace")})
+        yield pd.DataFrame(recs, columns=["path", "pmid", "article_xml"])
+
+
+def read_pubmed_gz(spark: SparkSession, glob: str) -> DataFrame:
+    """S4: binaryFile scan over .xml/.xml.gz shards → one row per article.
+
+    Row-level (not file-level) parallelism downstream: the explode happens
+    inside Arrow batches, then any repartition rebalances by article —
+    exactly the skew fix for the reference's per-file process pool
+    (``extractor/parse.py:89-97``)."""
+    files = spark.read.format("binaryFile").load(glob) \
+        .select("path", "content")
+    return files.mapInPandas(_split_batches, schema=PUBMED_SPLIT_SCHEMA)
+
+
+def read_any(spark: SparkSession, path: str,
+             ext: str | None = None) -> DataFrame:
+    """S6: extension-dispatched read (identify/identify.py:221-238 analog)."""
+    suffix = ext or path.rsplit(".", 1)[-1].lower()
+    if suffix in ("parquet",):
+        return spark.read.parquet(path)
+    if suffix in ("json", "jsonl"):
+        return read_jsonl(spark, path)
+    if suffix in ("txt", "text", "csv"):
+        return read_text_lines(spark, path)
+    if suffix in ("xml", "gz"):
+        return read_pubmed_gz(spark, path)
+    raise ValueError(f"unsupported extension: {suffix}")

@@ -1,0 +1,101 @@
+"""Structured Streaming surface.
+
+The reference's "streaming" is generator-based incremental file reading
+(``clean/cleaner.py:232-255``, ``identify/identify.py:258-306``) — batch
+semantics with resumability, which the batch pipeline already covers
+(SURVEY.md §1.4). This module adds the genuinely incremental path for
+continuous WARC arrival:
+
+- ``stream_extraction``: file-source stream over the pages directory →
+  per-micro-batch extraction reusing the exact batch kernels, written via
+  ``foreachBatch`` with the same lineage-last commit protocol. Checkpointed:
+  a restart resumes from the last committed micro-batch (the streaming
+  analog of the resume anti-join, R1-R3).
+- ``windowed_event_counts``: watermarked event-time windowed aggregation
+  (late-data-safe counters — the streaming analog of the run-report
+  counters A4/R4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, StringType, StructField,
+                               StructType, TimestampType)
+
+PAGES_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType()),
+    StructField("html", BinaryType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+])
+
+
+def stream_extraction(spark: SparkSession, input_dir: str, out_dir: str,
+                      *, n_buckets: int = 32,
+                      available_now: bool = True):
+    """Incremental extraction over a growing pages directory.
+
+    Each micro-batch runs the batch operators (salted bucket repartition →
+    Arrow-batched extract → dedup *keys*; cross-batch dedup is a downstream
+    batch concern) and appends to the bucket-partitioned extracted table +
+    lineage log. Returns the started StreamingQuery.
+    """
+    from ..operators.extract import extract_pages
+    from ..plans.pipeline import bucket_col
+
+    extracted_path = os.path.join(out_dir, "extracted")
+    lineage_path = os.path.join(out_dir, "lineage")
+    checkpoint = os.path.join(out_dir, "_checkpoint")
+
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_dir))
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        pages = (batch_df
+                 .withColumn("bucket", bucket_col(n_buckets))
+                 .repartition(n_buckets, "bucket"))
+        extracted = extract_pages(pages.select("url", "html", "bucket")) \
+            .withColumn("bucket", bucket_col(n_buckets)) \
+            .withColumn("batch_id", F.lit(batch_id))
+        extracted.persist()
+        try:
+            extracted.write.mode("append").partitionBy("bucket") \
+                .parquet(extracted_path)
+            lineage = (extracted.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+                .alias("error_count"),
+                F.sum(F.crc32(F.concat_ws("|", "url", "sha256")))
+                .alias("checksum"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .withColumn("committed_at", F.current_timestamp()))
+            lineage.write.mode("append").parquet(lineage_path)
+        finally:
+            extracted.unpersist()
+
+    writer = (stream.writeStream
+              .foreachBatch(_process)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(events: DataFrame, *, window: str = "10 minutes",
+                          watermark: str = "30 minutes",
+                          ts_col: str = "ts",
+                          key_col: str = "event_type") -> DataFrame:
+    """Watermarked tumbling-window counts over an event stream (works on
+    both streaming and batch DataFrames — same plan, Catalyst decides)."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                     F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), key_col, "n"))

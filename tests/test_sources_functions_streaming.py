@@ -1,0 +1,165 @@
+"""Tests for sources/ (readers+sinks), functions/ (SQL registry), and
+streaming/ (incremental extraction, watermarked windows)."""
+
+import gzip
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from pubscience_spark.sources import readers, sinks
+
+
+# --------------------------------------------------------------------------
+# sources: pure splitter kernel
+# --------------------------------------------------------------------------
+
+_ARTS = (b"<?xml version='1.0'?><Set>"
+         b"<PubmedArticle><MedlineCitation><PMID>111</PMID>"
+         b"<ArticleTitle>A</ArticleTitle></MedlineCitation></PubmedArticle>\n"
+         b"<PubmedArticle><MedlineCitation><PMID Version='1'>222</PMID>"
+         b"<ArticleTitle>B</ArticleTitle></MedlineCitation></PubmedArticle>"
+         b"</Set>")
+
+
+def test_split_pubmed_blob_plain_and_gz():
+    for raw in (_ARTS, gzip.compress(_ARTS)):
+        parts = readers.split_pubmed_blob(raw)
+        assert [p[0] for p in parts] == [111, 222]
+        assert all(a.startswith(b"<PubmedArticle") for _, a in parts)
+
+
+def test_split_pubmed_blob_missing_pmid():
+    blob = b"<PubmedArticle><ArticleTitle>X</ArticleTitle></PubmedArticle>"
+    parts = readers.split_pubmed_blob(blob)
+    assert parts[0][0] is None
+
+
+# --------------------------------------------------------------------------
+# sources: Spark readers
+# --------------------------------------------------------------------------
+
+def test_read_jsonl_permissive(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(json.dumps({"id": 1, "text": "ok"}) + "\n"
+                 + "{broken json\n"
+                 + json.dumps({"id": 2, "text": "also ok"}) + "\n")
+    df = readers.read_jsonl(spark, str(p)).cache()
+    good = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2 and bad.count() == 1
+
+
+def test_read_text_lines_numbering(spark, tmp_path):
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    rows = readers.read_text_lines(spark, str(p)) \
+        .orderBy("line_no").collect()
+    assert [r["line"] for r in rows] == ["alpha", "beta", "gamma"]
+    assert [r["line_no"] for r in rows] == [1, 2, 3]
+
+
+def test_read_pubmed_gz(spark, tmp_path):
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "a.xml.gz").write_bytes(gzip.compress(_ARTS))
+    (d / "b.xml.gz").write_bytes(gzip.compress(_ARTS.replace(b"111", b"333")))
+    df = readers.read_pubmed_gz(spark, str(d))
+    rows = df.orderBy("pmid").collect()
+    assert [r["pmid"] for r in rows] == [111, 222, 222, 333]
+    assert all("<PubmedArticle" in r["article_xml"] for r in rows)
+
+
+def test_read_any_dispatch(spark, tmp_path):
+    p = tmp_path / "t.jsonl"
+    p.write_text(json.dumps({"x": 1}) + "\n")
+    assert readers.read_any(spark, str(p)).count() == 1
+
+
+# --------------------------------------------------------------------------
+# sources: sinks round-trip
+# --------------------------------------------------------------------------
+
+def test_write_text_escapes_newlines(spark, tmp_path):
+    df = spark.createDataFrame([("a\nb",), ("c",)], ["text"])
+    out = str(tmp_path / "txt")
+    sinks.write_text(df, out)
+    lines = sorted(r["value"] for r in spark.read.text(out).collect())
+    assert lines == ["a\\nb", "c"]
+
+
+def test_write_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "text"])
+    out = str(tmp_path / "jsonl")
+    sinks.write_jsonl(df, out)
+    back = spark.read.json(out)
+    assert back.count() == 2 and set(back.columns) == {"id", "text"}
+
+
+# --------------------------------------------------------------------------
+# functions: SQL registry
+# --------------------------------------------------------------------------
+
+def test_register_all_sql_functions(spark):
+    from pubscience_spark.functions.registry import register_all
+    from pubscience_spark.kernels import hashing, quality, textclean
+    names = register_all(spark)
+    assert "ps_clean_line" in names and "ps_simhash" in names
+    spark.createDataFrame(
+        [("Ã«Ã©  test   123 string",), ("plain words here",)],
+        ["text"]).createOrReplaceTempView("t_reg")
+    got = spark.sql("""
+        SELECT ps_clean_line(text) AS c, ps_token_count(text) AS n,
+               ps_simhash(text) AS h, size(ps_sentences(text)) AS s
+        FROM t_reg ORDER BY text""").collect()
+    texts = sorted(["Ã«Ã©  test   123 string", "plain words here"])
+    for row, t in zip(got, texts):
+        assert row["c"] == textclean.clean_line(t)
+        assert row["n"] == quality.token_count(t)
+        exp = hashing.simhash(t)
+        assert row["h"] == (exp - (1 << 64) if exp >= (1 << 63) else exp)
+
+
+# --------------------------------------------------------------------------
+# streaming
+# --------------------------------------------------------------------------
+
+def test_stream_extraction_incremental(spark, tmp_path):
+    from pubscience_spark.datagen.pages import write_pages_parquet
+    from pubscience_spark.streaming.extract_stream import stream_extraction
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    n1 = write_pages_parquet(str(in_dir / "part1.parquet"), 40, seed=1)
+
+    q = stream_extraction(spark, str(in_dir), out_dir, n_buckets=4)
+    q.awaitTermination(120)
+    extracted = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    assert extracted.count() == n1
+    assert extracted.where(F.col("extracted_text").isNotNull()).count() == n1
+
+    # a new file arrives; checkpoint resume processes ONLY the new rows
+    n2 = write_pages_parquet(str(in_dir / "part2.parquet"), 25, seed=2)
+    q = stream_extraction(spark, str(in_dir), out_dir, n_buckets=4)
+    q.awaitTermination(120)
+    extracted = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    # every input row extracted exactly once: counts match the raw input
+    # (two seeds can mint one colliding url, so compare against the input)
+    raw = spark.read.parquet(str(in_dir))
+    assert extracted.count() == raw.count() == n1 + n2
+    assert extracted.select("url").distinct().count() \
+        == raw.select("url").distinct().count()
+    lineage = spark.read.parquet(os.path.join(out_dir, "lineage"))
+    assert lineage.agg(F.sum("row_count")).collect()[0][0] == n1 + n2
+
+
+def test_windowed_event_counts_batch_semantics(spark):
+    import datetime as dt
+    from pubscience_spark.streaming.extract_stream import windowed_event_counts
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(base + dt.timedelta(minutes=m), "click") for m in (0, 5, 9, 10, 25)]
+    df = spark.createDataFrame(rows, ["ts", "event_type"])
+    got = {(r["window_start"].minute, r["n"])
+           for r in windowed_event_counts(df, window="10 minutes").collect()}
+    assert got == {(0, 3), (10, 1), (20, 1)}
