@@ -16,10 +16,9 @@ import hashlib
 import re
 import struct
 
-_RE_WORD = re.compile(r"[a-z0-9]+")
+import numpy as np
 
-_MERSENNE = (1 << 61) - 1
-_MAXH = (1 << 32) - 1
+_RE_WORD = re.compile(r"[a-z0-9]+")
 
 
 def normalize_words(text: str) -> list[str]:
@@ -41,18 +40,20 @@ def _hash64(s: str) -> int:
     return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
 
 
-def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for universal hashing h(x)=(a*x+b) % p."""
-    params = []
+def _perm_params(num_perm: int, seed: int = 42):
+    """Deterministic (a, b) arrays for multiply-shift universal hashing
+    h(x) = ((a*x + b) mod 2^64) >> 32 with odd a (Dietzfelbinger et al.) —
+    pure uint64 arithmetic, so the whole signature vectorizes in numpy."""
+    a = np.empty(num_perm, dtype=np.uint64)
+    b = np.empty(num_perm, dtype=np.uint64)
     for i in range(num_perm):
         d = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=16).digest()
-        a = (struct.unpack("<Q", d[:8])[0] % (_MERSENNE - 1)) + 1
-        b = struct.unpack("<Q", d[8:])[0] % _MERSENNE
-        params.append((a, b))
-    return params
+        a[i] = struct.unpack("<Q", d[:8])[0] | 1
+        b[i] = struct.unpack("<Q", d[8:])[0]
+    return a, b
 
 
-_PERM_CACHE: dict[tuple[int, int], list[tuple[int, int]]] = {}
+_PERM_CACHE: dict = {}
 
 
 def minhash_signature(text: str, num_perm: int = 128, k: int = 3,
@@ -61,14 +62,41 @@ def minhash_signature(text: str, num_perm: int = 128, k: int = 3,
     params = _PERM_CACHE.get(key)
     if params is None:
         params = _PERM_CACHE[key] = _perm_params(num_perm, seed)
-    shingles = word_shingles(text, k)
-    if not shingles:
+    a, b = params
+    base = _shingle_hashes(text, k)
+    if base is None:
         return [0] * num_perm
-    base = [_hash32(s) for s in shingles]
-    sig = []
-    for a, b in params:
-        sig.append(min(((a * x + b) % _MERSENNE) & _MAXH for x in base))
-    return sig
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+        h = (a[:, None] * base[None, :] + b[:, None]) >> np.uint64(32)
+    return h.min(axis=1).tolist()
+
+
+# odd mix constants per shingle position (blake2b-derived, seed-stable)
+_POS_MIX = np.array([
+    struct.unpack("<Q", hashlib.blake2b(f"pos:{j}".encode(),
+                                        digest_size=8).digest())[0] | 1
+    for j in range(16)], dtype=np.uint64)
+
+
+def _shingle_hashes(text: str, k: int = 3) -> "np.ndarray | None":
+    """uint64 hash per *distinct* word-k-shingle. md5 runs once per distinct
+    word; shingle hashes are a vectorized positional mix of word hashes
+    (duplicates collapsed — set semantics, matching ``word_shingles``)."""
+    words = normalize_words(text)
+    if not words:
+        return None
+    if len(words) < k:
+        return np.array([_hash64(" ".join(words))], dtype=np.uint64)
+    cache: dict[str, int] = {}
+    wh = np.fromiter(
+        (cache.get(w) or cache.setdefault(w, _hash64(w)) for w in words),
+        dtype=np.uint64, count=len(words))
+    n = len(words) - k + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            h += wh[j:j + n] * _POS_MIX[j]
+    return np.unique(h)
 
 
 def minhash_bands(signature: list[int], bands: int = 16) -> list[str]:
@@ -83,18 +111,19 @@ def minhash_bands(signature: list[int], bands: int = 16) -> list[str]:
     return keys
 
 
+_BITS64 = np.arange(64, dtype=np.uint64)
+
+
 def simhash(text: str, k: int = 3) -> int:
-    """64-bit SimHash over word shingles."""
-    weights = [0] * 64
-    for sh in word_shingles(text, k):
-        h = _hash64(sh)
-        for bit in range(64):
-            weights[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if weights[bit] > 0:
-            out |= 1 << bit
-    return out
+    """64-bit SimHash over word shingles (majority vote per bit,
+    vectorized; bit-identical to the scalar definition)."""
+    hs = _shingle_hashes(text, k)
+    if hs is None:
+        return 0
+    ones = ((hs[:, None] >> _BITS64[None, :]) & np.uint64(1)).sum(axis=0)
+    # weight_bit = ones - zeros > 0  ⇔  2*ones > n
+    mask = (2 * ones) > len(hs)
+    return int(np.sum((np.uint64(1) << _BITS64)[mask], dtype=np.uint64))
 
 
 def hamming64(a: int, b: int) -> int:

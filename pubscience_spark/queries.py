@@ -485,6 +485,38 @@ WHERE rank <= 5
 """
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (training-data tier): exact all-pairs
+    over a bounded id range — the oracle shape; the 100 TB path buckets by
+    sign-LSH first (q_lsh_topk) so only same-bucket pairs are scored."""
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"))
+    cos = sim_ops._dot(F.col("va"), F.col("vb")) \
+        / (sim_ops._norm(F.col("va")) * sim_ops._norm(F.col("vb")))
+    return (a.crossJoin(F.broadcast(b))
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cos)
+            .where(F.col("cosine") >= 0.38)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 300)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.38
+"""
+
+
 def q_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed ANN (scale path; rows-only — recall < 1 vs oracle)."""
     emb = _emb(spark, sf_dir)
@@ -758,6 +790,7 @@ QUERIES = {
     "asof_last_click": q_asof_last_click,
     "orders_per_customer": q_orders_per_customer,
     "top_parts_by_revenue": q_top_parts_by_revenue,
+    "embedding_neardup": q_embedding_neardup,
     # rows-only (not SQL-expressible): driver records weaker check
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
@@ -794,4 +827,5 @@ ORACLES = {
     "asof_last_click": SQL_ASOF_LAST_CLICK,
     "orders_per_customer": SQL_ORDERS_PER_CUSTOMER,
     "top_parts_by_revenue": SQL_TOP_PARTS_BY_REVENUE,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
 }
