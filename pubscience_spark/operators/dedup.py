@@ -45,6 +45,29 @@ def mark_duplicates(df: DataFrame, key_col: str,
         "is_duplicate", F.row_number().over(w) > 1)
 
 
+def mark_duplicates_multi(df: DataFrame, key_cols: list[str],
+                          order_col: str = "url",
+                          flag_col: str = "is_duplicate") -> DataFrame:
+    """OR-combined duplicate marking over several keys, shuffle-lean.
+
+    Naive per-key windows shuffle the FULL rows once per key — at 100 TB
+    that is two+ full-data shuffles of multi-KB text rows. Here the windows
+    run over a slim ``(order_col, keys)`` projection (tens of bytes/row),
+    and a single join on ``order_col`` carries the flag back, so the wide
+    rows shuffle exactly once. ``order_col`` must be unique (url / doc_id).
+    """
+    slim = df.select(order_col, *key_cols)
+    flag = F.lit(False)
+    for key in key_cols:
+        w = Window.partitionBy(key).orderBy(order_col)
+        slim = slim.withColumn(f"__d_{key}", F.row_number().over(w) > 1)
+        flag = flag | F.col(f"__d_{key}")
+    flags = slim.select(order_col, flag.alias(flag_col))
+    # shuffle-hash join, building on the slim flags side: SMJ would SORT the
+    # wide rows (as costly as the per-key shuffles this function removes)
+    return df.join(flags.hint("shuffle_hash"), order_col)
+
+
 @pandas_udf(ArrayType(StringType()))
 def _minhash_bands_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda t: H.minhash_bands(H.minhash_signature(t or "")))

@@ -68,7 +68,8 @@ def committed_buckets(spark: SparkSession, lineage_path: str) -> DataFrame | Non
 def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
                    *, n_buckets: int | None = None, resume: bool = True,
                    lang_keep: str | None = None,
-                   use_detector_gate: bool = False) -> dict:
+                   use_detector_gate: bool = False,
+                   dedup_strategy: str = "slim-join") -> dict:
     """Run the pipeline; returns run metrics. Idempotent under re-run."""
     extracted_path = os.path.join(out_dir, "extracted")
     lineage_path = os.path.join(out_dir, "lineage")
@@ -106,13 +107,27 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
         else:
             extracted = extracted.where(F.col("language") == F.lit(lang_keep))
 
-    # X1/X2 duplicate marking (keep-first by url — deterministic total order)
-    extracted = dedup_ops.mark_duplicates(extracted, "dedup_key", "url") \
-        .withColumnRenamed("is_duplicate", "is_prefix_duplicate")
-    extracted = dedup_ops.mark_duplicates(extracted, "sha256", "url") \
-        .withColumn("is_duplicate",
-                    F.col("is_duplicate") | F.col("is_prefix_duplicate")) \
-        .drop("is_prefix_duplicate")
+    # X1/X2 duplicate marking (keep-first by url — deterministic total
+    # order). Two strategies, identical output:
+    # - "slim-join": windows over a slim (url, keys) projection + one
+    #   shuffle-hash join back — wide rows shuffle once; requires a
+    #   disk-backed persist because the extracted DF feeds both join sides
+    #   (otherwise the expensive mapInPandas extraction runs twice);
+    # - "windows": row_number windows directly over the wide rows — one
+    #   extraction pass, but each dedup key is a full-data shuffle+sort.
+    cached = None
+    if dedup_strategy == "slim-join":
+        from pyspark.storagelevel import StorageLevel
+        cached = extracted.persist(StorageLevel.MEMORY_AND_DISK)
+        extracted = dedup_ops.mark_duplicates_multi(
+            cached, ["sha256", "dedup_key"], "url")
+    else:
+        extracted = dedup_ops.mark_duplicates(extracted, "dedup_key", "url") \
+            .withColumnRenamed("is_duplicate", "is_prefix_duplicate")
+        extracted = dedup_ops.mark_duplicates(extracted, "sha256", "url") \
+            .withColumn("is_duplicate",
+                        F.col("is_duplicate") | F.col("is_prefix_duplicate")) \
+            .drop("is_prefix_duplicate")
 
     # write data first, lineage last (commit marker). Dynamic partition
     # overwrite keeps crashed half-written buckets idempotent.
@@ -122,6 +137,8 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
     extracted.write.mode("overwrite").partitionBy("bucket") \
         .parquet(extracted_path)
     wall = time.time() - t0
+    if cached is not None:
+        cached.unpersist()
 
     # empty run (everything committed already, or empty input): dynamic
     # overwrite writes no files, so there may be nothing to read
