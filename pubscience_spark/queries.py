@@ -759,6 +759,25 @@ def q_token_chunks(spark, sf_dir):
                     .cast("long").alias("n_chunks")))
 
 
+def q_boilerplate_strip(spark, sf_dir):
+    """B1/B2: per-source boilerplate rule-set dispatch (rows-only — the
+    truncate state machine is a CPython kernel, not SQL)."""
+    from .operators.boilerplate import strip_boilerplate
+    return (strip_boilerplate(_docs(spark, sf_dir))
+            .select("doc_id", F.length("clean_text").alias("clean_len")))
+
+
+def q_hash_embed_topk(spark, sf_dir):
+    """◇-tier embedder plumbing: hashed-BoW document vectors feeding the
+    cosine top-k operator (rows-only; model-swappable mapInPandas)."""
+    from .operators.embed import embed_documents
+    emb = (embed_documents(_docs(spark, sf_dir))
+           .withColumn("vec_id", F.col("id").cast("long")))
+    queries = emb.where(F.col("vec_id") < 5)
+    return sim_ops.cosine_topk(emb, queries, k=3) \
+        .withColumn("rank", F.col("rank").cast("long"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -798,6 +817,8 @@ QUERIES = {
     "sentences": q_sentences,
     "lsh_topk": q_lsh_topk,
     "token_chunks": q_token_chunks,
+    "boilerplate_strip": q_boilerplate_strip,
+    "hash_embed_topk": q_hash_embed_topk,
 }
 
 ORACLES = {

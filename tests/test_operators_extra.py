@@ -1,0 +1,96 @@
+"""Tests for boilerplate dispatch (B2), set ops (§2.7/X4/G4), embedder."""
+
+from pyspark.sql import functions as F
+
+from pubscience_spark.operators import set_ops
+from pubscience_spark.operators.boilerplate import (DEFAULT_RULESETS,
+                                                    process_source,
+                                                    strip_boilerplate)
+from pubscience_spark.operators.embed import embed_documents, embed_text
+
+DOC = """# Title
+intro line one
+Last updated 2024
+body paragraph with words
+References
+1. something"""
+
+
+def test_process_source_ruleset_semantics():
+    out = process_source(DOC, "guideline")
+    assert "Last updated" not in out
+    assert "something" not in out          # stopper cut the references
+    assert "body paragraph" in out
+    # unknown source falls back to default rules
+    assert process_source(DOC, "nosuch") == process_source(DOC, "default")
+
+
+def test_strip_boilerplate_dispatches_per_row(spark):
+    df = spark.createDataFrame(
+        [(DOC, "guideline"), (DOC, "wiki")], ["text", "source"])
+    rows = {r["source"]: r["clean_text"]
+            for r in strip_boilerplate(df).collect()}
+    assert rows["guideline"] == process_source(DOC, "guideline")
+    assert rows["wiki"] == process_source(DOC, "wiki")
+
+
+def test_combine_and_overwrite_source(spark):
+    base = spark.createDataFrame(
+        [("a", 1, "old a1"), ("a", 2, "old a2"), ("b", 3, "old b")],
+        ["source", "id", "text"])
+    new = spark.createDataFrame([("a", 9, "new a")],
+                                ["source", "id", "text"])
+    out = set_ops.overwrite_source(base, new).collect()
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r["text"])
+    assert by_source["a"] == ["new a"]
+    assert by_source["b"] == ["old b"]
+    both = set_ops.combine_shards(base, new)
+    assert both.count() == 4
+
+
+def test_dedup_by_name_keep_longest(spark):
+    df = spark.createDataFrame([
+        ("Aortic stenosis overview", "long overview text here"),
+        ("Aortic stenosis treatment", "sub article"),
+        ("Aortic stenosis treatment", "sub article but much longer text"),
+        ("Mitral valve repair", "independent article"),
+    ], ["name", "text"])
+    out = set_ops.dedup_by_name_keep_longest(df, "name")
+    rows = {r["name"]: r["text"] for r in out.collect()}
+    # same-name merged keeping longest; sub-article of an overview dropped
+    assert "Aortic stenosis treatment" not in rows
+    assert rows["Aortic stenosis overview"] == "long overview text here"
+    assert rows["Mitral valve repair"] == "independent article"
+
+
+def test_split_docs_regex(spark):
+    df = spark.createDataFrame(
+        [("u1", "part one\n===\npart two\n===\n"), ("u2", "only one")],
+        ["url", "text"])
+    out = set_ops.split_docs_regex(df, r"\n===\n")
+    got = sorted((r["url"], r["part_no"], r["part"].strip())
+                 for r in out.collect())
+    assert got == [("u1", 0, "part one"), ("u1", 1, "part two"),
+                   ("u2", 0, "only one")]
+
+
+def test_embedder_deterministic_and_normalized(spark):
+    import math
+    v1 = embed_text("cardiac study results", 64)
+    v2 = embed_text("cardiac study results", 64)
+    assert v1 == v2 and len(v1) == 64
+    assert abs(math.sqrt(sum(x * x for x in v1)) - 1.0) < 1e-5
+
+    df = spark.createDataFrame([(1, "cardiac study results"),
+                                (2, "totally different words")],
+                               ["doc_id", "text"])
+    rows = {r["id"]: r["embedding"] for r in embed_documents(df).collect()}
+    assert [round(x, 5) for x in rows["1"]] == [round(x, 5) for x in v1]
+
+    # embeddings feed the similarity ops unchanged
+    from pubscience_spark.operators.similarity import cosine_topk
+    emb = embed_documents(df).withColumn("vec_id", F.col("id").cast("long"))
+    res = cosine_topk(emb, emb.where(F.col("vec_id") == 1), k=1)
+    assert res.collect()[0]["neighbor_id"] == 2
