@@ -129,6 +129,19 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
                         F.col("is_duplicate") | F.col("is_prefix_duplicate")) \
             .drop("is_prefix_duplicate")
 
+    # run-report counters (A4/R4) ride the write pass via observe() —
+    # zero extra jobs (scripts/clean.py:863-869 analog)
+    from pyspark.sql import Observation
+    obs = Observation("run_report")
+    extracted = extracted.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+        .alias("errors"),
+        F.sum(F.when(F.length("extracted_text") == 0, 1).otherwise(0))
+        .alias("empty"),
+        F.sum(F.when(F.col("is_duplicate"), 1).otherwise(0)).alias("dups"))
+
     # write data first, lineage last (commit marker). Dynamic partition
     # overwrite keeps crashed half-written buckets idempotent.
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -137,6 +150,7 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
     extracted.write.mode("overwrite").partitionBy("bucket") \
         .parquet(extracted_path)
     wall = time.time() - t0
+    observed = dict(obs.get)
     if cached is not None:
         cached.unpersist()
 
@@ -177,4 +191,5 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
     n_rows = new_rows if committed is None or not skipped else written.count()
     return {"rows_written": n_rows, "buckets": n_buckets,
             "buckets_skipped": skipped, "write_wall_s": wall,
+            "observed": observed,
             "extracted_path": extracted_path, "lineage_path": lineage_path}

@@ -759,6 +759,58 @@ def q_token_chunks(spark, sf_dir):
                     .cast("long").alias("n_chunks")))
 
 
+_IDENTIFY_TERMS = ["spark", "query", "window", "join", "fast"]
+
+
+def q_identify_scored(spark, sf_dir):
+    """F5 shape: truncate to 256 words → deterministic term-density score →
+    threshold (identify/identify.py:530-554; score_fn swaps for a model)."""
+    from .operators.identify import scored_identify
+    return (scored_identify(_docs(spark, sf_dir), _IDENTIFY_TERMS,
+                            threshold=0.8)
+            .select("doc_id", "score", "text_len"))
+
+
+_IDENTIFY_HITS = " + ".join(
+    f"(CASE WHEN contains(tr, '{t}') THEN 1 ELSE 0 END)"
+    for t in _IDENTIFY_TERMS)
+
+SQL_IDENTIFY_SCORED = rf"""
+WITH t AS (
+  SELECT doc_id, length(text) AS text_len,
+         array_to_string(regexp_split_to_array(trim(text), '\s+')[1:256], ' ')
+           AS tr
+  FROM documents)
+SELECT doc_id,
+       round(CAST({_IDENTIFY_HITS} AS DOUBLE) / {len(_IDENTIFY_TERMS)}, 6)
+         AS score,
+       text_len
+FROM t
+WHERE CAST({_IDENTIFY_HITS} AS DOUBLE) / {len(_IDENTIFY_TERMS)} >= 0.8
+"""
+
+
+def q_session_windows(spark, sf_dir):
+    """Native session_window gap sessions (batch≡streaming plan), aggregated
+    per user — independently validated against the lag+cumsum SQL."""
+    from .operators.sessions import session_counts
+    return session_counts(_events(spark, sf_dir), gap="30 minutes")
+
+
+# session_window opens a NEW session when the gap is >= the window size
+# (window [ts, ts+gap) merges only on strict overlap), hence >= here.
+SQL_SESSION_WINDOWS = """
+SELECT user_id, sum(is_new) AS n_sessions, count(*) AS n_events
+FROM (SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+GROUP BY user_id
+"""
+
+
 def q_boilerplate_strip(spark, sf_dir):
     """B1/B2: per-source boilerplate rule-set dispatch (rows-only — the
     truncate state machine is a CPython kernel, not SQL)."""
@@ -810,6 +862,8 @@ QUERIES = {
     "orders_per_customer": q_orders_per_customer,
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "embedding_neardup": q_embedding_neardup,
+    "identify_scored": q_identify_scored,
+    "session_windows": q_session_windows,
     # rows-only (not SQL-expressible): driver records weaker check
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
@@ -849,4 +903,6 @@ ORACLES = {
     "orders_per_customer": SQL_ORDERS_PER_CUSTOMER,
     "top_parts_by_revenue": SQL_TOP_PARTS_BY_REVENUE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "identify_scored": SQL_IDENTIFY_SCORED,
+    "session_windows": SQL_SESSION_WINDOWS,
 }
