@@ -59,9 +59,16 @@ def mark_duplicates_multi(df: DataFrame, key_cols: list[str],
     slim = df.select(order_col, *key_cols)
     flag = F.lit(False)
     for key in key_cols:
-        w = Window.partitionBy(key).orderBy(order_col)
-        slim = slim.withColumn(f"__d_{key}", F.row_number().over(w) > 1)
-        flag = flag | F.col(f"__d_{key}")
+        # keeper-per-key via min() agg, NOT a row_number window: min() has
+        # map-side partial aggregation, so a viral page duplicated millions
+        # of times combines per-mapper instead of sorting one hot partition
+        # (windows have no combiner — the 10^12-doc straggler). The join
+        # back is slim-vs-tiny; AQE skew-join splits any hot probe key.
+        # Keys must be non-null (extraction always emits sha256/dedup_key).
+        keepers = slim.groupBy(key).agg(
+            F.min(order_col).alias(f"__keep_{key}"))
+        slim = slim.join(keepers, key)
+        flag = flag | (F.col(order_col) != F.col(f"__keep_{key}"))
     flags = slim.select(order_col, flag.alias(flag_col))
     # shuffle-hash join, building on the slim flags side: SMJ would SORT the
     # wide rows (as costly as the per-key shuffles this function removes)
