@@ -34,12 +34,12 @@ def _fake_decode_enabled() -> bool:
     return os.environ.get("PUBSCIENCE_FAKE_DECODE", "1") == "1"
 
 
-def _decode_image(raw: bytes) -> tuple[int, int, list[float]]:
+def _decode_image(raw: bytes, fake: bool = True) -> tuple[int, int, list[float]]:
     """Decode + 8-dim feature extract.
 
     Deterministic fake: dimensions and features derive from a blake2b of the
     bytes — stable across executors, exercises the full Arrow round trip."""
-    if not _fake_decode_enabled():
+    if not fake:
         raise NotImplementedError(
             "real image decode requires Pillow; not available in this container")
     d = hashlib.blake2b(raw, digest_size=40).digest()
@@ -50,7 +50,8 @@ def _decode_image(raw: bytes) -> tuple[int, int, list[float]]:
     return width, height, feats
 
 
-def _image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _image_batches(batches: Iterator[pd.DataFrame],
+                   fake: bool = True) -> Iterator[pd.DataFrame]:
     cols = [f.name for f in IMAGE_FEATURES_SCHEMA.fields]
     for b in batches:
         recs = []
@@ -60,7 +61,7 @@ def _image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                    "width": None, "height": None, "feature": None,
                    "error": None}
             try:
-                w, h, f = _decode_image(raw)
+                w, h, f = _decode_image(raw, fake)
                 rec.update(width=w, height=h, feature=f)
             except Exception as exc:
                 rec["error"] = f"{type(exc).__name__}: {exc}"[:200]
@@ -68,7 +69,118 @@ def _image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(recs, columns=cols)
 
 
-def image_features(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """(url, media binary) → IMAGE_FEATURES_SCHEMA, Arrow-batched."""
+def image_features(df: DataFrame, media_col: str = "media",
+                   fake: bool | None = None) -> DataFrame:
+    """(url, media binary) → IMAGE_FEATURES_SCHEMA, Arrow-batched.
+
+    The fake-decode flag is resolved driver-side and captured in the UDF
+    closure — env mutations never have to reach live python workers."""
+    fk = _fake_decode_enabled() if fake is None else fake
     return (df.selectExpr("url", f"{media_col} as media")
-            .mapInPandas(_image_batches, schema=IMAGE_FEATURES_SCHEMA))
+            .mapInPandas(lambda it: _image_batches(it, fk),
+                         schema=IMAGE_FEATURES_SCHEMA))
+
+
+# --- audio: decode + feature-extract ---------------------------------------
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("media_type", StringType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("duration_s", FloatType()),
+    StructField("feature", ArrayType(FloatType())),
+    StructField("error", StringType()),
+])
+
+
+def _decode_audio(raw: bytes, fake: bool = True) -> tuple[int, float, list[float]]:
+    """Deterministic fake decode (swap for soundfile/librosa in prod)."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decode requires soundfile; not in this container")
+    d = hashlib.blake2b(raw, digest_size=40).digest()
+    rate = (8000, 16000, 22050, 44100)[d[0] % 4]
+    duration = 0.5 + (d[1] % 600) / 10.0
+    feats = [(int.from_bytes(d[2 + 4 * i:6 + 4 * i], "little") % 10_000)
+             / 10_000.0 for i in range(8)]
+    return rate, duration, feats
+
+
+def audio_features(df: DataFrame, media_col: str = "media",
+                   fake: bool | None = None) -> DataFrame:
+    cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+    fk = _fake_decode_enabled() if fake is None else fake
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            recs = []
+            for url, raw in zip(b["url"], b["media"]):
+                raw = bytes(raw) if raw is not None else b""
+                rec = {"url": url, "media_type": "audio",
+                       "n_bytes": len(raw), "sample_rate": None,
+                       "duration_s": None, "feature": None, "error": None}
+                try:
+                    r, dur, f = _decode_audio(raw, fk)
+                    rec.update(sample_rate=r, duration_s=dur, feature=f)
+                except Exception as exc:
+                    rec["error"] = f"{type(exc).__name__}: {exc}"[:200]
+                recs.append(rec)
+            yield pd.DataFrame(recs, columns=cols)
+
+    return (df.selectExpr("url", f"{media_col} as media")
+            .mapInPandas(_batches, schema=AUDIO_FEATURES_SCHEMA))
+
+
+# --- video: frame sampling (one row in → one row per sampled frame) --------
+
+VIDEO_FRAMES_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("frame_no", IntegerType()),
+    StructField("ts_s", FloatType()),
+    StructField("feature", ArrayType(FloatType())),
+    StructField("error", StringType()),
+])
+
+
+def _decode_video_meta(raw: bytes, fake: bool = True) -> tuple[int, float]:
+    """(n_frames, fps) — deterministic fake (swap for pyav in prod)."""
+    if not fake:
+        raise NotImplementedError(
+            "real video decode requires pyav/ffmpeg; not in this container")
+    d = hashlib.blake2b(raw, digest_size=8).digest()
+    return 24 + d[0] % 240, float((24, 25, 30)[d[1] % 3])
+
+
+def video_frames(df: DataFrame, media_col: str = "media",
+                 every_n: int = 24, fake: bool | None = None) -> DataFrame:
+    """Frame-sample every ``every_n``th frame — the doc→many (UDTF-shaped)
+    multimodal path: row counts grow inside the Arrow batch, downstream
+    repartition rebalances."""
+    fk = _fake_decode_enabled() if fake is None else fake
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_FRAMES_SCHEMA.fields]
+        for b in it:
+            recs = []
+            for url, raw in zip(b["url"], b["media"]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    n_frames, fps = _decode_video_meta(raw, fk)
+                    for fr in range(0, n_frames, every_n):
+                        d = hashlib.blake2b(raw + fr.to_bytes(4, "little"),
+                                            digest_size=32).digest()
+                        feats = [(int.from_bytes(d[4 * i:4 * i + 4],
+                                                 "little") % 10_000)
+                                 / 10_000.0 for i in range(8)]
+                        recs.append({"url": url, "frame_no": fr,
+                                     "ts_s": fr / fps, "feature": feats,
+                                     "error": None})
+                except Exception as exc:
+                    recs.append({"url": url, "frame_no": None, "ts_s": None,
+                                 "feature": None,
+                                 "error": f"{type(exc).__name__}: {exc}"[:200]})
+            yield pd.DataFrame(recs, columns=cols)
+
+    return (df.selectExpr("url", f"{media_col} as media")
+            .mapInPandas(_batches, schema=VIDEO_FRAMES_SCHEMA))

@@ -1,0 +1,127 @@
+"""Multimodal plumbing tests + hypothesis property tests for kernels."""
+
+import os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pubscience_spark.operators import multimodal as mm
+
+
+def _media_df(spark):
+    return spark.createDataFrame(
+        [("u1", bytearray(b"\x89PNG fake bytes one")),
+         ("u2", bytearray(b"\x89PNG other bytes")),
+         ("u3", None)],
+        "url string, media binary")
+
+
+def test_image_features_schema_and_determinism(spark):
+    rows = {r["url"]: r for r in mm.image_features(_media_df(spark)).collect()}
+    assert set(rows) == {"u1", "u2", "u3"}
+    r1 = rows["u1"]
+    assert r1["error"] is None and len(r1["feature"]) == 8
+    assert 64 <= r1["width"] <= 255 and 64 <= r1["height"] <= 255
+    # deterministic across runs
+    again = {r["url"]: r for r in mm.image_features(_media_df(spark)).collect()}
+    assert again["u1"]["feature"] == r1["feature"]
+
+
+def test_audio_features(spark):
+    rows = {r["url"]: r for r in mm.audio_features(_media_df(spark)).collect()}
+    r = rows["u1"]
+    assert r["error"] is None
+    assert r["sample_rate"] in (8000, 16000, 22050, 44100)
+    assert r["duration_s"] > 0 and len(r["feature"]) == 8
+
+
+def test_video_frames_one_to_many(spark):
+    out = mm.video_frames(_media_df(spark), every_n=24)
+    per_url = {r["url"]: r["n"] for r in
+               out.groupBy("url").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_url["u1"] >= 1 and per_url["u2"] >= 1
+    frames = [r for r in out.where(F.col("url") == "u1")
+              .orderBy("frame_no").collect()]
+    assert all(f["frame_no"] % 24 == 0 for f in frames if f["frame_no"] is not None)
+    assert all(f["ts_s"] is not None for f in frames)
+
+
+def test_decode_disabled_yields_error_column(spark):
+    os.environ["PUBSCIENCE_FAKE_DECODE"] = "0"
+    try:
+        rows = mm.image_features(_media_df(spark)).collect()
+        assert all(r["error"] and "NotImplementedError" in r["error"]
+                   for r in rows)
+    finally:
+        os.environ["PUBSCIENCE_FAKE_DECODE"] = "1"
+
+
+# --------------------------------------------------------------------------
+# hypothesis property tests (pure kernels — no Spark session needed)
+# --------------------------------------------------------------------------
+
+TEXT = st.text(max_size=400)
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXT)
+def test_extract_one_total_on_arbitrary_bytes(s):
+    """The extraction kernel never throws and always yields a sha256."""
+    from pubscience_spark.operators.extract import extract_one
+    rec = extract_one(s.encode("utf-8", "surrogatepass"))
+    assert isinstance(rec["extracted_text"], str)
+    assert len(rec["sha256"]) == 64
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXT)
+def test_clean_markdown_idempotent(s):
+    from pubscience_spark.kernels.textclean import clean_markdown
+    once = clean_markdown(s)
+    assert clean_markdown(once) == once
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXT)
+def test_prefix_dedup_key_properties(s):
+    from pubscience_spark.kernels.textclean import prefix_dedup_key
+    k = prefix_dedup_key(s)
+    assert len(k) <= 500 and k == k.lower()
+    assert all(c.isascii() and c.isalnum() for c in k)
+    # stable under suffix growth past the window
+    assert prefix_dedup_key(s[:500] + "EXTRA TAIL" * 80) \
+        == prefix_dedup_key(s[:500] + "different tail" * 80) \
+        or len(prefix_dedup_key(s[:500])) < 500
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXT)
+def test_sentences_cover_content(s):
+    """Sentence split loses only whitespace; chunking loses no words."""
+    from pubscience_spark.kernels.segment import chunk_text, split_sentences
+    joined_words = " ".join(" ".join(split_sentences(s)).split())
+    original_words = " ".join(s.split())
+    assert joined_words == original_words
+    chunk_words = " ".join(" ".join(chunk_text(s, 16)).split())
+    assert chunk_words == original_words
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXT, TEXT)
+def test_jaccard_symmetric_bounded(a, b):
+    from pubscience_spark.kernels.hashing import jaccard
+    j = jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == jaccard(b, a)
+    assert jaccard(a, a) == 1.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(TEXT)
+def test_minhash_signature_stable_and_bounded(s):
+    from pubscience_spark.kernels.hashing import minhash_signature
+    sig = minhash_signature(s, num_perm=32)
+    assert len(sig) == 32
+    assert sig == minhash_signature(s, num_perm=32)
+    assert all(0 <= v < (1 << 32) for v in sig)
