@@ -830,6 +830,23 @@ def q_hash_embed_topk(spark, sf_dir):
         .withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_translate_tagged(spark, sf_dir):
+    """◇ translate shape: sentence-chunk → batch 'model' → reassemble
+    (rows-only; deterministic tagger stands in for the NMT model)."""
+    from .operators.modeltier import translate_documents
+    return (translate_documents(_docs(spark, sf_dir), max_tokens=64)
+            .select("id", F.length("translated").alias("out_len")))
+
+
+def q_label_docs(spark, sf_dir):
+    """◇ label shape: arg-max term-density labels (rows-only)."""
+    from .operators.modeltier import label_documents
+    labels = {"engine": ["spark", "query", "join"],
+              "stream": ["window", "batch", "row"]}
+    return (label_documents(_docs(spark, sf_dir), labels)
+            .groupBy("label").agg(F.count(F.lit(1)).alias("n")))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -873,6 +890,8 @@ QUERIES = {
     "token_chunks": q_token_chunks,
     "boilerplate_strip": q_boilerplate_strip,
     "hash_embed_topk": q_hash_embed_topk,
+    "translate_tagged": q_translate_tagged,
+    "label_docs": q_label_docs,
 }
 
 ORACLES = {
