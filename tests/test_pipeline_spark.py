@@ -125,6 +125,14 @@ def test_dedup_strategies_equivalent(spark, pages_path, tmp_path):
     assert flags["windows"] == flags["slim-join"]
 
 
+def test_empty_input_is_a_noop(spark, tmp_path):
+    empty = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, "
+            "lang string")
+    r = run_extraction(spark, empty, str(tmp_path / "out"), n_buckets=3)
+    assert r["rows_written"] == 0
+
+
 def test_error_rows_never_fail_tasks(spark):
     rows = [("u1", None), ("u2", b"\x00\xffgarbage"),
             ("u3", b"%PDF-1.4 broken"), ("u4", b"<?xml version=\"1.0\"?><bad")]
