@@ -40,6 +40,25 @@ def test_byte_identity_vs_sequential(spark, pages_path, golden):
         assert (row["pages"] or []) == g["pages"], url
 
 
+def test_byte_identity_vs_committed_fixture(spark, pages_path):
+    """The static golden file is COMMITTED (generated once, seed 42) — any
+    kernel semantic drift across rounds fails here even though the live
+    golden fixture above would drift along with it."""
+    import json
+    fx_path = os.path.join(os.path.dirname(__file__),
+                           "fixtures_extracted_seed42_n150.json")
+    with open(fx_path) as fh:
+        fixture = json.load(fh)
+    pages = spark.read.parquet(pages_path)
+    got = {r["url"]: r for r in extract_pages(pages).collect()}
+    assert set(got) == set(fixture)
+    for url, exp in fixture.items():
+        row = got[url]
+        assert row["sha256"] == exp["sha256"], url
+        assert row["route"] == exp["route"], url
+        assert row["n_chars"] == exp["n_chars"], url
+
+
 def test_permutation_invariance(spark, pages_path, golden):
     """Output bytes independent of partitioning/order (SURVEY.md §3.1 —
     the property the reference lacks)."""
