@@ -75,6 +75,71 @@ def mark_duplicates_multi(df: DataFrame, key_cols: list[str],
     return df.join(flags.hint("shuffle_hash"), order_col)
 
 
+def mark_duplicates_incremental(df: DataFrame, key_cols: list[str],
+                                order_col: str = "url",
+                                index_df: DataFrame | None = None,
+                                flag_col: str = "is_duplicate"
+                                ) -> tuple[DataFrame, DataFrame]:
+    """Duplicate marking that honors keepers committed by EARLIER runs.
+
+    Within one run, ``mark_duplicates_multi`` is enough; across
+    checkpoint-resume runs it is not — a reprocessed bucket only sees its
+    own rows, so a duplicate whose keeper committed in another bucket would
+    go unmarked. ``index_df`` is the persistent keeper index
+    ``(key_name, key, keeper)``; committed keepers always win (they are
+    already written as non-duplicates and cannot be retracted).
+
+    Returns ``(marked_df, new_index_rows)`` — append ``new_index_rows`` to
+    the index table after the data write commits. Appends may duplicate
+    under crash-retry; ``load_keeper_index`` re-aggregates min() on read,
+    which keeps the index idempotent.
+    """
+    spark = df.sparkSession
+    slim = df.select(order_col, *key_cols)
+    flag = F.lit(False)
+    new_index = None
+    for key in key_cols:
+        run_keepers = slim.groupBy(key).agg(
+            F.min(order_col).alias("__run_keep"))
+        if index_df is not None:
+            prior = (index_df.where(F.col("key_name") == key)
+                     .select(F.col("key").alias(key),
+                             F.col("keeper").alias("__prior_keep")))
+            keepers = (run_keepers.join(prior, key, "left")
+                       .select(key,
+                               F.coalesce("__prior_keep", "__run_keep")
+                               .alias(f"__keep_{key}"),
+                               F.col("__prior_keep").isNull()
+                               .alias("__is_new")))
+        else:
+            keepers = run_keepers.select(
+                key, F.col("__run_keep").alias(f"__keep_{key}"),
+                F.lit(True).alias("__is_new"))
+        fresh = (keepers.where("__is_new")
+                 .select(F.lit(key).alias("key_name"),
+                         F.col(key).cast("string").alias("key"),
+                         F.col(f"__keep_{key}").alias("keeper")))
+        new_index = fresh if new_index is None else new_index.unionByName(fresh)
+        slim = slim.join(keepers.drop("__is_new"), key)
+        flag = flag | (F.col(order_col) != F.col(f"__keep_{key}"))
+    flags = slim.select(order_col, flag.alias(flag_col))
+    marked = df.join(flags.hint("shuffle_hash"), order_col)
+    if new_index is None:
+        new_index = spark.createDataFrame(
+            [], "key_name string, key string, keeper string")
+    return marked, new_index
+
+
+def load_keeper_index(spark, path: str) -> DataFrame | None:
+    """Read the keeper index, re-aggregated so duplicate appends (crash
+    retries) collapse to one deterministic keeper per key."""
+    try:
+        raw = spark.read.parquet(path)
+    except Exception:
+        return None
+    return raw.groupBy("key_name", "key").agg(F.min("keeper").alias("keeper"))
+
+
 @pandas_udf(ArrayType(StringType()))
 def _minhash_bands_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda t: H.minhash_bands(H.minhash_signature(t or "")))

@@ -116,11 +116,17 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
     # - "windows": row_number windows directly over the wide rows — one
     #   extraction pass, but each dedup key is a full-data shuffle+sort.
     cached = None
+    new_index = None
+    index_path = os.path.join(out_dir, "dedup_index")
     if dedup_strategy == "slim-join":
         from pyspark.storagelevel import StorageLevel
         cached = extracted.persist(StorageLevel.MEMORY_AND_DISK)
-        extracted = dedup_ops.mark_duplicates_multi(
-            cached, ["sha256", "dedup_key"], "url")
+        # cross-run correctness: keepers committed by earlier runs win, so
+        # a resumed bucket still marks duplicates of rows it cannot see
+        prior_index = dedup_ops.load_keeper_index(spark, index_path) \
+            if resume else None
+        extracted, new_index = dedup_ops.mark_duplicates_incremental(
+            cached, ["sha256", "dedup_key"], "url", prior_index)
     else:
         extracted = dedup_ops.mark_duplicates(extracted, "dedup_key", "url") \
             .withColumnRenamed("is_duplicate", "is_prefix_duplicate")
@@ -151,6 +157,8 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
         .parquet(extracted_path)
     wall = time.time() - t0
     observed = dict(obs.get)
+    if new_index is not None:
+        new_index.write.mode("append").parquet(index_path)
     if cached is not None:
         cached.unpersist()
 

@@ -110,6 +110,31 @@ def test_partial_resume_reprocesses_only_missing(spark, pages_path, tmp_path):
     assert ext.select("url").distinct().count() == r1["rows_written"]
 
 
+def test_partial_resume_preserves_global_dup_flags(spark, pages_path,
+                                                   tmp_path):
+    """A reprocessed bucket must mark duplicates whose keeper committed in
+    ANOTHER bucket (keeper index consulted across runs)."""
+    import shutil
+    pages = spark.read.parquet(pages_path)
+    ref = run_extraction(spark, pages, str(tmp_path / "full"), n_buckets=4)
+    want = {r["url"]: r["is_duplicate"] for r in
+            spark.read.parquet(ref["extracted_path"])
+            .select("url", "is_duplicate").collect()}
+
+    out = str(tmp_path / "crash")
+    r1 = run_extraction(spark, pages, out, n_buckets=4)
+    lin = spark.read.parquet(r1["lineage_path"]).collect()
+    keep = [r for r in lin if r["bucket"] != lin[0]["bucket"]]
+    shutil.rmtree(r1["lineage_path"])
+    spark.createDataFrame(keep).write.parquet(r1["lineage_path"])
+    r2 = run_extraction(spark, pages, out, n_buckets=4)
+    assert r2["buckets_skipped"] == 3
+    got = {r["url"]: r["is_duplicate"] for r in
+           spark.read.parquet(r1["extracted_path"])
+           .select("url", "is_duplicate").collect()}
+    assert got == want
+
+
 def test_duplicate_marking(spark, pages_path, tmp_path):
     pages = spark.read.parquet(pages_path)
     out = str(tmp_path / "out")
