@@ -84,6 +84,16 @@ def prefix_dedup_key_udf(s: pd.Series) -> pd.Series:
                  if t is not None else None)
 
 
+def clean_corpus(df, id_col: str = "url", text_col: str = "text"):
+    """§3.1 ``Cleaner.clean()`` lifecycle as one operator: per-document
+    line-clean (C1-C3) → length gate → sentence fold (C4) → one row per
+    assembled sentence (posexplode keeps the in-document order column the
+    reference got implicitly from file order)."""
+    return (df.select(F.col(id_col).alias("id"),
+                      F.posexplode(sentences_udf(F.col(text_col)))
+                      .alias("sentence_no", "sentence")))
+
+
 def lang_gate(col: Column, keep: str = "en",
               use_detector: bool = False) -> Column:
     """F8 predicate. With ``use_detector`` the seeded detector result is the

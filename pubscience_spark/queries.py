@@ -830,6 +830,17 @@ def q_hash_embed_topk(spark, sf_dir):
         .withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_clean_sentences(spark, sf_dir):
+    """§3.1 Cleaner lifecycle: line-clean → gate → sentence fold → explode
+    (rows-only; the fold is a per-doc CPython state machine). Runs over
+    ``events.props`` — the only table whose text carries the reference's
+    ``[:;.]`` sentence delimiters."""
+    from .operators.clean import clean_corpus
+    return (clean_corpus(_events(spark, sf_dir), "event_id", "props")
+            .groupBy("id").agg(F.count(F.lit(1)).alias("n_sentences"),
+                               F.sum(F.length("sentence")).alias("n_chars")))
+
+
 def q_translate_tagged(spark, sf_dir):
     """◇ translate shape: sentence-chunk → batch 'model' → reassemble
     (rows-only; deterministic tagger stands in for the NMT model)."""
@@ -892,6 +903,7 @@ QUERIES = {
     "hash_embed_topk": q_hash_embed_topk,
     "translate_tagged": q_translate_tagged,
     "label_docs": q_label_docs,
+    "clean_sentences": q_clean_sentences,
 }
 
 ORACLES = {
