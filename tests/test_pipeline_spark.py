@@ -185,6 +185,20 @@ def test_error_rows_never_fail_tasks(spark):
     assert len(got) == 4  # nothing threw
 
 
+def test_compaction_preserves_rows(spark, pages_path, tmp_path):
+    from pubscience_spark.plans.maintenance import compact_extracted
+    pages = spark.read.parquet(pages_path)
+    r = run_extraction(spark, pages, str(tmp_path / "out"), n_buckets=4)
+    before = spark.read.parquet(r["extracted_path"]) \
+        .select("url", "sha256", "is_duplicate").collect()
+    stats = compact_extracted(spark, r["extracted_path"])
+    assert stats["files_after"] <= stats["files_before"]
+    assert stats["files_after"] == stats["buckets"]
+    after = spark.read.parquet(r["extracted_path"]) \
+        .select("url", "sha256", "is_duplicate").collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
 def test_datagen_deterministic(pages_path):
     rows_a = generate_pages(50)
     rows_b = generate_pages(50)
