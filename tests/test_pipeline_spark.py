@@ -185,6 +185,23 @@ def test_error_rows_never_fail_tasks(spark):
     assert len(got) == 4  # nothing threw
 
 
+def test_lineage_audit_clean_and_detects_tamper(spark, pages_path, tmp_path):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import audit_lineage
+    pages = spark.read.parquet(pages_path)
+    out = str(tmp_path / "out")
+    r = run_extraction(spark, pages, out, n_buckets=3)
+    assert audit_lineage.audit(spark, out) == []
+    # tamper: drop one data file → audit must flag the bucket
+    ext = r["extracted_path"]
+    victim = next(os.path.join(root, f)
+                  for root, _d, files in os.walk(ext)
+                  for f in files if f.endswith(".parquet"))
+    os.remove(victim)
+    assert audit_lineage.audit(spark, out) != []
+
+
 def test_compaction_preserves_rows(spark, pages_path, tmp_path):
     from pubscience_spark.plans.maintenance import compact_extracted
     pages = spark.read.parquet(pages_path)
