@@ -749,6 +749,73 @@ ORDER BY rev_exact DESC, p_partkey LIMIT 10
 """
 
 
+def q_orders_semi(spark, sf_dir):
+    """Semi-join: orders having at least one high-quantity line item."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = li.where(F.col("l_quantity") > 45).select("l_orderkey")
+    return (orders.join(big, orders["o_orderkey"] == big["l_orderkey"],
+                        "left_semi")
+            .select("o_orderkey", "o_totalprice"))
+
+
+SQL_ORDERS_SEMI = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+"""
+
+
+def q_customers_no_orders(spark, sf_dir):
+    """Anti-join: customers with no large order (non-empty at every SF)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .where(F.col("o_totalprice") > 400000)
+    return (cust.join(orders, cust["c_custkey"] == orders["o_custkey"],
+                      "left_anti")
+            .select("c_custkey", "c_mktsegment"))
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+def q_click_and_purchase_users(spark, sf_dir):
+    """Set op: users who both clicked and purchased (intersect)."""
+    e = _events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select("user_id")
+    buys = e.where(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+SQL_CLICK_AND_PURCHASE = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_corpus_rollup(spark, sf_dir):
+    """Rollup aggregation: doc counts by (source, lang) with subtotals;
+    grouping-null markers coalesced identically on both engines."""
+    return (_docs(spark, sf_dir)
+            .rollup("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(F.coalesce("source", F.lit("ALL")).alias("source"),
+                    F.coalesce("lang", F.lit("ALL")).alias("lang"),
+                    "n_docs"))
+
+
+SQL_CORPUS_ROLLUP = """
+SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+       count(*) AS n_docs
+FROM documents GROUP BY ROLLUP (source, lang)
+"""
+
+
 def q_token_chunks(spark, sf_dir):
     """G2: token-budget chunk counts per doc (greedy sentence packing,
     kernel pUDF; rows-only — stateful fold is not SQL-expressible)."""
@@ -892,6 +959,10 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "identify_scored": q_identify_scored,
     "session_windows": q_session_windows,
+    "orders_semi": q_orders_semi,
+    "customers_no_orders": q_customers_no_orders,
+    "click_and_purchase_users": q_click_and_purchase_users,
+    "corpus_rollup": q_corpus_rollup,
     # rows-only (not SQL-expressible): driver records weaker check
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
@@ -936,4 +1007,8 @@ ORACLES = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "identify_scored": SQL_IDENTIFY_SCORED,
     "session_windows": SQL_SESSION_WINDOWS,
+    "orders_semi": SQL_ORDERS_SEMI,
+    "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
+    "click_and_purchase_users": SQL_CLICK_AND_PURCHASE,
+    "corpus_rollup": SQL_CORPUS_ROLLUP,
 }
