@@ -65,6 +65,8 @@ def detect_route(raw: bytes) -> str:
     head = raw[:512].lstrip()
     if raw[:5] == b"%PDF-":
         return "pdf"
+    if raw[:5] == b"{\\rtf":
+        return "rtf"
     if head[:5] == b"<?xml" or b"<PubmedArticle" in head:
         return "xml"
     if not head:
@@ -101,6 +103,10 @@ def extract_one(raw: bytes) -> dict:
                 scanned=r["scanned"], producer=r["producer"],
                 summary_en=r["summary_en"] or None,
                 summary_nl=r["summary_nl"] or None, error=r["error"])
+        elif route == "rtf":
+            from ..kernels import rtf as _rtf
+            cleaned = textclean.clean_line(_rtf.extract_rtf_bytes(raw))
+            out.update(extracted_text=cleaned)
         elif route == "xml":
             r = xml_harvest.extract_fulltext(_decode(raw))
             out.update(

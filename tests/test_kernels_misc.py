@@ -157,3 +157,30 @@ def test_chunking_budget():
     chunks = segment.chunk_sentences(["one two three four five six"],
                                      max_tokens=4)
     assert chunks == ["one two three four", "five six"]
+
+
+# --- H8: RTF strip ---------------------------------------------------------
+
+def test_rtf_to_text_basic():
+    from pubscience_spark.kernels import rtf
+    doc = (r"{\rtf1\ansi{\fonttbl{\f0 Times New Roman;}}"
+           r"{\colortbl;\red0\green0\blue0;}"
+           r"\f0\fs24 Hello \b bold\b0  world.\par"
+           r"Second\tab line with \'e9 accent and \u233?unicode.\par}")
+    text = rtf.rtf_to_text(doc)
+    assert "Hello bold world." in text
+    assert "Times New Roman" not in text          # destination skipped
+    assert "é accent" in text                 # \'e9 hex escape
+    assert "éunicode" in text                 # \u233 with uc-skip
+    # \par breaks the line; \tab collapses to a space in ws-normalization
+    assert text.splitlines()[1].startswith("Second line")
+
+
+def test_rtf_route_in_extractor():
+    from pubscience_spark.operators.extract import detect_route, extract_one
+    raw = rb"{\rtf1\ansi Plain rtf body.\par}"
+    assert detect_route(raw) == "rtf"
+    rec = extract_one(raw)
+    assert rec["route"] == "rtf"
+    assert rec["extracted_text"] == "Plain rtf body."
+    assert rec["error"] is None
