@@ -175,6 +175,11 @@ _MOJIBAKE = "CafÃ© rÃ©sumÃ© patiÃ«nt studiÃ«n Ã¶ver"
 def make_noise(rng: random.Random, kind: int, seq: int) -> tuple[bytes, str]:
     if kind == 0:   # empty body
         return b"<html><head><title>empty</title></head><body></body></html>", ""
+    if kind == 4:   # RTF document (H8 route)
+        paras = r"\par ".join(_sentence(rng, _WORDS) for _ in range(3))
+        doc = (r"{\rtf1\ansi{\fonttbl{\f0 Arial;}}\f0\fs20 " + paras
+               + r"\par}")
+        return doc.encode("latin-1", "replace"), ""
     if kind == 1:   # broken XML (regex-repair path)
         return (f"<?xml version=\"1.0\"?><PubmedArticle><PMID>{seq}</PMID>"
                 f"<ArticleTitle>Broken & unclosed".encode(), "")
@@ -216,7 +221,7 @@ def generate_pages(n_rows: int, seed: int = 42) -> list[dict]:
             html = make_pdf(rng, lang, i)
             kind = "pdf"
         else:
-            html, text = make_noise(rng, rng.randint(0, 3), i)
+            html, text = make_noise(rng, rng.randint(0, 4), i)
             kind = "noise"
         url = f"https://{domain}/{kind}/{i:08d}"
         rows.append({
