@@ -163,3 +163,13 @@ def test_windowed_event_counts_batch_semantics(spark):
     got = {(r["window_start"].minute, r["n"])
            for r in windowed_event_counts(df, window="10 minutes").collect()}
     assert got == {(0, 3), (10, 1), (20, 1)}
+
+
+def test_bind_sql_full_surface(spark):
+    from pubscience_spark.functions.sql_surface import bind_sql
+    bound = bind_sql(spark, "/root/testdata/sf0.001")
+    assert "documents" in bound["views"] and "ps_langid" in bound["functions"]
+    row = spark.sql("""
+        SELECT count(*) AS n, sum(ps_token_count(text)) AS toks
+        FROM documents WHERE ps_quality_score(text) > 0.0""").collect()[0]
+    assert row["n"] > 0 and row["toks"] > 0
