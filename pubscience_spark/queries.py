@@ -248,6 +248,24 @@ SELECT doc_id FROM documents WHERE substr(md5(doc_id::VARCHAR), 1, 2) < '1a'
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """O5: per-stratum deterministic sample (sampleBy analog, md5-bucketed
+    so both engines agree row-for-row)."""
+    from .operators.sampling import stratified_hash_sample
+    return (stratified_hash_sample(_docs(spark, sf_dir), "doc_id", "source",
+                                   {"src0": 0.5, "src1": 0.2})
+            .select("doc_id", "source"))
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b
+  FROM documents)
+WHERE (source = 'src0' AND b < 5000) OR (source = 'src1' AND b < 2000)
+"""
+
+
 def q_split_assign(spark, sf_dir):
     """O6: 90/5/5 split counts via md5 buckets (engine-portable randomSplit)."""
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
@@ -942,6 +960,7 @@ QUERIES = {
     "term_filter": q_term_filter,
     "lang_gate": q_lang_gate,
     "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
     "split_assign": q_split_assign,
     "pricing_summary": q_pricing_summary,
     "nation_revenue": q_nation_revenue,
@@ -990,6 +1009,7 @@ ORACLES = {
     "term_filter": SQL_TERM_FILTER,
     "lang_gate": SQL_LANG_GATE,
     "hash_sample": SQL_HASH_SAMPLE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "split_assign": SQL_SPLIT_ASSIGN,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "nation_revenue": SQL_NATION_REVENUE,
