@@ -896,6 +896,50 @@ GROUP BY user_id
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-source top-3 terms by TF-IDF (explode → word/source counts →
+    source-frequency join → windowed top-k). Ties broken by term; log and
+    division round at 6 dp on both engines."""
+    words = (_docs(spark, sf_dir)
+             .select("source",
+                     F.explode(F.expr(
+                         "regexp_extract_all(lower(text), '[a-z]{3,}', 0)"))
+                     .alias("term")))
+    tf = words.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_sources = _docs(spark, sf_dir).select("source").distinct().count()
+    scored = (tf.join(df_, "term")
+              .withColumn("tfidf",
+                          F.round(F.col("tf")
+                                  * F.log(F.lit(float(n_sources))
+                                          / F.col("df")), 6)))
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(),
+                                             F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("source", "term", "tfidf",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH words AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+  FROM documents),
+tf AS (SELECT source, term, count(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT source) AS ns FROM documents),
+scored AS (
+  SELECT source, term,
+         round(tf * ln(CAST(ns AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT source, term, tfidf, rank FROM (
+  SELECT source, term, tfidf,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM scored) WHERE rank <= 3
+"""
+
+
 def q_boilerplate_strip(spark, sf_dir):
     """B1/B2: per-source boilerplate rule-set dispatch (rows-only — the
     truncate state machine is a CPython kernel, not SQL)."""
@@ -982,6 +1026,7 @@ QUERIES = {
     "customers_no_orders": q_customers_no_orders,
     "click_and_purchase_users": q_click_and_purchase_users,
     "corpus_rollup": q_corpus_rollup,
+    "tfidf_top_terms": q_tfidf_top_terms,
     # rows-only (not SQL-expressible): driver records weaker check
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
@@ -1031,4 +1076,5 @@ ORACLES = {
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
     "click_and_purchase_users": SQL_CLICK_AND_PURCHASE,
     "corpus_rollup": SQL_CORPUS_ROLLUP,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
 }
