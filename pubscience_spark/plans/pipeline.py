@@ -108,7 +108,9 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
             extracted = extracted.where(F.col("language") == F.lit(lang_keep))
 
     # X1/X2 duplicate marking (keep-first by url — deterministic total
-    # order). Two strategies, identical output:
+    # order). Two strategies, identical output on a fresh run ("windows"
+    # does NOT consult the cross-run keeper index — use the default
+    # "slim-join" whenever resume matters):
     # - "slim-join": windows over a slim (url, keys) projection + one
     #   shuffle-hash join back — wide rows shuffle once; requires a
     #   disk-backed persist because the extracted DF feeds both join sides
