@@ -82,6 +82,65 @@ def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
     return _sig
 
 
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Adds ``list_id`` = argmax-dot-product centroid (broadcast as a
+    literal array — no shuffle, pure codegen arithmetic)."""
+    cent = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    dots = F.transform(cent, lambda c: _dot(c, F.col(vec_col)))
+    return df.withColumn("list_id", F.array_position(
+        dots, F.array_max(dots)).cast("int") - 1)
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, *, n_lists: int = 16,
+             n_probe: int = 4, k: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into ``n_lists`` inverted lists,
+    probe the ``n_probe`` nearest lists per query, exact cosine inside.
+
+    Centroids are deterministic (the first ``n_lists`` vectors by id — a
+    k-means fit slots in without changing the plan). The probe join hits
+    only ``n_probe/n_lists`` of the corpus — the 100 TB path where LSH
+    bucket skew is a concern and list sizes must stay balanced.
+    """
+    cents = [r["v"] for r in
+             corpus.orderBy(id_col).limit(n_lists)
+             .select(F.col(vec_col).cast("array<double>").alias("v"))
+             .collect()]
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv")), cents, "cv")
+
+    # per query: the n_probe nearest centroid ids, exploded to probe rows
+    cent = F.array(*[F.array(*[F.lit(float(x)) for x in cc]) for cc in cents])
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    dots = F.transform(cent, lambda cc: _dot(cc, F.col("qv")))
+    ranked = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(dots,
+                           F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                           lambda d, i: F.struct((-d).alias("nd"),
+                                                 i.alias("i")))),
+            lambda s: s["i"]),
+        1, n_probe)
+    q = q.withColumn("list_id", F.explode(ranked))
+
+    scored = (c.join(F.broadcast(q), "list_id")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cosine",
+                          _dot(F.col("qv"), F.col("cv"))
+                          / (_norm(F.col("qv")) * _norm(F.col("cv")))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cosine", 6).alias("cosine"), "rank"))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
              n_planes: int = 10, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:

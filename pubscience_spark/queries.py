@@ -535,6 +535,16 @@ WHERE list_dot_product(a.v, b.v)
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN with probe-all lists: must equal brute-force exactly, so the
+    whole inverted-list machinery is oracle-verified; production sets
+    n_probe < n_lists for the recall/cost trade."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return (sim_ops.ivf_topk(emb, queries, n_lists=8, n_probe=8, k=5)
+            .withColumn("rank", F.col("rank").cast("long")))
+
+
 def q_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed ANN (scale path; rows-only — recall < 1 vs oracle)."""
     emb = _emb(spark, sf_dir)
@@ -1020,6 +1030,7 @@ QUERIES = {
     "orders_per_customer": q_orders_per_customer,
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "embedding_neardup": q_embedding_neardup,
+    "ivf_topk": q_ivf_topk,
     "identify_scored": q_identify_scored,
     "session_windows": q_session_windows,
     "orders_semi": q_orders_semi,
@@ -1070,6 +1081,7 @@ ORACLES = {
     "orders_per_customer": SQL_ORDERS_PER_CUSTOMER,
     "top_parts_by_revenue": SQL_TOP_PARTS_BY_REVENUE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "ivf_topk": SQL_EMBEDDING_TOPK,  # probe-all IVF ≡ brute force
     "identify_scored": SQL_IDENTIFY_SCORED,
     "session_windows": SQL_SESSION_WINDOWS,
     "orders_semi": SQL_ORDERS_SEMI,

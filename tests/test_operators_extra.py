@@ -94,3 +94,21 @@ def test_embedder_deterministic_and_normalized(spark):
     emb = embed_documents(df).withColumn("vec_id", F.col("id").cast("long"))
     res = cosine_topk(emb, emb.where(F.col("vec_id") == 1), k=1)
     assert res.collect()[0]["neighbor_id"] == 2
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF ANN plumbing: probing more lists raises recall; full probe
+    equals brute force."""
+    from pubscience_spark.operators.similarity import cosine_topk, ivf_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=3).collect()}
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, queries, n_lists=8, n_probe=8, k=3)
+            .collect()}
+    assert full == exact                       # probe-all == brute force
+    partial = {(r["query_id"], r["neighbor_id"])
+               for r in ivf_topk(emb, queries, n_lists=8, n_probe=2, k=3)
+               .collect()}
+    assert 0 < len(partial & exact) <= len(exact)
