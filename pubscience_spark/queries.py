@@ -121,8 +121,9 @@ def q_corpus_stats(spark, sf_dir):
 SQL_CORPUS_STATS = r"""
 WITH s AS (
   SELECT source, count(*) AS n_docs,
-         sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_words,
-         sum(length(text)) AS total_chars
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS total_words,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars
   FROM documents GROUP BY source)
 SELECT source, n_docs, total_words, total_chars,
        round(CAST(total_words AS DOUBLE) / n_docs, 4) AS avg_words,
@@ -295,8 +296,13 @@ def q_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dec = "decimal(18,4)"
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
-    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
-              * (1 + F.col("l_tax"))).cast(dec)
+    # charge stays in EXACT decimal arithmetic after the one double→decimal
+    # snap per factor: decimal(18,4) disc_price × decimal(8,4) (1+tax) is an
+    # exact integer multiply in both engines, so the sum is bit-identical —
+    # an unstaged 3-factor double product diverges at sf0.1, and a second
+    # double→decimal snap of the product lands on half-ulp ties that Spark
+    # and DuckDB round differently. Mirrored exactly in the oracle SQL.
+    charge = disc_price * (1 + F.col("l_tax")).cast("decimal(8,4)")
     agg = (li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
            .groupBy("l_returnflag", "l_linestatus")
            .agg(F.sum(F.col("l_quantity").cast(dec)).alias("sq"),
@@ -311,7 +317,9 @@ def q_pricing_summary(spark, sf_dir):
         F.round(F.col("sq").cast("double"), 2).alias("sum_qty"),
         F.round(F.col("sbp").cast("double"), 2).alias("sum_base_price"),
         F.round(F.col("sdp").cast("double"), 2).alias("sum_disc_price"),
-        F.round(F.col("sc").cast("double"), 2).alias("sum_charge"),
+        # round the EXACT decimal, then cast: the 2-dp result converts to
+        # double exactly, so no cross-engine double-rounding boundary.
+        F.round(F.col("sc"), 2).cast("double").alias("sum_charge"),
         F.round(F.col("sq").cast("double") / n, 4).alias("avg_qty"),
         F.round(F.col("sbp").cast("double") / n, 4).alias("avg_price"),
         F.round(F.col("sd").cast("double") / n, 4).alias("avg_disc"),
@@ -324,7 +332,8 @@ WITH a AS (
          sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
          sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sbp,
          sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS sdp,
-         sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,4))) AS sc,
+         sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))
+             * CAST(1+l_tax AS DECIMAL(8,4))) AS sc,
          sum(CAST(l_discount AS DECIMAL(18,4))) AS sd,
          count(*) AS count_order
   FROM lineitem
@@ -334,7 +343,7 @@ SELECT l_returnflag, l_linestatus,
        round(CAST(sq AS DOUBLE), 2) AS sum_qty,
        round(CAST(sbp AS DOUBLE), 2) AS sum_base_price,
        round(CAST(sdp AS DOUBLE), 2) AS sum_disc_price,
-       round(CAST(sc AS DOUBLE), 2) AS sum_charge,
+       CAST(round(sc, 2) AS DOUBLE) AS sum_charge,
        round(CAST(sq AS DOUBLE) / count_order, 4) AS avg_qty,
        round(CAST(sbp AS DOUBLE) / count_order, 4) AS avg_price,
        round(CAST(sd AS DOUBLE) / count_order, 4) AS avg_disc,
@@ -680,7 +689,7 @@ def q_sessionize(spark, sf_dir):
 
 
 SQL_SESSIONIZE = """
-SELECT user_id, sum(is_new) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM (SELECT user_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
@@ -895,7 +904,7 @@ def q_session_windows(spark, sf_dir):
 # session_window opens a NEW session when the gap is >= the window size
 # (window [ts, ts+gap) merges only on strict overlap), hence >= here.
 SQL_SESSION_WINDOWS = """
-SELECT user_id, sum(is_new) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM (SELECT user_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
@@ -917,12 +926,16 @@ def q_tfidf_top_terms(spark, sf_dir):
                      .alias("term")))
     tf = words.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_sources = _docs(spark, sf_dir).select("source").distinct().count()
+    # n_sources stays in-plan (1-row agg broadcast-crossJoined) — no
+    # driver-side count() job per invocation.
+    ns = (_docs(spark, sf_dir)
+          .agg(F.count_distinct(F.col("source")).cast("double").alias("__ns")))
     scored = (tf.join(df_, "term")
+              .crossJoin(F.broadcast(ns))
               .withColumn("tfidf",
                           F.round(F.col("tf")
-                                  * F.log(F.lit(float(n_sources))
-                                          / F.col("df")), 6)))
+                                  * F.log(F.col("__ns") / F.col("df")), 6))
+              .drop("__ns"))
     w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(),
                                              F.col("term"))
     return (scored.withColumn("rank", F.row_number().over(w))

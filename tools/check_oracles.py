@@ -36,8 +36,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def value_hash(df: pd.DataFrame) -> str:
+    """Dtype-STRICT hash: int64 vs float64 (e.g. DuckDB HUGEINT sums) must
+    mismatch here, because the driver's serialization is dtype-sensitive —
+    round-1 proved a lenient local hash hides driver-red type artifacts."""
     df = canon(df)
-    blob = df.to_csv(index=False, float_format="%.6g").encode()
+    kinds = ",".join(df[c].dtype.kind for c in df.columns)
+    blob = (kinds + "\n"
+            + df.to_csv(index=False, float_format="%.12g")).encode()
     return hashlib.md5(blob).hexdigest()
 
 
