@@ -27,37 +27,78 @@ def overwrite_source(base: DataFrame, new: DataFrame,
     return kept.unionByName(new)
 
 
-def dedup_by_name_keep_longest(df: DataFrame, name_col: str,
-                               text_col: str = "text",
-                               drop_subarticles: bool = True) -> DataFrame:
-    """X4 (scripts/clean.py:695-738): merge same-name docs keeping the
-    longest text; optionally drop sub-articles — rows named ``"X <sub>"``
-    when a row named ``"X overview"`` exists.
+def dedup_by_name(df: DataFrame, name_col: str, text_col: str = "text",
+                  drop_subarticles: bool = True,
+                  keep: str = "first", order_col: str | None = None,
+                  rename_overviews: bool = True) -> DataFrame:
+    """X4 (scripts/clean.py:695-738): wikidoc-style name dedup + sub-article
+    removal, reference-exact semantics:
 
-    The sub-article check is an equi-join on the *overview base name*
-    (first token sequence before the suffix), never a cross join: each row
-    joins against the broadcast set of overview base names.
+    - same-name merge keeps the FIRST-seen text (the reference's dict only
+      inserts on miss). Spark has no input order, so ``keep="first"``
+      requires an explicit ``order_col`` total order; ``keep="longest"``
+      is the order-free variant.
+    - a row is a sub-article iff an overview exists whose *subject* (the
+      overview name with every ``overview`` substring removed, stripped —
+      reference uses ``re.sub``, not suffix-strip) is a PREFIX of the row's
+      name, any suffix length, and the row itself does not end with
+      ``overview``. Surviving overview rows are renamed to their subject
+      (reference mutates ``name`` in place).
+
+    Scale shape: prefix matching is an equi-join on the FIRST TOKEN of the
+    name (a subject and every name it prefixes share token 1), then a
+    cheap ``startswith`` filter — no cross join, overview side broadcast.
+    Empty subjects (a doc literally named "overview") would prefix-match
+    every article in the reference; they are guarded out here (divergence
+    noted: the as-written behavior deletes the whole corpus).
     """
-    w = Window.partitionBy(name_col).orderBy(
-        F.length(text_col).desc(), F.col(text_col))
+    if keep == "first":
+        if order_col is None:
+            raise ValueError("keep='first' needs order_col (Spark rows "
+                             "have no implicit order)")
+        w = Window.partitionBy(name_col).orderBy(order_col)
+    elif keep == "longest":
+        w = Window.partitionBy(name_col).orderBy(
+            F.length(text_col).desc(), F.col(text_col))
+    else:
+        raise ValueError(f"keep must be 'first' or 'longest', got {keep!r}")
     merged = (df.withColumn("__rn", F.row_number().over(w))
               .where(F.col("__rn") == 1).drop("__rn"))
     if not drop_subarticles:
         return merged
-    lower = F.lower(F.col(name_col))
+    name = F.col(name_col)
+    subject = F.trim(F.replace(name, F.lit("overview"), F.lit("")))
     overviews = (merged
-                 .where(lower.endswith(" overview"))
-                 .select(F.expr(f"substring(lower({name_col}), 1, "
-                                f"length({name_col}) - length(' overview'))")
-                         .alias("__base"))
-                 .distinct())
+                 .where(name.endswith("overview"))
+                 .select(subject.alias("__subj"))
+                 .where(F.length("__subj") > 0)
+                 .distinct()
+                 .withColumn("__tok1", F.split("__subj", " ").getItem(0)))
     candidates = merged.withColumn(
-        "__base",
-        F.when(lower.endswith(" overview"), F.lit(None))
-        .otherwise(F.regexp_replace(lower, r"\s+\S+$", "")))
-    return (candidates
-            .join(F.broadcast(overviews), "__base", "left_anti")
-            .drop("__base"))
+        "__tok1",
+        F.when(name.endswith("overview"), F.lit(None))
+        .otherwise(F.split(name, " ").getItem(0)))
+    drop_keys = (candidates
+                 .join(F.broadcast(overviews), "__tok1")
+                 .where(name.startswith(F.col("__subj")))
+                 .select(name).distinct())
+    survivors = (candidates.drop("__tok1")
+                 .join(F.broadcast(drop_keys), name_col, "left_anti"))
+    if rename_overviews:
+        survivors = survivors.withColumn(
+            name_col,
+            F.when(name.endswith("overview") & (F.length(subject) > 0),
+                   subject).otherwise(name))
+    return survivors
+
+
+def dedup_by_name_keep_longest(df: DataFrame, name_col: str,
+                               text_col: str = "text",
+                               drop_subarticles: bool = True) -> DataFrame:
+    """Back-compat alias: the order-free ``keep='longest'`` variant without
+    the reference's overview rename."""
+    return dedup_by_name(df, name_col, text_col, drop_subarticles,
+                         keep="longest", rename_overviews=False)
 
 
 def split_docs_regex(df: DataFrame, pattern: str, id_col: str = "url",

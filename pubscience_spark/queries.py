@@ -963,12 +963,24 @@ SELECT source, term, tfidf, rank FROM (
 """
 
 
+_BOILERPLATE_SOURCE_MAP = {
+    # battery sources → real reference processors (kernels/source_rules);
+    # the remaining srcN fall back to the generic default RuleSet
+    "src0": "who", "src1": "cco", "src2": "icrc", "src3": "spor",
+    "src4": "cdc", "src5": "drugs", "src6": "cma_pdfs", "src7": "wikidoc",
+    "src8": "magic", "src9": "mayo",
+}
+
+
 def q_boilerplate_strip(spark, sf_dir):
-    """B1/B2: per-source boilerplate rule-set dispatch (rows-only — the
-    truncate state machine is a CPython kernel, not SQL)."""
+    """B1/B2: per-source boilerplate rule-set dispatch over the REAL
+    reference rule-sets (rows-only — the truncate state machine is a
+    CPython kernel, not SQL)."""
     from .operators.boilerplate import strip_boilerplate
-    return (strip_boilerplate(_docs(spark, sf_dir))
-            .select("doc_id", F.length("clean_text").alias("clean_len")))
+    return (strip_boilerplate(_docs(spark, sf_dir),
+                              source_map=_BOILERPLATE_SOURCE_MAP)
+            .select("doc_id", F.length("clean_text").alias("clean_len"),
+                    "kept"))
 
 
 def q_hash_embed_topk(spark, sf_dir):

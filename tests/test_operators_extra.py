@@ -17,7 +17,8 @@ References
 
 
 def test_process_source_ruleset_semantics():
-    out = process_source(DOC, "guideline")
+    out, kept = process_source(DOC, "guideline")
+    assert kept
     assert "Last updated" not in out
     assert "something" not in out          # stopper cut the references
     assert "body paragraph" in out
@@ -30,8 +31,8 @@ def test_strip_boilerplate_dispatches_per_row(spark):
         [(DOC, "guideline"), (DOC, "wiki")], ["text", "source"])
     rows = {r["source"]: r["clean_text"]
             for r in strip_boilerplate(df).collect()}
-    assert rows["guideline"] == process_source(DOC, "guideline")
-    assert rows["wiki"] == process_source(DOC, "wiki")
+    assert rows["guideline"] == process_source(DOC, "guideline")[0]
+    assert rows["wiki"] == process_source(DOC, "wiki")[0]
 
 
 def test_combine_and_overwrite_source(spark):
