@@ -56,6 +56,13 @@ def _perm_params(num_perm: int, seed: int = 42):
 _PERM_CACHE: dict = {}
 
 
+# Shingles are processed in fixed-size chunks: a (num_perm × n_shingles)
+# matrix for a ~1M-distinct-shingle document would peak at ~1 GB inside a
+# pandas-UDF worker; chunked np.minimum accumulation keeps the peak at
+# num_perm × CHUNK (~64 MB) while staying fully vectorized.
+_SHINGLE_CHUNK = 65536
+
+
 def minhash_signature(text: str, num_perm: int = 128, k: int = 3,
                       seed: int = 42) -> list[int]:
     key = (num_perm, seed)
@@ -66,9 +73,13 @@ def minhash_signature(text: str, num_perm: int = 128, k: int = 3,
     base = _shingle_hashes(text, k)
     if base is None:
         return [0] * num_perm
+    mins = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
     with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
-        h = (a[:, None] * base[None, :] + b[:, None]) >> np.uint64(32)
-    return h.min(axis=1).tolist()
+        for i in range(0, len(base), _SHINGLE_CHUNK):
+            chunk = base[i:i + _SHINGLE_CHUNK]
+            h = (a[:, None] * chunk[None, :] + b[:, None]) >> np.uint64(32)
+            np.minimum(mins, h.min(axis=1), out=mins)
+    return mins.tolist()
 
 
 # odd mix constants per shingle position (blake2b-derived, seed-stable)
@@ -116,11 +127,17 @@ _BITS64 = np.arange(64, dtype=np.uint64)
 
 def simhash(text: str, k: int = 3) -> int:
     """64-bit SimHash over word shingles (majority vote per bit,
-    vectorized; bit-identical to the scalar definition)."""
+    vectorized; bit-identical to the scalar definition). Per-bit counts
+    accumulate over shingle chunks — bounded peak memory like
+    :func:`minhash_signature`."""
     hs = _shingle_hashes(text, k)
     if hs is None:
         return 0
-    ones = ((hs[:, None] >> _BITS64[None, :]) & np.uint64(1)).sum(axis=0)
+    ones = np.zeros(64, dtype=np.int64)
+    for i in range(0, len(hs), _SHINGLE_CHUNK):
+        chunk = hs[i:i + _SHINGLE_CHUNK]
+        ones += ((chunk[:, None] >> _BITS64[None, :])
+                 & np.uint64(1)).sum(axis=0).astype(np.int64)
     # weight_bit = ones - zeros > 0  ⇔  2*ones > n
     mask = (2 * ones) > len(hs)
     return int(np.sum((np.uint64(1) << _BITS64)[mask], dtype=np.uint64))

@@ -23,17 +23,23 @@ cluster. Semantics re-derived from the reference:
 
 from __future__ import annotations
 
+import base64
 import re
 import zlib
 
 # --- P1: minimal PDF text extraction ---------------------------------------
 
 _RE_STREAM = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
-_RE_TJ = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
-_RE_TJ_ARRAY = re.compile(rb"\[(.*?)\]\s*TJ", re.DOTALL)
-_RE_STR_IN_ARRAY = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+_RE_SHOW = re.compile(
+    rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")"      # literal Tj / ' / "
+    rb"|<([0-9A-Fa-f\s]*)>\s*(?:Tj|'|\")"         # hex Tj / ' / "
+    rb"|\[(.*?)\]\s*TJ", re.DOTALL)               # TJ array
+
+_RE_STR_IN_ARRAY = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
 _RE_PRODUCER = re.compile(rb"/Producer\s*\(((?:[^()\\]|\\.)*)\)")
 _RE_PAGE_COUNT = re.compile(rb"/Type\s*/Page\b(?!s)")
+_RE_FILTER = re.compile(rb"/Filter\s*(\[[^\]]*\]|/\w+)")
+_RE_FILTER_NAME = re.compile(rb"/(\w+)")
 
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
             b"(": b"(", b")": b")", b"\\": b"\\"}
@@ -66,15 +72,65 @@ def _unescape_pdf_string(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _decode_hex_string(raw: bytes) -> bytes:
+    h = re.sub(rb"\s+", b"", raw)
+    if len(h) % 2:
+        h += b"0"          # spec: odd-length hex strings pad with 0
+    try:
+        return bytes.fromhex(h.decode("ascii"))
+    except ValueError:
+        return b""
+
+
 def _stream_text(body: bytes) -> str:
-    """Text shown by Tj / TJ operators; ET or TD newlines preserved as \\n."""
+    """Text shown by Tj / ' / " / TJ operators in DOCUMENT ORDER, literal
+    or hex strings; ET or TD newlines preserved as \\n. No CMap support:
+    CID/Identity-H encoded fonts come out garbled (documented divergence —
+    the reference delegates that to pypdf/fitz, which the container
+    lacks)."""
     pieces: list[bytes] = []
-    for m in _RE_TJ.finditer(body):
-        pieces.append(_unescape_pdf_string(m.group(1)))
-    for m in _RE_TJ_ARRAY.finditer(body):
-        for s in _RE_STR_IN_ARRAY.finditer(m.group(1)):
-            pieces.append(_unescape_pdf_string(s.group(1)))
+    for m in _RE_SHOW.finditer(body):
+        lit, hexs, arr = m.group(1), m.group(2), m.group(3)
+        if lit is not None:
+            pieces.append(_unescape_pdf_string(lit))
+        elif hexs is not None:
+            pieces.append(_decode_hex_string(hexs))
+        else:
+            for s in _RE_STR_IN_ARRAY.finditer(arr):
+                if s.group(1) is not None:
+                    pieces.append(_unescape_pdf_string(s.group(1)))
+                else:
+                    pieces.append(_decode_hex_string(s.group(2)))
     return "\n".join(p.decode("latin-1") for p in pieces)
+
+
+def _decode_stream(hdr: bytes, body: bytes) -> tuple[bytes | None, str | None]:
+    """Apply the /Filter cascade (name or array, applied in order).
+    Supported: FlateDecode, ASCIIHexDecode, ASCII85Decode. Anything else
+    (LZW, DCT, JBIG2, …) returns an error instead of killing the task."""
+    m = _RE_FILTER.search(hdr)
+    if not m:
+        return body, None
+    for name in _RE_FILTER_NAME.findall(m.group(1)):
+        if name == b"FlateDecode":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                return None, "flate-decode-failed"
+        elif name == b"ASCIIHexDecode":
+            data = body.split(b">")[0]
+            body = _decode_hex_string(data)
+        elif name == b"ASCII85Decode":
+            data = re.sub(rb"\s+", b"", body)
+            if data.endswith(b"~>"):
+                data = data[:-2]
+            try:
+                body = base64.a85decode(data)
+            except ValueError:
+                return None, "ascii85-decode-failed"
+        else:
+            return None, "unsupported-filter"
+    return body, None
 
 
 def is_pdf(raw: bytes) -> bool:
@@ -100,18 +156,12 @@ def pdf_to_pages(raw: bytes) -> tuple[list[str], str | None, bool, str]:
     pages: list[str] = []
     error = None
     for hdr, body in _RE_STREAM.findall(raw):
-        if b"FlateDecode" in hdr:
-            try:
-                body = zlib.decompress(body)
-            except zlib.error:
-                error = "flate-decode-failed"
-                pages.append("")
-                continue
-        elif b"/Filter" in hdr:
-            error = "unsupported-filter"
+        decoded, err = _decode_stream(hdr, body)
+        if decoded is None:
+            error = err
             pages.append("")
             continue
-        pages.append(_stream_text(body))
+        pages.append(_stream_text(decoded))
     if not pages:
         n_pages = len(_RE_PAGE_COUNT.findall(raw))
         pages = [""] * n_pages
@@ -260,6 +310,29 @@ def text_extractor(pages: list[str]) -> tuple[list[str], list[int]]:
             if sum(t.lower().count(c) for c in _CHAPTER_PHRASES) < 2]
     kept = [t for t in kept if len(t.split()) > 25]
     return kept, [len(t.split()) for t in kept]
+
+
+# --- P8: PDF link harvest (scrapers/scrapers.py:170-194) --------------------
+
+_RE_URI = re.compile(rb"/URI\s*\(((?:[^()\\]|\\.)*)\)")
+
+
+def pdf_links(raw: bytes) -> list[str]:
+    """P8: distinct /URI values from link annotations. The reference walks
+    /Annots → /A → /URI via PyPDF2 and set()-dedups; here a regex scans the
+    raw bytes plus every decodable stream (annotations may live in object
+    streams). Sorted for a deterministic column value."""
+    found: set[str] = set()
+    for m in _RE_URI.finditer(raw):
+        found.add(_unescape_pdf_string(m.group(1)).decode("latin-1",
+                                                          "replace"))
+    for hdr, body in _RE_STREAM.findall(raw):
+        decoded, err = _decode_stream(hdr, body)
+        if decoded is not None and err is None:
+            for m in _RE_URI.finditer(decoded):
+                found.add(_unescape_pdf_string(m.group(1))
+                          .decode("latin-1", "replace"))
+    return sorted(found)
 
 
 def extract_pdf(raw: bytes) -> dict:

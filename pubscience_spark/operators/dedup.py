@@ -140,9 +140,21 @@ def load_keeper_index(spark, path: str) -> DataFrame | None:
     return raw.groupBy("key_name", "key").agg(F.min("keeper").alias("keeper"))
 
 
-@pandas_udf(ArrayType(StringType()))
-def _minhash_bands_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda t: H.minhash_bands(H.minhash_signature(t or "")))
+def minhash_bands_udf(num_perm: int = 128, bands: int = 16, k: int = 3,
+                      seed: int = 42):
+    """Factory: banding is tuned to the target threshold t ≈ (1/b)^(b/n)
+    — more bands / fewer rows per band raises recall at low thresholds
+    (candidates are exact-verified afterwards, so extra bands only cost
+    candidate volume, never precision)."""
+    @pandas_udf(ArrayType(StringType()))
+    def _bands(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: H.minhash_bands(
+            H.minhash_signature(t or "", num_perm=num_perm, k=k, seed=seed),
+            bands=bands))
+    return _bands
+
+
+_minhash_bands_udf = minhash_bands_udf()
 
 
 @pandas_udf(LongType())
@@ -155,15 +167,18 @@ def _simhash_udf(s: pd.Series) -> pd.Series:
 
 
 def minhash_candidates(df: DataFrame, id_col: str,
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       bands: int = 16, num_perm: int = 128) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via MinHash LSH band buckets.
 
     Pure DataFrame plan: bands explode → self-join on band key → distinct
     pairs. The shuffle key is the band hash — uniformly distributed, so no
     salting needed here.
     """
+    udf = (_minhash_bands_udf if (bands, num_perm) == (16, 128)
+           else minhash_bands_udf(num_perm=num_perm, bands=bands))
     banded = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-              .withColumn("band", F.explode(_minhash_bands_udf(F.col("t"))))
+              .withColumn("band", F.explode(udf(F.col("t"))))
               .select("id", "band"))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -179,13 +194,16 @@ def _jaccard_pair_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
 
 
 def minhash_neardup(df: DataFrame, id_col: str, text_col: str = "text",
-                    threshold: float = 0.8) -> DataFrame:
+                    threshold: float = 0.8, bands: int = 16,
+                    num_perm: int = 128) -> DataFrame:
     """Near-dup pairs with exact Jaccard verification of LSH candidates.
 
     Returns (id_a, id_b, jaccard). The verify join broadcasts nothing —
     both sides repartition on id; texts are fetched via two joins so only
-    candidate rows move."""
-    cands = minhash_candidates(df, id_col, text_col)
+    candidate rows move. Pick ``bands`` for the threshold: recall at
+    Jaccard=t is 1-(1-t^(num_perm/bands))^bands."""
+    cands = minhash_candidates(df, id_col, text_col, bands=bands,
+                               num_perm=num_perm)
     texts = df.select(F.col(id_col).alias("id"),
                       F.col(text_col).alias("t"))
     pairs = (cands
@@ -202,6 +220,50 @@ def minhash_neardup(df: DataFrame, id_col: str, text_col: str = "text",
 def simhash_keys(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds a ``simhash`` column (64-bit signed)."""
     return df.withColumn("simhash", _simhash_udf(F.col(text_col)))
+
+
+def simhash_neardup(df: DataFrame, id_col: str, text_col: str = "text",
+                    max_hamming: int = 3, chunks: int = 4) -> DataFrame:
+    """SimHash hamming-neighbor pairs: band the 64-bit key into ``chunks``
+    equal bit-slices, self-join on (chunk index, slice value), verify
+    ``bit_count(a XOR b) <= max_hamming`` on candidates.
+
+    RECALL IS EXACT when ``max_hamming < chunks`` (pigeonhole: two keys
+    within hamming r differ in at most r slices, so at least one of the
+    ``chunks`` slices is equal) — unlike MinHash banding, this candidate
+    step provably loses nothing. The shuffle key is a 16-bit slice value:
+    uniformly distributed for hash-like keys, so no salting needed; at
+    10^12 docs raise ``chunks`` (narrower slices → smaller buckets) and
+    ``max_hamming`` bounds still hold while candidates stay bucketed.
+    Everything after the pUDF signature is JVM codegen (shiftright/xor/
+    bit_count) — no Python in the join or verify.
+    """
+    if max_hamming >= chunks:
+        raise ValueError("exact recall needs max_hamming < chunks")
+    width = 64 // chunks
+    mask = F.lit((1 << width) - 1).cast("long")
+    keyed = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+             .withColumn("sim", _simhash_udf(F.col("t"))).drop("t"))
+    sliced = (keyed.withColumn("chunk_idx",
+                               F.explode(F.array(*[F.lit(i)
+                                                   for i in range(chunks)])))
+              .withColumn("chunk_val",
+                          F.expr(f"shiftright(sim, chunk_idx * {width})")
+                          .bitwiseAND(mask))
+              .select("id", "sim", "chunk_idx", "chunk_val"))
+    a, b = sliced.alias("a"), sliced.alias("b")
+    cands = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+                    & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"),
+                     F.col("a.sim").alias("sim_a"),
+                     F.col("b.sim").alias("sim_b"))
+             .distinct())
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cands.withColumn("hamming", ham.cast("long"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",

@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import ArrayType, StringType
 
 
 def _dot(a, b):
@@ -139,6 +139,64 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, n_lists: int = 16,
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
                     F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+def lsh_band_udf(dim: int, n_bands: int = 24, band_bits: int = 4,
+                 seed: int = 42):
+    """Banded sign-LSH signatures: ``n_bands`` independent families of
+    ``band_bits`` hyperplanes each; a pair is a candidate if ANY band key
+    matches. Recall at cosine c: 1-(1-p^band_bits)^n_bands with
+    p = 1 - arccos(c)/π — tune n_bands up for low thresholds."""
+    planes = _hyperplanes(dim, n_bands * band_bits, seed)
+
+    @pandas_udf(ArrayType(StringType()))
+    def _bands(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        bits = (mat @ planes.T) > 0                      # (n, bands*bits)
+        out = []
+        for row in bits:
+            sig = "".join("1" if b else "0" for b in row)
+            out.append([f"{i}:{sig[i * band_bits:(i + 1) * band_bits]}"
+                        for i in range(n_bands)])
+        return pd.Series(out)
+    return _bands
+
+
+def embedding_neardup_lsh(corpus: DataFrame, threshold: float, dim: int,
+                          n_bands: int = 24, band_bits: int = 4,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs, the 100 TB shape: banded sign-LSH
+    keys → band-bucket self-join (id_a < id_b) → exact cosine verify — the
+    composed named API replacing any bounded all-pairs crossJoin.
+
+    One shuffle on the band key (uniform, no salting), candidates only in
+    the verify; precision is exact (cosine recomputed), recall follows the
+    banding formula on :func:`lsh_band_udf`. Everything after the
+    signature pUDF is JVM codegen."""
+    sig = lsh_band_udf(dim, n_bands, band_bits)
+    vecs = corpus.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("v"))
+    # slim (id, band) rows through the self-join + distinct; vectors join
+    # back only for candidate pairs (wide arrays never shuffle n_bands×)
+    banded = vecs.withColumn("band", F.explode(sig(F.col("v")))) \
+        .select("id", "band")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct())
+    pairs = (cands
+             .join(vecs.select(F.col("id").alias("id_a"),
+                               F.col("v").alias("va")), "id_a")
+             .join(vecs.select(F.col("id").alias("id_b"),
+                               F.col("v").alias("vb")), "id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) \
+        / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (pairs.withColumn("cosine", cos)
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,

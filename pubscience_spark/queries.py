@@ -454,16 +454,47 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup candidate pairs, Jaccard-verified ≥ 0.5
-    (rows-only check: LSH banding is not SQL-expressible)."""
-    return dedup_ops.minhash_neardup(_docs(spark, sf_dir), "doc_id",
-                                     "text", threshold=0.5)
+    """MinHash-LSH near-dup pairs, Jaccard-verified ≥ 0.5. Oracle: exact
+    all-pairs shingle Jaccard in SQL — banding at 64 bands × 2 rows gives
+    recall 1-(1-t²)^64 (≈1-1e-8 at t=0.5), so LSH+verify must equal the
+    exact pair set at battery scale."""
+    return (dedup_ops.minhash_neardup(_docs(spark, sf_dir), "doc_id",
+                                      "text", threshold=0.5, bands=64)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jacc")))
+
+
+SQL_MINHASH_PAIRS = """
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+              ELSE list_distinct([arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                                 for i in range(1, len(arr) - 1)])
+         END AS s
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+        FROM documents)
+)
+SELECT id_a, id_b, round(j, 6) AS jacc FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.s, b.s))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+WHERE j >= 0.5
+"""
 
 
 def q_simhash(spark, sf_dir):
     """SimHash 64-bit signatures (rows-only)."""
     return dedup_ops.simhash_keys(_docs(spark, sf_dir)) \
         .select("doc_id", "simhash")
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash hamming-neighbor join: 4×16-bit banded self-join, verify
+    hamming ≤ 3 (rows-only — the simhash kernel is not SQL; recall of the
+    banding is EXACT by pigeonhole, equality vs brute force is pytest-
+    enforced in test_operators_spark)."""
+    return dedup_ops.simhash_neardup(_docs(spark, sf_dir), "doc_id",
+                                     max_hamming=3)
 
 
 def q_langid(spark, sf_dir):
@@ -513,21 +544,14 @@ WHERE rank <= 5
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (training-data tier): exact all-pairs
-    over a bounded id range — the oracle shape; the 100 TB path buckets by
-    sign-LSH first (q_lsh_topk) so only same-bucket pairs are scored."""
+    """Embedding-cosine near-dup pairs via the composed scale-path operator
+    (banded sign-LSH bucket join → exact cosine verify) — NOT an all-pairs
+    crossJoin. The oracle is exact all-pairs SQL: at 48 bands × 3 bits the
+    per-pair miss probability at cosine 0.38 is ~2e-6, so LSH+verify must
+    equal the exact pair set at battery scale."""
     emb = _emb(spark, sf_dir).where(F.col("vec_id") < 300)
-    a = emb.select(F.col("vec_id").alias("id_a"),
-                   F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"),
-                   F.col("embedding").alias("vb"))
-    cos = sim_ops._dot(F.col("va"), F.col("vb")) \
-        / (sim_ops._norm(F.col("va")) * sim_ops._norm(F.col("vb")))
-    return (a.crossJoin(F.broadcast(b))
-            .where(F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", cos)
-            .where(F.col("cosine") >= 0.38)
-            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+    return sim_ops.embedding_neardup_lsh(emb, threshold=0.38, dim=64,
+                                         n_bands=48, band_bits=3)
 
 
 SQL_EMBEDDING_NEARDUP = """
@@ -1063,9 +1087,10 @@ QUERIES = {
     "click_and_purchase_users": q_click_and_purchase_users,
     "corpus_rollup": q_corpus_rollup,
     "tfidf_top_terms": q_tfidf_top_terms,
-    # rows-only (not SQL-expressible): driver records weaker check
     "minhash_pairs": q_minhash_pairs,
+    # rows-only (not SQL-expressible): driver records weaker check
     "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
     "langid": q_langid,
     "sentences": q_sentences,
     "lsh_topk": q_lsh_topk,
@@ -1114,4 +1139,5 @@ ORACLES = {
     "click_and_purchase_users": SQL_CLICK_AND_PURCHASE,
     "corpus_rollup": SQL_CORPUS_ROLLUP,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "minhash_pairs": SQL_MINHASH_PAIRS,
 }

@@ -179,3 +179,60 @@ def test_pdf_body_filter():
              f"chapter one {filler} chapter two"]  # ≥2 'chapter ' → dropped
     kept, counts = pdfmini.text_extractor(pages)
     assert len(kept) == 1 and counts == [60]
+
+
+def _stream_obj(content: bytes, filters: str = "") -> bytes:
+    hdr = f"<< /Length {len(content)} {filters} >>".encode()
+    return b"obj\n/Type /Page\n" + hdr + b"\nstream\n" + content + \
+        b"\nendstream\nendobj"
+
+
+def test_pdf_hex_strings_and_quote_operators():
+    # non-fixture shapes: hex-string Tj, ' operator, hex inside TJ arrays
+    content = (b"BT <48656C6C6F20686578> Tj (lit one) ' "
+               b"[(arr a) <2062> (c)] TJ ET")
+    pdf = b"%PDF-1.4\n" + _stream_obj(content) + b"\n%%EOF\n"
+    pages, error, scanned, _ = pdfmini.pdf_to_pages(pdf)
+    assert error is None
+    assert pages == ["Hello hex\nlit one\narr a\n b\nc"]
+
+
+def test_pdf_filter_cascade_ascii85_flate():
+    import base64
+    import zlib
+    text = b"BT (cascade payload works) Tj ET"
+    enc = base64.a85encode(zlib.compress(text)) + b"~>"
+    pdf = (b"%PDF-1.4\n"
+           + _stream_obj(enc, "/Filter [/ASCII85Decode /FlateDecode]")
+           + b"\n%%EOF\n")
+    pages, error, _, _ = pdfmini.pdf_to_pages(pdf)
+    assert error is None and pages == ["cascade payload works"]
+
+
+def test_pdf_asciihex_filter_and_unsupported():
+    text = b"BT (hexed body) Tj ET"
+    enc = text.hex().encode() + b">"
+    pdf = (b"%PDF-1.4\n" + _stream_obj(enc, "/Filter /ASCIIHexDecode")
+           + b"\n%%EOF\n")
+    pages, error, _, _ = pdfmini.pdf_to_pages(pdf)
+    assert error is None and pages == ["hexed body"]
+    bad = (b"%PDF-1.4\n" + _stream_obj(b"xx", "/Filter /LZWDecode")
+           + b"\n%%EOF\n")
+    pages, error, _, _ = pdfmini.pdf_to_pages(bad)
+    assert error == "unsupported-filter" and pages == [""]
+
+
+def test_pdf_link_harvest():
+    # P8 (scrapers/scrapers.py:170-194): /URI annotations, raw + in-stream
+    import zlib
+    annot = (b"obj\n<< /Type /Annot /A << /S /URI "
+             b"/URI (https://example.org/a) >> >>\nendobj\n")
+    in_stream = zlib.compress(
+        b"<< /A << /URI (https://example.org/b) >> >>")
+    pdf = (b"%PDF-1.4\n" + annot
+           + _stream_obj(in_stream, "/Filter /FlateDecode")
+           + b"\nobj\n<< /A << /URI (https://example.org/a) >> >>\nendobj\n"
+           + b"%%EOF\n")
+    assert pdfmini.pdf_links(pdf) == ["https://example.org/a",
+                                      "https://example.org/b"]
+    assert pdfmini.pdf_links(b"%PDF-1.4\nno links\n%%EOF\n") == []

@@ -1,0 +1,88 @@
+"""Composed scale-path near-dup operators: banded joins must equal the
+brute-force pair sets (simhash banding provably — pigeonhole; LSH banding
+statistically, pinned on a fixed corpus + seed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pubscience_spark.kernels import hashing as H
+from pubscience_spark.operators import dedup, similarity
+
+
+def _corpus(spark, n=80):
+    # clusters of near-identical docs + unrelated tails
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "beyond the wide green river every single morning").split()
+    rows = []
+    for i in range(n):
+        words = list(base)
+        words[i % len(words)] = f"tok{i % 7}"
+        if i % 3 == 0:
+            words.append(f"extra{i}")
+        rows.append((i, " ".join(words)))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_simhash_neardup_equals_bruteforce(spark):
+    df = _corpus(spark)
+    got = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in
+                 dedup.simhash_neardup(df, "doc_id", max_hamming=3)
+                 .collect())
+    sims = {r["doc_id"]: H.simhash(r["text"]) for r in df.collect()}
+    ids = sorted(sims)
+    expected = sorted(
+        (a, b, H.hamming64(sims[a], sims[b]))
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if H.hamming64(sims[a], sims[b]) <= 3)
+    assert got == expected and len(expected) > 0
+
+
+def test_simhash_neardup_rejects_bad_band_config(spark):
+    df = _corpus(spark, 4)
+    with pytest.raises(ValueError):
+        dedup.simhash_neardup(df, "doc_id", max_hamming=4, chunks=4)
+
+
+def test_embedding_neardup_lsh_equals_exact(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(12, 16))
+    rows = []
+    vid = 0
+    for c in range(12):
+        for j in range(4):
+            v = base[c] + rng.normal(scale=0.35, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = sorted((r["id_a"], r["id_b"], r["cosine"]) for r in
+                 similarity.embedding_neardup_lsh(
+                     df, threshold=0.6, dim=16, n_bands=48, band_bits=3)
+                 .collect())
+    vecs = {i: np.array(v) for i, v in rows}
+    exact = []
+    for a in vecs:
+        for b in vecs:
+            if a < b:
+                c = float(vecs[a] @ vecs[b]
+                          / (np.linalg.norm(vecs[a])
+                             * np.linalg.norm(vecs[b])))
+                if round(c, 6) >= 0.6 and c >= 0.6:
+                    exact.append((a, b, round(c, 6)))
+    assert sorted(exact) == got and len(exact) > 10
+
+
+def test_minhash_neardup_band_tuning_recall(spark):
+    df = _corpus(spark)
+    # exact pair set via the kernel's own jaccard (same shingle semantics
+    # as the SQL oracle — oracle equality is checked by the driver)
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+    ids = sorted(texts)
+    exact = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if H.jaccard(texts[a], texts[b]) >= 0.5}
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.minhash_neardup(df, "doc_id", threshold=0.5, bands=64)
+           .collect()}
+    assert got == exact and len(exact) > 20
