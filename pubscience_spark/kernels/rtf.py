@@ -88,8 +88,10 @@ def rtf_to_text(rtf: str) -> str:
                     out.append(_SPECIAL[w])
             # other control words contribute no text
     tail = rtf[pos:].replace("\r", "").replace("\n", "")
-    # trailing unmatched text outside the final brace is not content
-    text = "".join(out) + ("" if tail in ("", "}") else "")
+    # a well-formed document ends in '}' (no content after it); truncated/
+    # malformed RTF can leave real text past the last parsed position —
+    # keep it rather than silently dropping the tail
+    text = "".join(out) + ("" if tail in ("", "}") else tail)
     lines = [re.sub(r"[ \t]+", " ", ln).strip() for ln in text.split("\n")]
     return "\n".join(ln for ln in lines if ln)
 

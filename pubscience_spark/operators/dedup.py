@@ -45,6 +45,19 @@ def mark_duplicates(df: DataFrame, key_col: str,
         "is_duplicate", F.row_number().over(w) > 1)
 
 
+def _ensure_persisted(df: DataFrame) -> DataFrame:
+    """The slim/wide dual-use pattern feeds ``df`` into BOTH join sides; an
+    unpersisted input re-executes its whole upstream (e.g. the mapInPandas
+    extraction) once per consumer. Persist inside the operator so callers
+    cannot hit double extraction; an already-persisted input is left
+    untouched (the caller unpersists after its action either way)."""
+    lvl = df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        from pyspark.storagelevel import StorageLevel
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
 def mark_duplicates_multi(df: DataFrame, key_cols: list[str],
                           order_col: str = "url",
                           flag_col: str = "is_duplicate") -> DataFrame:
@@ -56,6 +69,7 @@ def mark_duplicates_multi(df: DataFrame, key_cols: list[str],
     and a single join on ``order_col`` carries the flag back, so the wide
     rows shuffle exactly once. ``order_col`` must be unique (url / doc_id).
     """
+    df = _ensure_persisted(df)
     slim = df.select(order_col, *key_cols)
     flag = F.lit(False)
     for key in key_cols:
@@ -95,6 +109,7 @@ def mark_duplicates_incremental(df: DataFrame, key_cols: list[str],
     which keeps the index idempotent.
     """
     spark = df.sparkSession
+    df = _ensure_persisted(df)
     slim = df.select(order_col, *key_cols)
     flag = F.lit(False)
     new_index = None

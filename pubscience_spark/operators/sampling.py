@@ -51,8 +51,12 @@ def train_val_test_split(df: DataFrame, key: str,
         F.when(b < t1, "train").when(b < t2, "val").otherwise("test"))
 
 
-def reservoir_sample(df: DataFrame, k: int, seed: int = 42,
-                     order_col: str | None = None) -> DataFrame:
-    """O4 exact-k variant: rand(seed) top-k — a single total-order sort
-    bounded by limit pushdown (TakeOrderedAndProject), not a full sort."""
-    return df.orderBy(F.rand(seed)).limit(k)
+def reservoir_sample(df: DataFrame, k: int, key: str,
+                     seed: int = 42) -> DataFrame:
+    """O4 exact-k variant: deterministic top-k by md5(seed ∥ key) —
+    ``rand(seed)`` is partition-dependent (repartitioning reshuffles the
+    draw), which would contradict this module's determinism doctrine, so
+    the rank comes from the row KEY instead. Still a single
+    TakeOrderedAndProject (per-partition top-k, never a full sort)."""
+    rank = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string")))
+    return df.orderBy(rank, F.col(key)).limit(k)

@@ -101,6 +101,20 @@ def dedup_by_name_keep_longest(df: DataFrame, name_col: str,
                          keep="longest", rename_overviews=False)
 
 
+def mint_ids(df: DataFrame, source_col: str = "source",
+             order_col: str = "url", id_col: str = "id") -> DataFrame:
+    """X6 (scripts/clean.py:965-983): per-source sequential id minting,
+    ``id = sha1(source ∥ str(i))`` with ``i`` the 0-based position within
+    the source. The reference's ``i`` is file order; Spark rows have no
+    order, so ``order_col`` supplies the total order (url / doc_id) —
+    deterministic under any partitioning. One shuffle on ``source_col``;
+    the sha1 is native (JVM codegen)."""
+    w = Window.partitionBy(source_col).orderBy(order_col)
+    i = (F.row_number().over(w) - 1).cast("string")
+    return df.withColumn(
+        id_col, F.sha1(F.concat(F.col(source_col).cast("string"), i)))
+
+
 def split_docs_regex(df: DataFrame, pattern: str, id_col: str = "url",
                      text_col: str = "text") -> DataFrame:
     """G4 (identify/identify.py:262-306): split documents on a boundary

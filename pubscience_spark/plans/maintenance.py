@@ -28,6 +28,20 @@ def compact_extracted(spark: SparkSession, extracted_path: str,
     """Rewrite the bucket-partitioned extracted table with one writer task
     per bucket. Safe to re-run; lineage/dedup-index are untouched (row
     content is preserved byte-for-byte, only file layout changes)."""
+    import shutil
+    compact_tmp = extracted_path + "._compact"
+    old_tmp = extracted_path + "._old"
+    # crash recovery: a COMPLETE ._compact (our _COMPACTED marker, written
+    # after the Spark job finishes — dynamic overwrite emits no _SUCCESS)
+    # with no live table means a prior run died between the two swap
+    # renames — finish its swap; any other leftover sibling is garbage
+    if (not os.path.isdir(extracted_path) and
+            os.path.exists(os.path.join(compact_tmp, "_COMPACTED"))):
+        os.rename(compact_tmp, extracted_path)
+    for leftover in (old_tmp, compact_tmp):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
+
     before = count_files(extracted_path)
     df = spark.read.parquet(extracted_path)
     n_buckets = df.select("bucket").distinct().count()
@@ -36,11 +50,18 @@ def compact_extracted(spark: SparkSession, extracted_path: str,
     if max_rows_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_rows_per_file))
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    writer.parquet(extracted_path + "._compact")
-    # atomic-ish swap: write to a sibling, then replace
-    import shutil
-    shutil.rmtree(extracted_path)
-    os.rename(extracted_path + "._compact", extracted_path)
+    writer.parquet(compact_tmp)
+    open(os.path.join(compact_tmp, "_COMPACTED"), "w").close()
+    # swap order is crash-safe: move the live table ASIDE first, promote
+    # the compacted copy, delete the old copy last — at every instant a
+    # complete table exists on disk (either live or as ._compact+_SUCCESS,
+    # which the recovery above promotes). Renames are same-directory, so
+    # no cross-filesystem hazard. Readers planned against old file paths
+    # during the swap window fail their scan and must re-plan — run
+    # compaction when the table is quiescent.
+    os.rename(extracted_path, old_tmp)
+    os.rename(compact_tmp, extracted_path)
+    shutil.rmtree(old_tmp)
     after = count_files(extracted_path)
     return {"files_before": before, "files_after": after,
             "buckets": n_buckets}

@@ -488,6 +488,14 @@ def q_simhash(spark, sf_dir):
         .select("doc_id", "simhash")
 
 
+def q_mint_ids(spark, sf_dir):
+    """X6: per-source sequential sha1 id minting (scripts/clean.py:965-983)
+    (rows-only — DuckDB ships no sha1; hashlib parity is pytest-enforced)."""
+    from .operators.set_ops import mint_ids
+    return (mint_ids(_docs(spark, sf_dir), "source", "doc_id")
+            .select("doc_id", "id"))
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash hamming-neighbor join: 4×16-bit banded self-join, verify
     hamming ≤ 3 (rows-only — the simhash kernel is not SQL; recall of the
@@ -1091,6 +1099,7 @@ QUERIES = {
     # rows-only (not SQL-expressible): driver records weaker check
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
+    "mint_ids": q_mint_ids,
     "langid": q_langid,
     "sentences": q_sentences,
     "lsh_topk": q_lsh_topk,

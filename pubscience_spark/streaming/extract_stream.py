@@ -34,6 +34,43 @@ PAGES_SCHEMA = StructType([
 ])
 
 
+def process_batch(batch_df: DataFrame, batch_id: int, extracted_path: str,
+                  lineage_path: str, *, n_buckets: int = 32) -> None:
+    """One micro-batch, idempotent under foreachBatch's at-least-once
+    re-execution: both writes are DYNAMIC PARTITION OVERWRITES scoped by
+    ``batch_id`` — a retry replaces exactly its own (batch_id, …)
+    partitions, so data rows, lineage counts, and checksums are stable
+    under re-execution (module-level so idempotence is testable without a
+    streaming harness)."""
+    from ..operators.extract import extract_pages
+    from ..plans.pipeline import bucket_col
+
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pages = (batch_df
+             .withColumn("bucket", bucket_col(n_buckets))
+             .repartition(n_buckets, "bucket"))
+    extracted = extract_pages(pages.select("url", "html", "bucket")) \
+        .withColumn("bucket", bucket_col(n_buckets)) \
+        .withColumn("batch_id", F.lit(batch_id))
+    extracted.persist()
+    try:
+        extracted.write.mode("overwrite") \
+            .partitionBy("batch_id", "bucket").parquet(extracted_path)
+        lineage = (extracted.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+            .alias("error_count"),
+            F.sum(F.crc32(F.concat_ws("|", "url", "sha256")))
+            .alias("checksum"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .withColumn("committed_at", F.current_timestamp()))
+        lineage.write.mode("overwrite").partitionBy("batch_id") \
+            .parquet(lineage_path)
+    finally:
+        extracted.unpersist()
+
+
 def stream_extraction(spark: SparkSession, input_dir: str, out_dir: str,
                       *, n_buckets: int = 32,
                       available_now: bool = True):
@@ -44,9 +81,6 @@ def stream_extraction(spark: SparkSession, input_dir: str, out_dir: str,
     batch concern) and appends to the bucket-partitioned extracted table +
     lineage log. Returns the started StreamingQuery.
     """
-    from ..operators.extract import extract_pages
-    from ..plans.pipeline import bucket_col
-
     extracted_path = os.path.join(out_dir, "extracted")
     lineage_path = os.path.join(out_dir, "lineage")
     checkpoint = os.path.join(out_dir, "_checkpoint")
@@ -56,27 +90,8 @@ def stream_extraction(spark: SparkSession, input_dir: str, out_dir: str,
               .parquet(input_dir))
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        pages = (batch_df
-                 .withColumn("bucket", bucket_col(n_buckets))
-                 .repartition(n_buckets, "bucket"))
-        extracted = extract_pages(pages.select("url", "html", "bucket")) \
-            .withColumn("bucket", bucket_col(n_buckets)) \
-            .withColumn("batch_id", F.lit(batch_id))
-        extracted.persist()
-        try:
-            extracted.write.mode("append").partitionBy("bucket") \
-                .parquet(extracted_path)
-            lineage = (extracted.groupBy("bucket").agg(
-                F.count(F.lit(1)).alias("row_count"),
-                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
-                .alias("error_count"),
-                F.sum(F.crc32(F.concat_ws("|", "url", "sha256")))
-                .alias("checksum"))
-                .withColumn("batch_id", F.lit(batch_id))
-                .withColumn("committed_at", F.current_timestamp()))
-            lineage.write.mode("append").parquet(lineage_path)
-        finally:
-            extracted.unpersist()
+        process_batch(batch_df, batch_id, extracted_path, lineage_path,
+                      n_buckets=n_buckets)
 
     writer = (stream.writeStream
               .foreachBatch(_process)
