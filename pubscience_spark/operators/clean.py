@@ -84,6 +84,54 @@ def prefix_dedup_key_udf(s: pd.Series) -> pd.Series:
                  if t is not None else None)
 
 
+def detect_lang_expr(text_col: str = "text", sample_size: int = 10000,
+                     margin: float = 0.08) -> Column:
+    """F8 detector as a NATIVE Catalyst expression — the same arithmetic as
+    ``kernels.langid.detect_lang`` (pytest-enforced equal), but JVM-side
+    (codegen, no Python workers) and mirrorable term-for-term in the DuckDB
+    oracle SQL: word split, stopword hits, non-overlapping trigram counts
+    via replace-length, identical float op order. Ties go to the FIRST
+    alphabetical language, but any tie (< 1e-9 gap) is 'unknown' anyway —
+    matching the kernel's sort + margin rule exactly."""
+    words = F.expr(f"regexp_extract_all(lower(substring({text_col}, 1, "
+                   f"{sample_size})), '[a-zà-ÿ]+', 0)")
+    n_words = F.size(words)
+    padded = F.concat(F.lit(" "), F.array_join(words, " "), F.lit(" "))
+    n_chars = F.greatest(F.length(padded) - 2, F.lit(1))
+    scores = {}
+    for lang, (stop, grams) in sorted(_langid._PROFILES.items()):
+        stop_hits = F.size(F.filter(words, lambda w: w.isin(*sorted(stop))))
+        gram_hits = None
+        for g in grams:
+            cnt = (F.length(padded)
+                   - F.length(F.replace(padded, F.lit(g), F.lit("")))) \
+                / F.lit(len(g))
+            gram_hits = cnt if gram_hits is None else gram_hits + cnt
+        score = (stop_hits / n_words
+                 + F.lit(0.5) * (gram_hits / n_chars) * F.lit(10.0))
+        scores[lang] = F.when(n_words > 0, score).otherwise(F.lit(0.0))
+    langs = sorted(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+
+    def _case(value_for_lang):
+        """CASE over 'which language is best', alphabetical first on ties."""
+        expr = None
+        for lang in reversed(langs):
+            cond = F.lit(True)
+            for other in langs:
+                if other != lang:
+                    cond = cond & (scores[lang] >= scores[other])
+            expr = (F.when(cond, value_for_lang(lang)) if expr is None
+                    else F.when(cond, value_for_lang(lang)).otherwise(expr))
+        return expr
+
+    best_lang = _case(lambda lang: F.lit(lang))
+    runner = _case(lambda lang: F.greatest(
+        *[scores[o] for o in langs if o != lang]))
+    return F.when((best < F.lit(margin)) | ((best - runner) < F.lit(1e-9)),
+                  F.lit("unknown")).otherwise(best_lang)
+
+
 def clean_corpus(df, id_col: str = "url", text_col: str = "text"):
     """§3.1 ``Cleaner.clean()`` lifecycle as one operator: per-document
     line-clean (C1-C3) → length gate → sentence fold (C4) → one row per

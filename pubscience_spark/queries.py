@@ -506,10 +506,64 @@ def q_simhash_neardup(spark, sf_dir):
 
 
 def q_langid(spark, sf_dir):
-    """F8 detector mode: deterministic n-gram langid counts (rows-only)."""
+    """F8 detector mode: deterministic stopword/n-gram langid counts. The
+    detector is a NATIVE Catalyst expression (operators/clean.py
+    detect_lang_expr — no Python workers), mirrored term-for-term in the
+    generated DuckDB oracle; kernel-vs-native equality is pytest-enforced."""
+    from .operators.clean import detect_lang_expr
     return (_docs(spark, sf_dir)
-            .withColumn("detected", detect_lang_udf(F.col("text")))
+            .withColumn("detected", detect_lang_expr("text"))
             .groupBy("detected").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _langid_oracle_sql() -> str:
+    """Generate the oracle from the SAME profile data and op order as the
+    Spark expression — one source of truth for both engines."""
+    from .kernels.langid import _PROFILES
+    score_cols, langs = [], sorted(_PROFILES)
+    for lang in langs:
+        stop, grams = _PROFILES[lang]
+        stoplist = ", ".join(f"'{w}'" for w in sorted(stop))
+        gram_terms = " + ".join(
+            f"(length(padded) - length(replace(padded, '{g}', ''))) / {len(g)}"
+            for g in grams)
+        score_cols.append(
+            f"CASE WHEN len(words) > 0 THEN "
+            f"CAST(len(list_filter(words, w -> w IN ({stoplist}))) AS DOUBLE)"
+            f" / len(words) + 0.5 * (CAST({gram_terms} AS DOUBLE)"
+            f" / n_chars) * 10.0 ELSE 0.0 END AS s_{lang}")
+    best_cases, runner_cases = [], []
+    for lang in langs:
+        others = [o for o in langs if o != lang]
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in others)
+        best_cases.append(f"WHEN {cond} THEN '{lang}'")
+        runner_cases.append(
+            f"WHEN {cond} THEN greatest("
+            + ", ".join(f"s_{o}" for o in others) + ")")
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(substr(text, 1, 10000)), '[a-zà-ÿ]+')
+           AS words
+  FROM documents),
+p AS (
+  SELECT doc_id, words,
+         ' ' || array_to_string(words, ' ') || ' ' AS padded,
+         greatest(length(' ' || array_to_string(words, ' ') || ' ') - 2, 1)
+           AS n_chars
+  FROM w),
+s AS (SELECT doc_id, {", ".join(score_cols)} FROM p),
+d AS (
+  SELECT doc_id,
+         CASE WHEN {best} < 0.08
+                OR ({best} - (CASE {" ".join(runner_cases)} END)) < 1e-9
+              THEN 'unknown'
+              ELSE CASE {" ".join(best_cases)} END
+         END AS detected
+  FROM s)
+SELECT detected, count(*) AS n FROM d GROUP BY detected
+"""
 
 
 def q_sentences(spark, sf_dir):
@@ -1149,4 +1203,5 @@ ORACLES = {
     "corpus_rollup": SQL_CORPUS_ROLLUP,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
+    "langid": _langid_oracle_sql(),
 }

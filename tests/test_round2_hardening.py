@@ -106,3 +106,45 @@ def test_rtf_truncated_tail_recovered():
     # missing final brace: trailing text must not be dropped
     assert rtf_to_text(r"{\rtf1 body text") == "body text"
     assert rtf_to_text(r"{\rtf1 good}") == "good"
+
+
+def test_detect_lang_expr_matches_kernel(spark):
+    from pubscience_spark.kernels.langid import detect_lang
+    from pubscience_spark.operators.clean import detect_lang_expr
+    texts = [
+        "the quick brown fox is one of the many animals that can be seen",
+        "de snelle bruine vos is een van de dieren die je hier kunt zien",
+        "der schnelle braune Fuchs ist eines der Tiere die man sehen kann",
+        "zzz qqq xxx", "", "   ", "1234 5678", "a b c d e",
+        "the de der and en und of van von is is ist",  # mixed → ambiguous
+    ]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("text").limit(50)
+    texts += [r["text"] for r in docs.collect()]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["i", "text"])
+    got = {r["i"]: r["d"] for r in
+           df.select("i", detect_lang_expr("text").alias("d")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == detect_lang(t), (i, t[:40], got[i], detect_lang(t))
+
+
+def test_rows_only_queries_golden_counts(spark):
+    """Golden aggregate counts for the rows-only (non-SQL) battery tier at
+    sf0.001 — catches silent semantic drift where the driver's rows-only
+    check would not (VERDICT r1 item 7)."""
+    from pubscience_spark.queries import QUERIES
+    sf = "/root/testdata/sf0.001"
+    s = QUERIES["sentences"](spark, sf).agg(
+        F.count("*"), F.sum("n_sentences")).collect()[0]
+    assert list(s) == [500, 500]
+    t = QUERIES["token_chunks"](spark, sf).agg(
+        F.count("*"), F.sum("n_chunks")).collect()[0]
+    assert list(t) == [500, 705]
+    c = QUERIES["clean_sentences"](spark, sf).agg(
+        F.count("*"), F.sum("n_sentences"), F.sum("n_chars")).collect()[0]
+    assert list(c) == [1000, 1000, 8902]
+    b = QUERIES["boilerplate_strip"](spark, sf).agg(
+        F.count("*"), F.sum("clean_len"),
+        F.sum(F.col("kept").cast("long"))).collect()[0]
+    assert list(b) == [500, 146550, 475]
