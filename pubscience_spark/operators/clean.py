@@ -84,22 +84,35 @@ def prefix_dedup_key_udf(s: pd.Series) -> pd.Series:
                  if t is not None else None)
 
 
-def detect_lang_expr(text_col: str = "text", sample_size: int = 10000,
-                     margin: float = 0.08) -> Column:
-    """F8 detector as a NATIVE Catalyst expression — the same arithmetic as
+def with_detected_lang(df, text_col: str = "text", out_col: str = "detected",
+                       sample_size: int = 10000, margin: float = 0.08):
+    """F8 detector as NATIVE Catalyst expressions — the same arithmetic as
     ``kernels.langid.detect_lang`` (pytest-enforced equal), but JVM-side
     (codegen, no Python workers) and mirrorable term-for-term in the DuckDB
     oracle SQL: word split, stopword hits, non-overlapping trigram counts
     via replace-length, identical float op order. Ties go to the FIRST
     alphabetical language, but any tie (< 1e-9 gap) is 'unknown' anyway —
-    matching the kernel's sort + margin rule exactly."""
-    words = F.expr(f"regexp_extract_all(lower(substring({text_col}, 1, "
-                   f"{sample_size})), '[a-zà-ÿ]+', 0)")
-    n_words = F.size(words)
-    padded = F.concat(F.lit(" "), F.array_join(words, " "), F.lit(" "))
-    n_chars = F.greatest(F.length(padded) - 2, F.lit(1))
-    scores = {}
-    for lang, (stop, grams) in sorted(_langid._PROFILES.items()):
+    matching the kernel's sort + margin rule exactly.
+
+    STAGED through separate projections on purpose: composed as one giant
+    Column, the word-extraction subtree is duplicated into every CASE
+    branch, where Spark's subexpression elimination does not reach
+    (conditional branches are exempt) — measured 15× slower. As staged
+    columns, CollapseProject keeps each expensive intermediate materialized
+    once and the final CASE references only cheap attributes."""
+    words_col, padded_col, nchars_col = "__lid_w", "__lid_p", "__lid_nc"
+    df = df.withColumn(words_col, F.expr(
+        f"regexp_extract_all(lower(substring({text_col}, 1, "
+        f"{sample_size})), '[a-zà-ÿ]+', 0)"))
+    df = df.withColumn(padded_col, F.concat(
+        F.lit(" "), F.array_join(F.col(words_col), " "), F.lit(" ")))
+    df = df.withColumn(
+        nchars_col, F.greatest(F.length(padded_col) - 2, F.lit(1)))
+    words, padded = F.col(words_col), F.col(padded_col)
+    n_words, n_chars = F.size(words), F.col(nchars_col)
+    langs = sorted(_langid._PROFILES)
+    for lang in langs:
+        stop, grams = _langid._PROFILES[lang]
         stop_hits = F.size(F.filter(words, lambda w: w.isin(*sorted(stop))))
         gram_hits = None
         for g in grams:
@@ -109,8 +122,9 @@ def detect_lang_expr(text_col: str = "text", sample_size: int = 10000,
             gram_hits = cnt if gram_hits is None else gram_hits + cnt
         score = (stop_hits / n_words
                  + F.lit(0.5) * (gram_hits / n_chars) * F.lit(10.0))
-        scores[lang] = F.when(n_words > 0, score).otherwise(F.lit(0.0))
-    langs = sorted(scores)
+        df = df.withColumn(f"__lid_s_{lang}",
+                           F.when(n_words > 0, score).otherwise(F.lit(0.0)))
+    scores = {lang: F.col(f"__lid_s_{lang}") for lang in langs}
     best = F.greatest(*[scores[lang] for lang in langs])
 
     def _case(value_for_lang):
@@ -128,8 +142,12 @@ def detect_lang_expr(text_col: str = "text", sample_size: int = 10000,
     best_lang = _case(lambda lang: F.lit(lang))
     runner = _case(lambda lang: F.greatest(
         *[scores[o] for o in langs if o != lang]))
-    return F.when((best < F.lit(margin)) | ((best - runner) < F.lit(1e-9)),
-                  F.lit("unknown")).otherwise(best_lang)
+    detected = F.when(
+        (best < F.lit(margin)) | ((best - runner) < F.lit(1e-9)),
+        F.lit("unknown")).otherwise(best_lang)
+    drop = [words_col, padded_col, nchars_col] + \
+        [f"__lid_s_{lang}" for lang in langs]
+    return df.withColumn(out_col, detected).drop(*drop)
 
 
 def clean_corpus(df, id_col: str = "url", text_col: str = "text"):

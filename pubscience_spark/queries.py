@@ -510,9 +510,8 @@ def q_langid(spark, sf_dir):
     detector is a NATIVE Catalyst expression (operators/clean.py
     detect_lang_expr — no Python workers), mirrored term-for-term in the
     generated DuckDB oracle; kernel-vs-native equality is pytest-enforced."""
-    from .operators.clean import detect_lang_expr
-    return (_docs(spark, sf_dir)
-            .withColumn("detected", detect_lang_expr("text"))
+    from .operators.clean import with_detected_lang
+    return (with_detected_lang(_docs(spark, sf_dir), "text")
             .groupBy("detected").agg(F.count(F.lit(1)).alias("n")))
 
 

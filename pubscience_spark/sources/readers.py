@@ -45,13 +45,36 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     """S2: line scan; keeps provenance (input file, line number) the way the
     reference's buffered reader implicitly does via file order
-    (``clean/cleaner.py:232-255``)."""
+    (``clean/cleaner.py:232-255``).
+
+    OFFSET-BASED numbering: a window partitioned by file alone would pull
+    every line of a multi-GB file into ONE task (the round-1 straggler).
+    Instead lines are numbered within their scan split (bounded by
+    ``maxPartitionBytes``), split line-counts roll up in a tiny per-(file,
+    split) aggregate, and a windowed cumsum over that slim table yields
+    each split's starting offset — broadcast back, so no partition ever
+    exceeds one split. Split planning is deterministic for a fixed file
+    layout, so both consumers of the scan see identical split ids."""
     from pyspark.sql.window import Window
-    w = Window.partitionBy("file").orderBy(F.monotonically_increasing_id())
-    return (spark.read.text(path)
-            .withColumn("file", F.input_file_name())
-            .withColumn("line_no", F.row_number().over(w))
-            .select("file", "line_no", F.col("value").alias("line")))
+    base = (spark.read.text(path)
+            .select(F.input_file_name().alias("file"),
+                    F.spark_partition_id().alias("__split"),
+                    F.monotonically_increasing_id().alias("__mid"),
+                    F.col("value").alias("line")))
+    w_split = Window.partitionBy("file", "__split").orderBy("__mid")
+    numbered = base.withColumn("__rn", F.row_number().over(w_split))
+    counts = numbered.groupBy("file", "__split") \
+        .agg(F.max("__rn").alias("__cnt"))
+    w_file = (Window.partitionBy("file").orderBy("__split")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_file), F.lit(0)))
+    return (numbered
+            .join(F.broadcast(offsets.select("file", "__split", "__off")),
+                  ["file", "__split"])
+            .select("file",
+                    (F.col("__off") + F.col("__rn")).cast("int")
+                    .alias("line_no"), "line"))
 
 
 def read_jsonl(spark: SparkSession, path: str,

