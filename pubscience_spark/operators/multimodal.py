@@ -1,11 +1,17 @@
 """Multimodal column plumbing (training-data tier, task spec).
 
-Image/audio/video are opaque ``binary`` columns with typed metadata. The
-decode/resample step is STUBBED (no codec libs in this container) behind a
-deterministic fake gated by ``PUBSCIENCE_FAKE_DECODE=1`` — the Spark-side
-plumbing (schema, mapInPandas batch shape, partitioning) is real and tested.
-On a production cluster, swap ``_decode_image``/``_decode_audio`` for
-Pillow/soundfile bodies; the DataFrame plan does not change.
+Image/audio/video are opaque ``binary`` columns with typed metadata.
+
+Decode tiers:
+- REAL pure-stdlib decoders (``kernels/media``): PNG (zlib + filters),
+  BMP, PGM/PPM, PCM WAV — decoded to pixels/samples with numpy feature
+  extraction. Codec-library formats (JPEG, MP3, H.264, …) surface as an
+  ``unsupported-format`` error column; swap in Pillow/soundfile on a
+  production cluster for the long tail — the plan does not change.
+- Deterministic FAKE (``PUBSCIENCE_FAKE_DECODE=1``, the default for the
+  synthetic battery corpus whose media bytes are random): dims/features
+  from a blake2b of the bytes — exercises the full Arrow round trip.
+- Video decode has no stdlib path: fake or error, honestly stubbed.
 """
 
 from __future__ import annotations
@@ -35,13 +41,12 @@ def _fake_decode_enabled() -> bool:
 
 
 def _decode_image(raw: bytes, fake: bool = True) -> tuple[int, int, list[float]]:
-    """Decode + 8-dim feature extract.
-
-    Deterministic fake: dimensions and features derive from a blake2b of the
-    bytes — stable across executors, exercises the full Arrow round trip."""
+    """Decode + 8-dim feature extract (real stdlib decode, or the
+    deterministic blake2b fake for random-byte fixtures)."""
     if not fake:
-        raise NotImplementedError(
-            "real image decode requires Pillow; not available in this container")
+        from ..kernels import media
+        arr = media.decode_image(raw)
+        return arr.shape[1], arr.shape[0], media.image_feature_vec(arr)
     d = hashlib.blake2b(raw, digest_size=40).digest()
     width = 64 + d[0] % 192
     height = 64 + d[1] % 192
@@ -95,10 +100,11 @@ AUDIO_FEATURES_SCHEMA = StructType([
 
 
 def _decode_audio(raw: bytes, fake: bool = True) -> tuple[int, float, list[float]]:
-    """Deterministic fake decode (swap for soundfile/librosa in prod)."""
+    """Real PCM WAV decode, or the deterministic fake for random bytes."""
     if not fake:
-        raise NotImplementedError(
-            "real audio decode requires soundfile; not in this container")
+        from ..kernels import media
+        rate, x = media.decode_wav(raw)
+        return rate, round(len(x) / rate, 6), media.audio_feature_vec(rate, x)
     d = hashlib.blake2b(raw, digest_size=40).digest()
     rate = (8000, 16000, 22050, 44100)[d[0] % 4]
     duration = 0.5 + (d[1] % 600) / 10.0

@@ -47,11 +47,13 @@ def test_video_frames_one_to_many(spark):
     assert all(f["ts_s"] is not None for f in frames)
 
 
-def test_decode_disabled_yields_error_column(spark):
+def test_real_decode_on_random_bytes_yields_error_column(spark):
+    # real decode path on random (non-image) bytes: per-row error column
+    # (UnsupportedFormat), never a task failure
     os.environ["PUBSCIENCE_FAKE_DECODE"] = "0"
     try:
         rows = mm.image_features(_media_df(spark)).collect()
-        assert all(r["error"] and "NotImplementedError" in r["error"]
+        assert all(r["error"] and "UnsupportedFormat" in r["error"]
                    for r in rows)
     finally:
         os.environ["PUBSCIENCE_FAKE_DECODE"] = "1"

@@ -86,3 +86,55 @@ def test_minhash_neardup_band_tuning_recall(spark):
            dedup.minhash_neardup(df, "doc_id", threshold=0.5, bands=64)
            .collect()}
     assert got == exact and len(exact) > 20
+
+
+def test_ivf_kmeans_recall_beats_first_at_low_probe(spark):
+    """Planted well-separated clusters with cluster-contiguous ids (the
+    degenerate case for first-by-id centroids): kmeans centroids must give
+    higher recall at n_probe=1, and probe-all must equal brute force
+    regardless of centroid choice."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 16)) * 5.0
+    rows, vid = [], 0
+    for c in range(8):
+        for _ in range(12):
+            v = centers[c] + rng.normal(scale=0.05, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.where(F.col("vec_id") % 12 == 0)  # one per cluster
+    bf = {(r["query_id"], r["neighbor_id"]) for r in
+          similarity.cosine_topk(df, queries, k=3).collect()}
+
+    def recall(centroids):
+        got = {(r["query_id"], r["neighbor_id"]) for r in
+               similarity.ivf_topk(df, queries, n_lists=8, n_probe=1, k=3,
+                                   centroids=centroids, kmeans_iter=4)
+               .collect()}
+        return len(got & bf) / len(bf)
+
+    assert recall("kmeans") >= 0.8
+    # kmeans must achieve that recall WITH pruning: lists stay balanced
+    # ("first" init here reaches recall 1 only because its degenerate
+    # centroids dump ~everything into one probed list)
+    cents = similarity.kmeans_centroids(df, 8, n_iter=4)
+    sizes = {r["list_id"]: r["n"] for r in
+             similarity.ivf_assign(df, cents)
+             .groupBy("list_id").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    assert max(sizes.values()) <= 24          # ≤ 2 planted clusters/list
+    assert len(sizes) >= 6                    # lists actually used
+    c_first = [r["embedding"] for r in
+               df.orderBy("vec_id").limit(8).collect()]
+    first_sizes = [r["n"] for r in
+                   similarity.ivf_assign(df, [list(map(float, c))
+                                              for c in c_first])
+                   .groupBy("list_id").agg(F.count(F.lit(1)).alias("n"))
+                   .collect()]
+    # the degenerate baseline leaves lists unused / more skewed
+    assert len(first_sizes) < len(sizes) or max(first_sizes) > max(sizes.values())
+    # probe-all with kmeans centroids == brute force exactly
+    pa = similarity.ivf_topk(df, queries, n_lists=8, n_probe=8, k=3,
+                             centroids="kmeans", kmeans_iter=2)
+    got_pa = {(r["query_id"], r["neighbor_id"]) for r in pa.collect()}
+    assert got_pa == bf
