@@ -87,6 +87,44 @@ def main() -> None:
         "user_id Exchange; identical operator serves Structured Streaming.",
         explain_str(Q.q_session_windows(spark, SF))))
 
+    # 6. composed near-dup scale paths (round 2)
+    sections.append((
+        "Embedding near-dup via banded sign-LSH (embedding_neardup)",
+        "Band keys explode on a SLIM (id, band) projection; the self-join "
+        "shuffles band keys only, distinct pairs are id-pairs, and the "
+        "wide embedding arrays join back just for candidates before the "
+        "JVM-side cosine verify — no all-pairs crossJoin anywhere.",
+        explain_str(Q.q_embedding_neardup(spark, SF))))
+
+    sections.append((
+        "SimHash hamming-neighbor join (simhash_neardup)",
+        "After the signature pUDF everything is codegen: 16-bit slice "
+        "equi-join, bit_count(xor) verify. Exact recall by pigeonhole "
+        "(hamming ≤ 3 < 4 slices).",
+        explain_str(Q.q_simhash_neardup(spark, SF))))
+
+    sections.append((
+        "Native language detection (langid)",
+        "The detector is pure codegen (no ArrowEvalPython node): staged "
+        "projections keep the word-extraction evaluated once — composed "
+        "as one Column it would be re-evaluated in every CASE branch "
+        "(Spark CSE skips conditional branches; measured 15×).",
+        explain_str(Q.q_langid(spark, SF))))
+
+    # 7. text line scan without per-file straggler
+    import tempfile
+    tmp = tempfile.mkdtemp()
+    with open(os.path.join(tmp, "t.txt"), "w") as fh:
+        fh.write("a\nb\n")
+    from pubscience_spark.sources.readers import read_text_lines
+    sections.append((
+        "Text line scan (offset-based numbering)",
+        "row_number windows partition by (file, split) — bounded by "
+        "maxPartitionBytes — and the per-split offsets come from a tiny "
+        "aggregate joined back via BroadcastHashJoin; no window ever "
+        "spans a whole file.",
+        explain_str(read_text_lines(spark, tmp))))
+
     out = ["# PLANS — physical-plan evidence\n",
            "Generated by `python tools/dump_plans.py` "
            "(sf0.01, local[4]; plan *shapes* are scale-independent).\n"]
