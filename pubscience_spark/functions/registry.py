@@ -46,11 +46,36 @@ REGISTRY = {
     "ps_simhash": (lambda t: _signed64(hashing.simhash(t)), LongType()),
     "ps_sentences": (segment.split_sentences, ArrayType(StringType())),
     "ps_chunks": (segment.chunk_text, ArrayType(StringType())),
+    "ps_minhash": (lambda t: [_signed64(v) for v in
+                              hashing.minhash_signature(t, num_perm=32)],
+                   ArrayType(LongType())),
+    "ps_rtf_to_text": (None, StringType()),     # bound lazily below
+    "ps_truncate": (None, StringType()),        # (text) → default ruleset
+    "ps_process_source": (None, StringType()),  # 2-arg, bound below
 }
+
+
+def _late_bindings():
+    """Imports deferred so registry import stays light."""
+    from ..kernels import rtf
+    from ..operators.boilerplate import process_source
+    return {
+        "ps_rtf_to_text": (rtf.rtf_to_text, StringType()),
+        "ps_truncate": (lambda t: textclean.truncate(t), StringType()),
+    }, process_source
 
 
 def register_all(spark: SparkSession) -> list[str]:
     """Register every kernel as a SQL function; returns the names."""
-    for name, (fn, ret) in REGISTRY.items():
+    late, process_source = _late_bindings()
+    for name, (fn, ret) in {**REGISTRY, **late}.items():
+        if fn is None:
+            continue
         spark.udf.register(name, _series_udf(fn, ret))
-    return sorted(REGISTRY)
+
+    @pandas_udf(StringType())
+    def _proc(text: pd.Series, source: pd.Series) -> pd.Series:
+        return pd.Series([process_source(t or "", s or "default")[0]
+                          for t, s in zip(text, source)])
+    spark.udf.register("ps_process_source", _proc)
+    return sorted({**REGISTRY, **late})

@@ -50,6 +50,7 @@ EXTRACTED_SCHEMA = StructType([
     StructField("producer", StringType()),
     StructField("summary_en", StringType()),
     StructField("summary_nl", StringType()),
+    StructField("links", ArrayType(StringType())),
     StructField("error", StringType()),
     StructField("sha256", StringType()),
     StructField("dedup_key", StringType()),
@@ -85,7 +86,7 @@ _EMPTY = {
     "route": "empty", "extracted_text": "", "title": None, "abstract": None,
     "authors": [], "language": None, "mesh_terms": [], "headings": [],
     "spans": [], "pages": [], "scanned": False, "producer": None,
-    "summary_en": None, "summary_nl": None, "error": None,
+    "summary_en": None, "summary_nl": None, "links": [], "error": None,
 }
 
 
@@ -102,7 +103,8 @@ def extract_one(raw: bytes) -> dict:
                 extracted_text=r["extracted_text"], pages=r["pages"],
                 scanned=r["scanned"], producer=r["producer"],
                 summary_en=r["summary_en"] or None,
-                summary_nl=r["summary_nl"] or None, error=r["error"])
+                summary_nl=r["summary_nl"] or None, error=r["error"],
+                links=pdfmini.pdf_links(raw))  # P8 /URI harvest
         elif route == "rtf":
             from ..kernels import rtf as _rtf
             cleaned = textclean.clean_line(_rtf.extract_rtf_bytes(raw))
