@@ -190,10 +190,12 @@ def minhash_candidates(df: DataFrame, id_col: str,
     pairs. The shuffle key is the band hash — uniformly distributed, so no
     salting needed here.
     """
+    from .util import spread
     udf = (_minhash_bands_udf if (bands, num_perm) == (16, 128)
            else minhash_bands_udf(num_perm=num_perm, bands=bands))
-    banded = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-              .withColumn("band", F.explode(udf(F.col("t"))))
+    slim = spread(df.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("t")))
+    banded = (slim.withColumn("band", F.explode(udf(F.col("t"))))
               .select("id", "band"))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -257,7 +259,9 @@ def simhash_neardup(df: DataFrame, id_col: str, text_col: str = "text",
         raise ValueError("exact recall needs max_hamming < chunks")
     width = 64 // chunks
     mask = F.lit((1 << width) - 1).cast("long")
-    keyed = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    from .util import spread
+    keyed = (spread(df.select(F.col(id_col).alias("id"),
+                              F.col(text_col).alias("t")))
              .withColumn("sim", _simhash_udf(F.col("t"))).drop("t"))
     sliced = (keyed.withColumn("chunk_idx",
                                F.explode(F.array(*[F.lit(i)

@@ -29,6 +29,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with guaranteed parallelism for UDF-/expression-heavy
+    per-row queries (the fixture file is ONE scan split — see
+    operators/util.spread; no-op on multi-split production inputs)."""
+    from .operators.util import spread
+    return spread(_docs(spark, sf_dir))
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -511,7 +519,7 @@ def q_langid(spark, sf_dir):
     detect_lang_expr — no Python workers), mirrored term-for-term in the
     generated DuckDB oracle; kernel-vs-native equality is pytest-enforced."""
     from .operators.clean import with_detected_lang
-    return (with_detected_lang(_docs(spark, sf_dir), "text")
+    return (with_detected_lang(_docs_spread(spark, sf_dir), "text")
             .groupBy("detected").agg(F.count(F.lit(1)).alias("n")))
 
 
@@ -567,7 +575,7 @@ SELECT detected, count(*) AS n FROM d GROUP BY detected
 
 def q_sentences(spark, sf_dir):
     """G1: sentence segmentation counts per doc (rows-only)."""
-    return (_docs(spark, sf_dir)
+    return (_docs_spread(spark, sf_dir)
             .select("doc_id",
                     F.size(split_sentences_udf(F.col("text")))
                     .alias("n_sentences")))
@@ -942,7 +950,7 @@ def q_token_chunks(spark, sf_dir):
     """G2: token-budget chunk counts per doc (greedy sentence packing,
     kernel pUDF; rows-only — stateful fold is not SQL-expressible)."""
     from .operators.clean import chunks_udf
-    return (_docs(spark, sf_dir)
+    return (_docs_spread(spark, sf_dir)
             .select("doc_id",
                     F.size(chunks_udf(64)(F.col("text")))
                     .cast("long").alias("n_chunks")))
@@ -1062,7 +1070,7 @@ def q_boilerplate_strip(spark, sf_dir):
     reference rule-sets (rows-only — the truncate state machine is a
     CPython kernel, not SQL)."""
     from .operators.boilerplate import strip_boilerplate
-    return (strip_boilerplate(_docs(spark, sf_dir),
+    return (strip_boilerplate(_docs_spread(spark, sf_dir),
                               source_map=_BOILERPLATE_SOURCE_MAP)
             .select("doc_id", F.length("clean_text").alias("clean_len"),
                     "kept"))
@@ -1072,7 +1080,7 @@ def q_hash_embed_topk(spark, sf_dir):
     """◇-tier embedder plumbing: hashed-BoW document vectors feeding the
     cosine top-k operator (rows-only; model-swappable mapInPandas)."""
     from .operators.embed import embed_documents
-    emb = (embed_documents(_docs(spark, sf_dir))
+    emb = (embed_documents(_docs_spread(spark, sf_dir))
            .withColumn("vec_id", F.col("id").cast("long")))
     queries = emb.where(F.col("vec_id") < 5)
     return sim_ops.cosine_topk(emb, queries, k=3) \
@@ -1085,7 +1093,8 @@ def q_clean_sentences(spark, sf_dir):
     ``events.props`` — the only table whose text carries the reference's
     ``[:;.]`` sentence delimiters."""
     from .operators.clean import clean_corpus
-    return (clean_corpus(_events(spark, sf_dir), "event_id", "props")
+    from .operators.util import spread
+    return (clean_corpus(spread(_events(spark, sf_dir)), "event_id", "props")
             .groupBy("id").agg(F.count(F.lit(1)).alias("n_sentences"),
                                F.sum(F.length("sentence")).alias("n_chars")))
 
@@ -1094,7 +1103,7 @@ def q_translate_tagged(spark, sf_dir):
     """◇ translate shape: sentence-chunk → batch 'model' → reassemble
     (rows-only; deterministic tagger stands in for the NMT model)."""
     from .operators.modeltier import translate_documents
-    return (translate_documents(_docs(spark, sf_dir), max_tokens=64)
+    return (translate_documents(_docs_spread(spark, sf_dir), max_tokens=64)
             .select("id", F.length("translated").alias("out_len")))
 
 
@@ -1103,7 +1112,7 @@ def q_label_docs(spark, sf_dir):
     from .operators.modeltier import label_documents
     labels = {"engine": ["spark", "query", "join"],
               "stream": ["window", "batch", "row"]}
-    return (label_documents(_docs(spark, sf_dir), labels)
+    return (label_documents(_docs_spread(spark, sf_dir), labels)
             .groupBy("label").agg(F.count(F.lit(1)).alias("n")))
 
 
