@@ -69,8 +69,18 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
                    *, n_buckets: int | None = None, resume: bool = True,
                    lang_keep: str | None = None,
                    use_detector_gate: bool = False,
-                   dedup_strategy: str = "slim-join") -> dict:
-    """Run the pipeline; returns run metrics. Idempotent under re-run."""
+                   dedup_strategy: str = "slim-join",
+                   boilerplate_by_domain: dict[str, str] | None = None
+                   ) -> dict:
+    """Run the pipeline; returns run metrics. Idempotent under re-run.
+
+    ``boilerplate_by_domain`` maps url hosts onto the per-source B2
+    rule-sets (``kernels/source_rules`` names, e.g. ``{"www.who.int":
+    "who"}``); matched hosts get their reference processor, others the
+    generic default — the pipeline emits ``clean_text`` + ``kept`` columns
+    alongside the raw ``extracted_text`` (dedup keys stay derived from the
+    raw text, so resume/fixture identities are unchanged).
+    """
     extracted_path = os.path.join(out_dir, "extracted")
     lineage_path = os.path.join(out_dir, "lineage")
 
@@ -106,6 +116,14 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
                 detect_lang_udf(F.col("extracted_text")) == F.lit(lang_keep))
         else:
             extracted = extracted.where(F.col("language") == F.lit(lang_keep))
+
+    if boilerplate_by_domain is not None:
+        from ..operators.boilerplate import strip_boilerplate
+        extracted = extracted.withColumn(
+            "__host", F.lower(F.expr("parse_url(url, 'HOST')")))
+        extracted = strip_boilerplate(
+            extracted, text_col="extracted_text", source_col="__host",
+            source_map=boilerplate_by_domain).drop("__host")
 
     # X1/X2 duplicate marking (keep-first by url — deterministic total
     # order). Two strategies, identical output on a fresh run ("windows"

@@ -230,3 +230,24 @@ def test_lang_gate_detector(spark, pages_path, tmp_path):
                        lang_keep="en", use_detector_gate=True)
     ext = spark.read.parquet(r["extracted_path"])
     assert 0 < ext.count() < pages.count()
+
+
+def test_pipeline_boilerplate_by_domain(spark, tmp_path):
+    """Per-source rule-sets dispatch by url host inside the pipeline."""
+    import os
+    from pubscience_spark.datagen.pages import write_pages_parquet
+    from pubscience_spark.plans.pipeline import run_extraction
+    pp = os.path.join(str(tmp_path), "pages.parquet")
+    write_pages_parquet(pp, 120)
+    pages = spark.read.parquet(pp)
+    host = spark.sql(
+        f"SELECT lower(parse_url(url, 'HOST')) h FROM parquet.`{pp}` "
+        "LIMIT 1").collect()[0]["h"]
+    res = run_extraction(spark, pages, os.path.join(str(tmp_path), "out"),
+                         boilerplate_by_domain={host: "who"})
+    out = spark.read.parquet(res["extracted_path"])
+    assert {"clean_text", "kept", "extracted_text"} <= set(out.columns)
+    assert out.where("kept").count() > 0
+    # raw text untouched; clean_text is the processed variant
+    row = out.where(F.length("extracted_text") > 50).first()
+    assert row["clean_text"] is not None

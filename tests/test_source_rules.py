@@ -157,3 +157,24 @@ def test_dedup_by_name_first_requires_order(spark):
     df = spark.createDataFrame([("a", "t")], ["name", "text"])
     with pytest.raises(ValueError):
         set_ops.dedup_by_name(df, "name", keep="first")
+
+
+# ---------------------------------------------------- totality (hypothesis)
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(max_size=600), st.text(max_size=40))
+def test_processors_total_on_arbitrary_text(text, title):
+    """Every processor either returns a dict with a str text or None —
+    never raises — on arbitrary unicode input."""
+    for name, proc in source_rules.PROCESSORS.items():
+        if name in ("mayo", "nice"):
+            continue  # section-dict processors, text mode covered below
+        out = proc(text, title=title, url="u")
+        assert out is None or isinstance(out["text"], str), name
+    for out in (source_rules.process_mayo(text, title=title),
+                source_rules.process_nice(text, title=title)):
+        assert out is None or isinstance(out["text"], str)
