@@ -1,0 +1,148 @@
+"""End-to-end training-corpus curation plan (training-data tier).
+
+Composes the engine's curation operators into the standard LLM-data
+recipe, one named entry point:
+
+    raw docs
+      ├─ F1/F2 length gates (native predicates)
+      ├─ F8 language gate (lang column, or the native detector expression)
+      ├─ X1 exact dedup (sha256 keep-first by id — min() agg, hot-key safe)
+      ├─ MinHash-LSH near-dup DROP (banded candidates → exact-Jaccard
+      │    verify → keep the lower id of every surviving pair)
+      ├─ quality gate (alpha/stopword/word-length native expressions)
+      ├─ O6 deterministic md5 split assignment
+      └─ write parquet partitioned by split + a JSON manifest of
+         per-stage survivor counts (the curation funnel)
+
+Scale shape: every gate is a Catalyst predicate (pushdown-friendly); the
+only Python is the MinHash signature pUDF; the near-dup drop anti-joins a
+SLIM id set; stage counts come from ONE aggregation pass over boolean
+stage flags (no per-stage count() jobs), then the survivors are written in
+a second pass. Deterministic end to end — no rand(), no partition-order
+dependence — so re-runs overwrite byte-stable output.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dedup_ops
+from ..operators.sampling import train_val_test_split
+
+
+def _quality_ok(text_col: str, *, min_alpha_ratio: float,
+                max_word_len: float, min_stop_ratio: float):
+    """Native quality predicate (same feature definitions as the
+    quality_features battery query)."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    non_ws = F.length(F.regexp_replace(t, r"\s", ""))
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    n_words = F.size(words)
+    stop = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+            "for", "with", "as", "by", "at", "it", "that", "this", "are",
+            "was"]
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*stop)))
+    return ((n_chars > 0) & (n_words > 0)
+            & ((n_alpha / n_chars) >= min_alpha_ratio)
+            & ((non_ws / n_words) <= max_word_len)
+            & ((n_stop / n_words) >= min_stop_ratio))
+
+
+def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  min_chars: int = 100, min_words: int = 20,
+                  lang_keep: str | None = None,
+                  use_detector: bool = False,
+                  neardup_threshold: float = 0.85,
+                  neardup_bands: int = 32,
+                  min_alpha_ratio: float = 0.6,
+                  max_word_len: float = 12.0,
+                  min_stop_ratio: float = 0.01,
+                  split_weights: tuple = (.9, .05, .05)) -> dict:
+    """Run the funnel; returns the manifest dict (also written to
+    ``out_dir/manifest.json``). Output table at ``out_dir/corpus``."""
+    # ---- stage flags (cheap predicates; one aggregation pass) ----------
+    flagged = (docs
+               .withColumn("__len_ok",
+                           (F.length(text_col) >= min_chars)
+                           & (F.size(F.split(F.trim(F.col(text_col)),
+                                             r"\s+")) >= min_words)))
+    if lang_keep is None:
+        flagged = flagged.withColumn("__lang_ok", F.lit(True))
+    elif use_detector:
+        from ..operators.clean import with_detected_lang
+        flagged = with_detected_lang(flagged, text_col, "__det") \
+            .withColumn("__lang_ok", F.col("__det") == lang_keep) \
+            .drop("__det")
+    else:
+        flagged = flagged.withColumn("__lang_ok",
+                                     F.col("lang") == lang_keep)
+    flagged = flagged.withColumn(
+        "__q_ok", _quality_ok(text_col, min_alpha_ratio=min_alpha_ratio,
+                              max_word_len=max_word_len,
+                              min_stop_ratio=min_stop_ratio))
+
+    # exact-dedup keeper per sha256 among gate survivors (min() agg —
+    # map-side combine, viral-duplicate safe)
+    gated = flagged.where("__len_ok AND __lang_ok AND __q_ok")
+    keepers = (gated
+               .select(F.sha2(F.col(text_col), 256).alias("__sha"), id_col)
+               .groupBy("__sha").agg(F.min(id_col).alias("__keep")))
+    exact = (gated.withColumn("__sha", F.sha2(F.col(text_col), 256))
+             .join(keepers, "__sha")
+             .where(F.col(id_col) == F.col("__keep"))
+             .drop("__sha", "__keep"))
+
+    # near-dup drop over the exact-dedup survivors: slim candidate pairs,
+    # exact verify, drop the HIGHER id of each pair (keep-first)
+    from pyspark.storagelevel import StorageLevel
+    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = dedup_ops.minhash_neardup(exact, id_col, text_col,
+                                      threshold=neardup_threshold,
+                                      bands=neardup_bands)
+    drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    kept = exact.join(F.broadcast(drop_ids), id_col, "left_anti")
+    kept = train_val_test_split(kept, id_col, weights=split_weights)
+
+    # ---- one-pass funnel counts + write -------------------------------
+    funnel_row = flagged.agg(
+        F.count(F.lit(1)).alias("input"),
+        F.sum(F.when(F.col("__len_ok"), 1).otherwise(0)).alias("len_ok"),
+        F.sum(F.when(F.col("__len_ok") & F.col("__lang_ok"), 1)
+              .otherwise(0)).alias("lang_ok"),
+        F.sum(F.when(F.col("__len_ok") & F.col("__lang_ok")
+                     & F.col("__q_ok"), 1).otherwise(0)).alias("quality_ok")
+    ).collect()[0]
+    corpus_path = os.path.join(out_dir, "corpus")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = kept.drop("__len_ok", "__lang_ok", "__q_ok")
+    out.write.mode("overwrite").partitionBy("split").parquet(corpus_path)
+    written = spark.read.parquet(corpus_path)
+    split_counts = {r["split"]: r["n"] for r in
+                    written.groupBy("split")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_written = sum(split_counts.values())
+    exact.unpersist()
+    manifest = {
+        "input": funnel_row["input"],
+        "after_length_gate": funnel_row["len_ok"],
+        "after_lang_gate": funnel_row["lang_ok"],
+        "after_quality_gate": funnel_row["quality_ok"],
+        "written": n_written,
+        "exact_and_neardup_dropped": funnel_row["quality_ok"] - n_written,
+        "splits": split_counts,
+        "params": {"min_chars": min_chars, "min_words": min_words,
+                   "lang_keep": lang_keep,
+                   "neardup_threshold": neardup_threshold,
+                   "split_weights": list(split_weights)},
+        "corpus_path": corpus_path,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest

@@ -251,3 +251,45 @@ def test_pipeline_boilerplate_by_domain(spark, tmp_path):
     # raw text untouched; clean_text is the processed variant
     row = out.where(F.length("extracted_text") > 50).first()
     assert row["clean_text"] is not None
+
+
+def test_curate_corpus_funnel(spark, tmp_path):
+    """End-to-end curation plan: gates → exact dedup → near-dup drop →
+    split → manifest; deterministic across re-runs."""
+    import json
+    import os
+    from pubscience_spark.plans.curation import curate_corpus
+    base = ("the quick brown fox jumps over the lazy dog and this is a "
+            "perfectly reasonable document with common stopwords in it "
+            "that keeps going for a while to pass the length gates ")
+    rows = []
+    for i in range(40):
+        tail = " ".join(f"tok{i}w{j} filler{(i * 7 + j) % 97}"
+                        for j in range(12))
+        rows.append((i, "en", base + tail))
+    rows.append((100, "en", rows[0][2]))          # exact dup of doc 0
+    rows.append((101, "en", rows[1][2] + "tiny")) # near dup of doc 1
+    rows.append((102, "en", "short"))             # length-gated
+    rows.append((103, "nl", base + "x " * 5))     # lang-gated
+    rows.append((104, "en", "zzz " * 60))         # quality-gated (no stop)
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = os.path.join(str(tmp_path), "cur")
+    m = curate_corpus(spark, df, out, min_chars=100, min_words=20,
+                      lang_keep="en", neardup_threshold=0.8,
+                      neardup_bands=64)
+    assert m["input"] == 45
+    assert m["after_length_gate"] == 44          # 102 dropped
+    assert m["after_lang_gate"] == 43            # 103 dropped
+    assert m["after_quality_gate"] == 42         # 104 dropped
+    assert m["written"] == 40                    # 100 exact + 101 near dup
+    assert m["exact_and_neardup_dropped"] == 2
+    got = spark.read.parquet(m["corpus_path"])
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert ids == set(range(40))                 # keep-first (lower ids)
+    assert set(m["splits"]) <= {"train", "val", "test"}
+    assert json.load(open(os.path.join(out, "manifest.json"))) == m
+    # deterministic overwrite
+    m2 = curate_corpus(spark, df, out, min_chars=100, min_words=20,
+                       lang_keep="en", neardup_threshold=0.8,
+                       neardup_bands=64)
+    assert m2 == m
