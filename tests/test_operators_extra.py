@@ -113,3 +113,33 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
                for r in ivf_topk(emb, queries, n_lists=8, n_probe=2, k=3)
                .collect()}
     assert 0 < len(partial & exact) <= len(exact)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pubscience_spark.operators.joins import salted_count, salted_join
+    big = spark.range(2000).select(
+        F.when(F.col("id") < 1500, "hot").otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 50))).alias("k"),
+        F.col("id").alias("v"))
+    small = spark.createDataFrame(
+        [("hot", 1), ("k1", 2), ("k2", 3), ("nomatch", 9)], ["k", "s"])
+    plain = set((r["k"], r["v"], r["s"]) for r in
+                big.join(small, "k").collect())
+    salted = set((r["k"], r["v"], r["s"]) for r in
+                 salted_join(big, small, "k", n_salt=8,
+                             salt_keys=["hot"]).collect())
+    assert salted == plain and len(plain) > 1500
+    # full-salt mode (no hot list) is also equivalent
+    salted_all = set((r["k"], r["v"], r["s"]) for r in
+                     salted_join(big, small, "k", n_salt=4).collect())
+    assert salted_all == plain
+    # left join keeps unmatched big rows exactly once
+    left_plain = big.join(small, "k", "left").count()
+    left_salted = salted_join(big, small, "k", n_salt=8, how="left",
+                              salt_keys=["hot"]).count()
+    assert left_salted == left_plain
+    # salted two-phase count == plain count
+    pc = {r["k"]: r["n"] for r in
+          big.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sc = {r["k"]: r["n"] for r in salted_count(big, "k", 8).collect()}
+    assert sc == pc
