@@ -46,6 +46,8 @@ _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
 
 
 def _unescape_pdf_string(raw: bytes) -> bytes:
+    if b"\\" not in raw:        # fast path: most strings have no escapes
+        return raw
     out = bytearray()
     i = 0
     while i < len(raw):
