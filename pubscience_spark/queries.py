@@ -1108,12 +1108,34 @@ def q_translate_tagged(spark, sf_dir):
 
 
 def q_label_docs(spark, sf_dir):
-    """◇ label shape: arg-max term-density labels (rows-only)."""
+    """◇ label shape: arg-max term-density labels. The deterministic tagger
+    is pure Catalyst (contains + greatest-of-structs), so it carries a SQL
+    oracle; ties go to the lexicographically LARGER label (struct greatest
+    compares score then label) — mirrored in the SQL."""
     from .operators.modeltier import label_documents
     labels = {"engine": ["spark", "query", "join"],
               "stream": ["window", "batch", "row"]}
-    return (label_documents(_docs_spread(spark, sf_dir), labels)
+    return (label_documents(_docs(spark, sf_dir), labels)
             .groupBy("label").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _label_hits(terms):
+    return " + ".join(
+        f"(CASE WHEN contains(lower(text), '{t}') THEN 1 ELSE 0 END)"
+        for t in terms)
+
+
+SQL_LABEL_DOCS = f"""
+WITH sc AS (
+  SELECT ({_label_hits(["spark", "query", "join"])}) / 3.0 AS s_engine,
+         ({_label_hits(["window", "batch", "row"])}) / 3.0 AS s_stream
+  FROM documents)
+SELECT label, count(*) AS n FROM (
+  SELECT CASE WHEN s_stream >= s_engine THEN 'stream' ELSE 'engine' END
+           AS label
+  FROM sc)
+GROUP BY label
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1212,4 +1234,5 @@ ORACLES = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "langid": _langid_oracle_sql(),
+    "label_docs": SQL_LABEL_DOCS,
 }
