@@ -110,10 +110,14 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
         .withColumn("bucket", bucket_col(n_buckets))
 
     if lang_keep is not None:
-        from ..operators.clean import detect_lang_udf
         if use_detector_gate:
-            extracted = extracted.where(
-                detect_lang_udf(F.col("extracted_text")) == F.lit(lang_keep))
+            # native Catalyst detector (kernel-equal, test-enforced) —
+            # no Python workers in the gate
+            from ..operators.clean import with_detected_lang
+            extracted = (with_detected_lang(extracted, "extracted_text",
+                                            "__det")
+                         .where(F.col("__det") == F.lit(lang_keep))
+                         .drop("__det"))
         else:
             extracted = extracted.where(F.col("language") == F.lit(lang_keep))
 
