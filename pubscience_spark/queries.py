@@ -68,7 +68,7 @@ def q_prefix_dedup(spark, sf_dir):
 
     ASCII corpus ⇒ the native regexp is byte-equal to the CPython kernel
     (the kernel-backed pUDF variant is byte-contract-tested in pytest)."""
-    d = _docs(spark, sf_dir).withColumn(
+    d = _docs_spread(spark, sf_dir).withColumn(
         "dedup_key",
         F.regexp_replace(F.lower(F.substring("text", 1, 500)),
                          "[^a-zA-Z0-9]", ""))
@@ -492,7 +492,7 @@ WHERE j >= 0.5
 
 def q_simhash(spark, sf_dir):
     """SimHash 64-bit signatures (rows-only)."""
-    return dedup_ops.simhash_keys(_docs(spark, sf_dir)) \
+    return dedup_ops.simhash_keys(_docs_spread(spark, sf_dir)) \
         .select("doc_id", "simhash")
 
 
