@@ -485,7 +485,10 @@ SELECT id_a, id_b, round(j, 6) AS jacc FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
            / len(list_distinct(list_concat(a.s, b.s))) AS j
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  -- safe prune: J <= min(|A|,|B|)/max(|A|,|B|), so a 0.5-threshold pair
+  -- needs set sizes within 2x of each other
+  WHERE len(a.s) * 2 >= len(b.s) AND len(b.s) * 2 >= len(a.s))
 WHERE j >= 0.5
 """
 
@@ -879,6 +882,69 @@ ORDER BY rev_exact DESC, p_partkey LIMIT 10
 """
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-table join (broadcast the filtered customer dim),
+    filtered fact aggregation, top-10 by revenue — ties broken by
+    (o_orderkey) on the EXACT decimal sum. (The synthetic orders table
+    carries o_orderpriority in place of TPC-H's o_shippriority.)"""
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .where(F.col("c_mktsegment") == "BUILDING"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .where(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .where(F.col("l_shipdate") > F.to_timestamp(F.lit("1995-03-15")))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(rev).alias("rev_exact"))
+            .orderBy(F.col("rev_exact").desc(), F.col("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey",
+                    F.round(F.col("rev_exact").cast("double"), 2)
+                    .alias("revenue"),
+                    F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                    "o_orderpriority"))
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT o_orderkey, round(CAST(rev_exact AS DOUBLE), 2) AS revenue,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
+FROM (SELECT o_orderkey, o_orderdate, o_orderpriority,
+             sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+               AS rev_exact
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < '1995-03-15'
+        AND l_shipdate > TIMESTAMP '1995-03-15'
+      GROUP BY o_orderkey, o_orderdate, o_orderpriority)
+ORDER BY rev_exact DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_corpus_cube(spark, sf_dir):
+    """CUBE aggregation over (source, lang) — full grouping-set lattice
+    with subtotal markers coalesced identically on both engines."""
+    return (_docs(spark, sf_dir)
+            .cube("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text").cast("long")).alias("total_chars"))
+            .select(F.coalesce("source", F.lit("ALL")).alias("source"),
+                    F.coalesce("lang", F.lit("ALL")).alias("lang"),
+                    "n_docs", "total_chars"))
+
+
+SQL_CORPUS_CUBE = """
+SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY CUBE (source, lang)
+"""
+
+
 def q_orders_semi(spark, sf_dir):
     """Semi-join: orders having at least one high-quantity line item."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -1174,6 +1240,8 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "identify_scored": q_identify_scored,
     "session_windows": q_session_windows,
+    "shipping_priority": q_shipping_priority,
+    "corpus_cube": q_corpus_cube,
     "orders_semi": q_orders_semi,
     "customers_no_orders": q_customers_no_orders,
     "click_and_purchase_users": q_click_and_purchase_users,
@@ -1227,6 +1295,8 @@ ORACLES = {
     "ivf_topk": SQL_EMBEDDING_TOPK,  # probe-all IVF ≡ brute force
     "identify_scored": SQL_IDENTIFY_SCORED,
     "session_windows": SQL_SESSION_WINDOWS,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "corpus_cube": SQL_CORPUS_CUBE,
     "orders_semi": SQL_ORDERS_SEMI,
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
     "click_and_purchase_users": SQL_CLICK_AND_PURCHASE,
