@@ -184,3 +184,15 @@ def test_rtf_route_in_extractor():
     assert rec["route"] == "rtf"
     assert rec["extracted_text"] == "Plain rtf body."
     assert rec["error"] is None
+
+
+def test_hash_kernels_chunk_boundary_equivalence(monkeypatch):
+    """Chunked shingle accumulation (bounded memory, ADVICE r1) must be
+    bit-identical to single-pass for any chunk size."""
+    from pubscience_spark.kernels import hashing as H
+    text = " ".join(f"w{i % 211} tok{i % 97} x{i}" for i in range(400))
+    sig_ref = H.minhash_signature(text)
+    sim_ref = H.simhash(text)
+    monkeypatch.setattr(H, "_SHINGLE_CHUNK", 7)
+    assert H.minhash_signature(text) == sig_ref
+    assert H.simhash(text) == sim_ref
