@@ -145,12 +145,51 @@ def _norm(s: str) -> str:
     return _WS.sub(" ", s).strip()
 
 
-class _Emitter:
-    """Walks the tree emitting markdown-ish blocks with link-density gating."""
+_INLINE_WRAP = {"strong": "**", "b": "**", "em": "*", "i": "*", "code": "`"}
 
-    def __init__(self):
+
+def _inline_md(node) -> tuple[str, int]:
+    """H6 extended mode: markdownify-parity inline rendering — links become
+    ``[text](href)``, strong/em/code wrap; anchor chars still counted for
+    the link-density gate."""
+    if isinstance(node, str):
+        return node, 0
+    parts, anchor = [], 0
+    for ch in node.children:
+        t, a = _inline_md(ch)
+        parts.append(t)
+        anchor += a
+    inner = "".join(parts)
+    if node.tag == "a":
+        href = node.attrs.get("href")
+        label = _WS.sub(" ", inner).strip()
+        anchor = len(label)
+        if href and label:
+            return f"[{label}]({href})", anchor
+        return inner, anchor
+    wrap = _INLINE_WRAP.get(node.tag)
+    if wrap and _WS.sub("", inner):
+        return f"{wrap}{inner.strip()}{wrap}", anchor
+    return inner, anchor
+
+
+class _Emitter:
+    """Walks the tree emitting markdown-ish blocks with link-density gating.
+
+    ``extended`` (H6 markdownify parity, opt-in — the default byte
+    semantics stay frozen-fixture-stable) adds inline links/strong/em/code,
+    nested-list indentation, blockquote ``> `` prefixes and fenced ``pre``
+    blocks, mirroring the reference's markdownify defaults
+    (scripts/scrapers/scrapers.py)."""
+
+    def __init__(self, extended: bool = False):
         self.blocks: list[tuple[str, str]] = []   # (kind, text)
         self.stopped = False
+        self.extended = extended
+        self._list_depth = 0
+
+    def _text(self, node) -> tuple[str, int]:
+        return _inline_md(node) if self.extended else _node_text(node)
 
     def walk(self, node: _Node):
         if self.stopped:
@@ -172,12 +211,30 @@ class _Emitter:
                     return
                 self.blocks.append(("heading:" + HEADING_TAGS[tag], text))
             elif tag == "li":
-                text, anchor = _node_text(ch)
+                sublists = []
+                if self.extended:
+                    # nested lists render as their own indented items, not
+                    # flattened into the parent item's text
+                    sublists = [c for c in ch.children
+                                if not isinstance(c, str)
+                                and c.tag in ("ul", "ol") and not c.skip]
+                    inline = _Node(ch.tag, ch.attrs, ch.parent, ch.skip)
+                    inline.children = [c for c in ch.children
+                                       if c not in sublists]
+                    text, anchor = self._text(inline)
+                else:
+                    text, anchor = self._text(ch)
                 text = _norm(text)
                 if text and not self._is_navlike(text, anchor):
-                    self.blocks.append(("li", text))
+                    depth = max(0, self._list_depth - 1) if self.extended \
+                        else 0
+                    self.blocks.append(("li:" + "  " * depth, text))
+                for sub in sublists:
+                    wrapper = _Node("__wrap__", {}, None, False)
+                    wrapper.children = [sub]
+                    self.walk(wrapper)
             elif tag == "p":
-                text, anchor = _node_text(ch)
+                text, anchor = self._text(ch)
                 text = _norm(text)
                 if text and not self._is_navlike(text, anchor):
                     self.blocks.append(("p", text))
@@ -186,7 +243,18 @@ class _Emitter:
                 text, anchor = _node_text(ch)
                 if self._is_navlike(_norm(text), anchor):
                     continue
+                self._list_depth += 1
                 self.walk(ch)
+                self._list_depth -= 1
+            elif self.extended and tag == "blockquote":
+                text, anchor = self._text(ch)
+                text = _norm(text)
+                if text and not self._is_navlike(text, anchor):
+                    self.blocks.append(("quote", text))
+            elif self.extended and tag == "pre":
+                raw = _node_text(ch)[0].strip("\n")
+                if raw.strip():
+                    self.blocks.append(("pre", raw))
             elif tag in ("table",):
                 continue  # tables removed (B5 analog)
             else:
@@ -201,11 +269,13 @@ class _Emitter:
         return density > LINK_DENSITY_MAX and n < MIN_PROSE_CHARS
 
 
-def extract_html(html: str) -> dict:
+def extract_html(html: str, extended: bool = False) -> dict:
     """Extract main content + metadata from an HTML document.
 
     Returns dict with keys: extracted_text, title, abstract, authors,
     headings, spans (list of (start, end, kind, text) over extracted_text).
+    ``extended`` opts into markdownify-parity rendering (H6) — the default
+    output stays byte-stable for the frozen fixtures.
     """
     tb = _TreeBuilder()
     try:
@@ -228,7 +298,7 @@ def extract_html(html: str) -> dict:
                       "dc.description") and abstract is None:
             abstract = _norm(content)
 
-    em = _Emitter()
+    em = _Emitter(extended=extended)
     em.walk(tb.root)
 
     parts: list[str] = []
@@ -242,9 +312,16 @@ def extract_html(html: str) -> dict:
             span_kind = "heading"
             if first_heading is None:
                 first_heading = text
-        elif kind == "li":
-            rendered = f"- {text}"
+        elif kind.startswith("li"):
+            indent = kind.split(":", 1)[1] if ":" in kind else ""
+            rendered = f"{indent}- {text}"
             span_kind = "list_item"
+        elif kind == "quote":
+            rendered = f"> {text}"
+            span_kind = "quote"
+        elif kind == "pre":
+            rendered = f"```\n{text}\n```"
+            span_kind = "code"
         else:
             rendered = text
             span_kind = "paragraph"
@@ -273,10 +350,10 @@ def extract_html(html: str) -> dict:
     }
 
 
-def extract_html_bytes(raw: bytes) -> dict:
+def extract_html_bytes(raw: bytes, extended: bool = False) -> dict:
     """Decode (utf-8, latin-1 fallback) then extract."""
     try:
         html = raw.decode("utf-8")
     except UnicodeDecodeError:
         html = raw.decode("latin-1")
-    return extract_html(html)
+    return extract_html(html, extended=extended)

@@ -236,3 +236,35 @@ def test_pdf_link_harvest():
     assert pdfmini.pdf_links(pdf) == ["https://example.org/a",
                                       "https://example.org/b"]
     assert pdfmini.pdf_links(b"%PDF-1.4\nno links\n%%EOF\n") == []
+
+
+def test_html_extended_markdownify_parity():
+    html = """<html><body><article>
+    <h2>Guide</h2>
+    <p>See <a href="https://x.org/a">the trial</a> for <strong>strong</strong>
+       and <em>subtle</em> <code>code()</code> results.</p>
+    <ul><li>top item</li><li>second<ul><li>nested item</li></ul></li></ul>
+    <blockquote>Quoted wisdom here.</blockquote>
+    <pre>x = 1
+y = 2</pre>
+    </article></body></html>"""
+    plain = html_extract.extract_html(html)["extracted_text"]
+    ext = html_extract.extract_html(html, extended=True)["extracted_text"]
+    # default emitter unchanged: no markdown inline syntax
+    assert "[the trial]" not in plain and "**" not in plain
+    assert "> Quoted" not in plain and "```" not in plain
+    # extended: markdownify-parity rendering
+    assert "[the trial](https://x.org/a)" in ext
+    assert "**strong**" in ext and "*subtle*" in ext and "`code()`" in ext
+    assert "\n- top item" in ext and "\n  - nested item" in ext
+    assert "> Quoted wisdom here." in ext
+    assert "```\nx = 1\ny = 2\n```" in ext
+
+
+def test_html_extended_link_density_still_gates():
+    menu = "".join(f'<li><a href="/p{i}">Page {i}</a></li>' for i in range(8))
+    html = f"<html><body><ul>{menu}</ul><p>Real prose content that is " \
+           "definitely long enough to be kept by the density gate " \
+           "because it keeps going.</p></body></html>"
+    ext = html_extract.extract_html(html, extended=True)["extracted_text"]
+    assert "Page 3" not in ext and "Real prose" in ext
