@@ -32,6 +32,13 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     key is treated hot (full ``n_salt``× replication of the small side —
     only sane when the small side is genuinely small).
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti",
+                   "cross"):
+        # right/full joins would emit unmatched SMALL-side rows once per
+        # salt replica — a silent row-count bug; reverse the sides instead
+        raise ValueError(f"salted_join does not support how={how!r}: "
+                         "unmatched replicated small-side rows would "
+                         "duplicate — swap the join sides")
     if salt_keys is not None:
         hot = F.col(key).isin(*salt_keys)
     else:

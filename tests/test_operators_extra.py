@@ -143,3 +143,14 @@ def test_salted_join_equals_plain_join(spark):
           big.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
     sc = {r["k"]: r["n"] for r in salted_count(big, "k", 8).collect()}
     assert sc == pc
+
+
+def test_salted_join_rejects_right_joins(spark):
+    from pubscience_spark.operators.joins import salted_join
+    big = spark.createDataFrame([("k", 1)], ["k", "v"])
+    small = spark.createDataFrame([("k", 2)], ["k", "s"])
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        salted_join(big, small, "k", how="right")
+    with _pt.raises(ValueError):
+        salted_join(big, small, "k", how="full")
