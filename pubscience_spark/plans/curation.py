@@ -107,7 +107,10 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
                                       threshold=neardup_threshold,
                                       bands=neardup_bands)
     drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    kept = exact.join(F.broadcast(drop_ids), id_col, "left_anti")
+    # no broadcast hint: the drop set is usually tiny (AQE will broadcast
+    # it), but a near-dup-heavy corpus at 10^12 docs can produce a drop
+    # set too large to ship to every executor — let the planner decide
+    kept = exact.join(drop_ids, id_col, "left_anti")
     kept = train_val_test_split(kept, id_col, weights=split_weights)
 
     # ---- one-pass funnel counts + write -------------------------------
