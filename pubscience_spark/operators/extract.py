@@ -90,9 +90,11 @@ _EMPTY = {
 }
 
 
-def extract_one(raw: bytes) -> dict:
+def extract_one(raw: bytes, html_extended: bool = False) -> dict:
     """Single-page extraction — the sequential reference implementation used
-    for golden fixtures and inside the Arrow batch loop."""
+    for golden fixtures and inside the Arrow batch loop. ``html_extended``
+    opts the HTML route into markdownify-parity rendering (H6); default
+    output stays frozen-fixture byte-stable."""
     out = dict(_EMPTY)
     route = detect_route(raw)
     out["route"] = route
@@ -116,7 +118,7 @@ def extract_one(raw: bytes) -> dict:
                 abstract=r["abstract"], authors=r["authors"],
                 mesh_terms=r["mesh_terms"], language=r["language"])
         elif route == "html":
-            r = html_extract.extract_html_bytes(raw)
+            r = html_extract.extract_html_bytes(raw, extended=html_extended)
             cleaned = textclean.clean_markdown(r["extracted_text"])
             out.update(
                 extracted_text=cleaned, title=r["title"],
@@ -134,14 +136,16 @@ def extract_one(raw: bytes) -> dict:
     return out
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(batches: Iterator[pd.DataFrame],
+                     html_extended: bool = False) -> Iterator[pd.DataFrame]:
     import time
     cols = [f.name for f in EXTRACTED_SCHEMA.fields]
     for pdf_batch in batches:
         t0 = time.perf_counter()
         records = []
         for url, raw in zip(pdf_batch["url"], pdf_batch["html"]):
-            rec = extract_one(bytes(raw) if raw is not None else b"")
+            rec = extract_one(bytes(raw) if raw is not None else b"",
+                              html_extended=html_extended)
             rec["url"] = url
             records.append(rec)
         elapsed = time.perf_counter() - t0
@@ -151,7 +155,11 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(records, columns=cols)
 
 
-def extract_pages(pages: DataFrame) -> DataFrame:
-    """pages(url, …, html, …) → EXTRACTED_SCHEMA rows, Arrow-batched."""
+def extract_pages(pages: DataFrame,
+                  html_extended: bool = False) -> DataFrame:
+    """pages(url, …, html, …) → EXTRACTED_SCHEMA rows, Arrow-batched.
+    The flag is resolved driver-side into the UDF closure (worker-reuse
+    safe)."""
     return (pages.select("url", "html")
-            .mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA))
+            .mapInPandas(lambda it: _extract_batches(it, html_extended),
+                         schema=EXTRACTED_SCHEMA))
