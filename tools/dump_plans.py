@@ -125,6 +125,32 @@ def main() -> None:
         "spans a whole file.",
         explain_str(read_text_lines(spark, tmp))))
 
+    # 8. curation funnel (pre-write read side)
+    from pubscience_spark.operators import dedup as dd
+    from pubscience_spark.operators.sampling import train_val_test_split
+    docs2 = spark.read.parquet(f"{SF}/documents.parquet")
+    gated = docs2.where(F.length("text") >= 100)
+    keepers = (gated.select(F.sha2(F.col("text"), 256).alias("__sha"),
+                            "doc_id")
+               .groupBy("__sha").agg(F.min("doc_id").alias("__keep")))
+    exact = (gated.withColumn("__sha", F.sha2(F.col("text"), 256))
+             .join(keepers, "__sha")
+             .where(F.col("doc_id") == F.col("__keep"))
+             .drop("__sha", "__keep"))
+    pairs = dd.minhash_neardup(exact, "doc_id", "text", threshold=0.85,
+                               bands=32)
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    curated = train_val_test_split(exact.join(drops, "doc_id", "left_anti"),
+                                   "doc_id")
+    sections.append((
+        "Curation funnel (gates → exact dedup → near-dup drop → split)",
+        "Gates are pushed predicates; exact-dedup keepers are a partial_min "
+        "HashAggregate (map-side combine); the near-dup drop is a LEFT ANTI "
+        "join against a slim distinct id set; split assignment is pure "
+        "codegen md5 arithmetic — the only Python is the MinHash signature "
+        "pUDF inside the banded candidate step.",
+        explain_str(curated)))
+
     out = ["# PLANS — physical-plan evidence\n",
            "Generated by `python tools/dump_plans.py` "
            "(sf0.01, local[4]; plan *shapes* are scale-independent).\n"]
