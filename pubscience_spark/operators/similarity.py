@@ -85,12 +85,40 @@ def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding") -> DataFrame:
     """Adds ``list_id`` = argmax-dot-product centroid (broadcast as a
-    literal array — no shuffle, pure codegen arithmetic)."""
+    literal array — no shuffle, pure codegen arithmetic). Right for tens
+    of lists; beyond ~100 the literal expression tree itself becomes the
+    bottleneck — use :func:`ivf_assign_join`."""
     cent = F.array(*[
         F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     dots = F.transform(cent, lambda c: _dot(c, F.col(vec_col)))
     return df.withColumn("list_id", F.array_position(
         dots, F.array_max(dots)).cast("int") - 1)
+
+
+def ivf_assign_join(df: DataFrame, centroids: list[list[float]],
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Join-based coarse assignment for LARGE ``n_lists`` (IVF at 10^12
+    docs wants thousands of lists): centroids become a broadcast DataFrame,
+    each row scores against every centroid via a broadcast nested-loop
+    crossJoin, and argmax is a ``max(struct(dot, -list_id))`` aggregation —
+    map-side combinable, one slim shuffle on ``id_col``, no giant literal
+    expression tree. Tie-break (equal dot) picks the LOWEST list id,
+    matching :func:`ivf_assign`'s array_position-of-first-max."""
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, cv array<double>")
+    scored = (df.crossJoin(F.broadcast(cent_df))
+              .withColumn("__dot", _dot(F.col(vec_col), F.col("cv")))
+              .drop("cv"))
+    best = (scored.groupBy(id_col)
+            .agg(F.max(F.struct(F.col("__dot").alias("d"),
+                                (-F.col("list_id")).alias("nid")))
+                 .alias("__b"))
+            .select(id_col, (-F.col("__b.nid")).cast("int")
+                    .alias("list_id")))
+    return df.join(best, id_col)
 
 
 def kmeans_centroids(corpus: DataFrame, n_lists: int, *, n_iter: int = 5,

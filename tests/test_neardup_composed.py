@@ -138,3 +138,18 @@ def test_ivf_kmeans_recall_beats_first_at_low_probe(spark):
                              centroids="kmeans", kmeans_iter=2)
     got_pa = {(r["query_id"], r["neighbor_id"]) for r in pa.collect()}
     assert got_pa == bf
+
+
+def test_ivf_assign_join_equals_literal(spark):
+    """Join-based coarse assignment (large-n_lists scale path) must agree
+    with the literal-expression assignment, ties included."""
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    rows.append((60, rows[0][1]))   # duplicate vector → same argmax
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [list(map(float, rng.normal(size=8))) for _ in range(5)]
+    a = {r["vec_id"]: r["list_id"] for r in
+         similarity.ivf_assign(df, cents).collect()}
+    b = {r["vec_id"]: r["list_id"] for r in
+         similarity.ivf_assign_join(df, cents).collect()}
+    assert a == b and len(a) == 61
