@@ -27,10 +27,12 @@ import re
 from html import unescape
 from html.parser import HTMLParser
 
-# containers whose subtree is never content
+# containers whose subtree is never content (head/title text is captured
+# separately by the tree builder for the title/meta fields)
 SKIP_TAGS = frozenset({
     "script", "style", "noscript", "iframe", "svg", "canvas", "template",
     "nav", "header", "footer", "aside", "form", "button", "select", "option",
+    "head", "title",
 })
 
 # class/id substrings marking boilerplate subtrees (H5 analog)
@@ -81,6 +83,12 @@ def _is_boilerplate_attrs(attrs: dict) -> bool:
     return any(m in blob for m in BOILERPLATE_MARKERS)
 
 
+MAX_DOM_DEPTH = 200   # recursion guard: malformed pages (unclosed tags)
+# auto-nest thousands deep; past the cap, content flattens into the
+# current node so TEXT IS PRESERVED and every tree walk stays well under
+# the interpreter recursion limit. Legitimate DOMs are < 50 levels.
+
+
 class _TreeBuilder(HTMLParser):
     """Builds a minimal DOM tree; malformed markup degrades gracefully."""
 
@@ -94,6 +102,8 @@ class _TreeBuilder(HTMLParser):
         self.meta: list[dict] = []
         self.title_parts: list[str] = []
         self._in_title = False
+        self._depth = 0
+        self._overflow = 0
 
     def handle_starttag(self, tag, attrs):
         if tag in self.VOID:
@@ -104,21 +114,35 @@ class _TreeBuilder(HTMLParser):
             return
         if tag == "title":
             self._in_title = True
+        if self._depth >= MAX_DOM_DEPTH:
+            self._overflow += 1
+            return
         attrs_d = dict(attrs)
         skip = (self.cur.skip or tag in SKIP_TAGS
                 or _is_boilerplate_attrs(attrs_d))
         node = _Node(tag, attrs_d, self.cur, skip)
         self.cur.children.append(node)
         self.cur = node
+        self._depth += 1
 
     def handle_endtag(self, tag):
         if tag == "title":
             self._in_title = False
+        if self._overflow > 0:
+            self._overflow -= 1
+            return
         node = self.cur
         while node is not self.root and node.tag != tag:
             node = node.parent
         if node is not self.root:
+            # recompute depth as distance from root of the new cursor
             self.cur = node.parent
+            d = 0
+            n = self.cur
+            while n is not self.root:
+                d += 1
+                n = n.parent
+            self._depth = d
 
     def handle_data(self, data):
         if self._in_title:
@@ -194,11 +218,25 @@ class _Emitter:
     def walk(self, node: _Node):
         if self.stopped:
             return
+        buf: list[str] = []
+
+        def flush():
+            # bare text directly inside a walked container (divs on real
+            # CC pages, or content flattened by the DOM-depth cap) becomes
+            # a paragraph block — structural whitespace normalizes away
+            text = _norm("".join(buf))
+            buf.clear()
+            if text and not self._is_navlike(text, 0):
+                self.blocks.append(("p", text))
+
         for ch in node.children:
             if self.stopped:
                 return
             if isinstance(ch, str):
+                if not node.skip:
+                    buf.append(ch)
                 continue
+            flush()
             if ch.skip:
                 continue
             tag = ch.tag
@@ -259,6 +297,7 @@ class _Emitter:
                 continue  # tables removed (B5 analog)
             else:
                 self.walk(ch)
+        flush()
 
     @staticmethod
     def _is_navlike(text: str, anchor_chars: int) -> bool:

@@ -268,3 +268,16 @@ def test_html_extended_link_density_still_gates():
            "because it keeps going.</p></body></html>"
     ext = html_extract.extract_html(html, extended=True)["extracted_text"]
     assert "Page 3" not in ext and "Real prose" in ext
+
+
+def test_html_depth_cap_preserves_text():
+    # 50k unclosed <p> tags auto-nest: pre-cap this was a RecursionError
+    # and 0 extracted chars; now content past MAX_DOM_DEPTH flattens
+    big = "<html><body>" + "<p>word " * 50000 + "</p></body></html>"
+    r = html_extract.extract_html(big)
+    assert "word word" in r["extracted_text"]
+    assert len(r["extracted_text"]) > 100000
+    deep = ("<html><body>" + "<div>" * 5000 + "<p>kept para</p>"
+            + "</div>" * 5000 + "</body></html>")
+    r2 = html_extract.extract_html(deep)
+    assert r2["extracted_text"] == "kept para"
