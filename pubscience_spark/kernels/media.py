@@ -89,8 +89,10 @@ def decode_png(raw: bytes) -> np.ndarray:
         data = raw[pos + 8:pos + 8 + length]
         pos += 12 + length
         if ctype == b"IHDR":
+            if len(data) < 13:                  # truncated mid-header
+                raise UnsupportedFormat("png truncated IHDR")
             width, height, bitdepth, color, _comp, _filt, interlace = \
-                struct.unpack(">IIBBBBB", data)
+                struct.unpack(">IIBBBBB", data[:13])
             if interlace:
                 raise UnsupportedFormat("interlaced png")
         elif ctype == b"PLTE":
