@@ -114,22 +114,32 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     kept = train_val_test_split(kept, id_col, weights=split_weights)
 
     # ---- one-pass funnel counts + write -------------------------------
+    z = F.lit(0)          # sum() over zero rows is NULL — pin to 0
     funnel_row = flagged.agg(
         F.count(F.lit(1)).alias("input"),
-        F.sum(F.when(F.col("__len_ok"), 1).otherwise(0)).alias("len_ok"),
-        F.sum(F.when(F.col("__len_ok") & F.col("__lang_ok"), 1)
-              .otherwise(0)).alias("lang_ok"),
-        F.sum(F.when(F.col("__len_ok") & F.col("__lang_ok")
-                     & F.col("__q_ok"), 1).otherwise(0)).alias("quality_ok")
-    ).collect()[0]
+        F.coalesce(F.sum(F.when(F.col("__len_ok"), 1).otherwise(0)), z)
+        .alias("len_ok"),
+        F.coalesce(F.sum(F.when(F.col("__len_ok") & F.col("__lang_ok"), 1)
+                         .otherwise(0)), z).alias("lang_ok"),
+        F.coalesce(F.sum(F.when(F.col("__len_ok") & F.col("__lang_ok")
+                                & F.col("__q_ok"), 1).otherwise(0)), z)
+        .alias("quality_ok")).collect()[0]
     corpus_path = os.path.join(out_dir, "corpus")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = kept.drop("__len_ok", "__lang_ok", "__q_ok")
     out.write.mode("overwrite").partitionBy("split").parquet(corpus_path)
-    written = spark.read.parquet(corpus_path)
-    split_counts = {r["split"]: r["n"] for r in
-                    written.groupBy("split")
-                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+    # dynamic overwrite writes no files for an empty result — read back
+    # only when data exists (zero-input runs yield an empty manifest)
+    has_files = any(f.endswith(".parquet")
+                    for _r, _d, files in os.walk(corpus_path)
+                    for f in files) if os.path.isdir(corpus_path) else False
+    if has_files:
+        written = spark.read.parquet(corpus_path)
+        split_counts = {r["split"]: r["n"] for r in
+                        written.groupBy("split")
+                        .agg(F.count(F.lit(1)).alias("n")).collect()}
+    else:
+        split_counts = {}
     n_written = sum(split_counts.values())
     exact.unpersist()
     manifest = {
