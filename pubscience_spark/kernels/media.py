@@ -49,10 +49,12 @@ def _png_unfilter(raw: bytes, width: int, height: int, nchan: int,
         pos += stride
         if ftype == 0:
             cur = line
-        elif ftype == 1:            # Sub
-            cur = line
-            for x in range(nchan, stride):
-                cur[x] = (cur[x] + cur[x - nchan]) & 0xFF
+        elif ftype == 1:            # Sub: prefix-sum per channel lane
+            # out[x] = Σ deltas mod 256 — addition mod 256 is associative,
+            # so a vectorized cumsum replaces the per-pixel loop
+            lanes = line.astype(np.int64).reshape(-1, nchan)
+            cur = (np.cumsum(lanes, axis=0) & 0xFF) \
+                .astype(np.uint8).reshape(stride)
         elif ftype == 2:            # Up
             cur = (line.astype(np.int16) + prev).astype(np.uint8)
         elif ftype == 3:            # Average
