@@ -103,19 +103,30 @@ class _TreeBuilder(HTMLParser):
         self.title_parts: list[str] = []
         self._in_title = False
         self._depth = 0
-        self._overflow = 0
+        # tags discarded past MAX_DOM_DEPTH: (tag, started_suppress).
+        # Tracking names (not a bare counter) keeps the cursor in sync
+        # when end tags close PRE-cap nodes from inside an overflow
+        # region, and suppression makes <script>/<style>/boilerplate
+        # subtrees past the cap still swallow their text instead of
+        # flattening JS/CSS into the extracted content.
+        self._overflow_stack: list[tuple[str, bool]] = []
+        self._suppress = 0
 
     def handle_starttag(self, tag, attrs):
         if tag in self.VOID:
             if tag == "meta":
                 self.meta.append(dict(attrs))
-            elif tag == "br":
+            elif tag == "br" and not self._suppress:
                 self.cur.children.append("\n")
             return
         if tag == "title":
             self._in_title = True
         if self._depth >= MAX_DOM_DEPTH:
-            self._overflow += 1
+            starts_skip = (tag in SKIP_TAGS
+                           or _is_boilerplate_attrs(dict(attrs)))
+            self._overflow_stack.append((tag, starts_skip))
+            if starts_skip:
+                self._suppress += 1
             return
         attrs_d = dict(attrs)
         skip = (self.cur.skip or tag in SKIP_TAGS
@@ -128,9 +139,21 @@ class _TreeBuilder(HTMLParser):
     def handle_endtag(self, tag):
         if tag == "title":
             self._in_title = False
-        if self._overflow > 0:
-            self._overflow -= 1
-            return
+        if self._overflow_stack:
+            tags = [t for t, _ in self._overflow_stack]
+            if tag in tags:
+                # close the nearest discarded start of this name plus any
+                # discarded tags opened after it (implicit close)
+                idx = len(tags) - 1 - tags[::-1].index(tag)
+                for _, started in self._overflow_stack[idx:]:
+                    if started:
+                        self._suppress -= 1
+                del self._overflow_stack[idx:]
+                return
+            # end tag for a PRE-cap node: every still-open discarded tag
+            # is implicitly closed; fall through to the normal unwind
+            self._overflow_stack.clear()
+            self._suppress = 0
         node = self.cur
         while node is not self.root and node.tag != tag:
             node = node.parent
@@ -147,6 +170,8 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if self._in_title:
             self.title_parts.append(data)
+        if self._suppress:
+            return          # inside an over-deep skip/boilerplate subtree
         self.cur.children.append(data)
 
 

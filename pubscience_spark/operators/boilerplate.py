@@ -93,10 +93,12 @@ def boilerplate_udf(rulesets: dict[str, RuleSet] | None = None,
     smap = source_map or {}
 
     @pandas_udf(_PROC_SCHEMA)
-    def _proc(text: pd.Series, source: pd.Series) -> pd.DataFrame:
+    def _proc(text: pd.Series, source: pd.Series,
+              title: pd.Series) -> pd.DataFrame:
         rows = [process_source(t if t is not None else "", s or "default",
-                               rules, source_map=smap)
-                for t, s in zip(text, source)]
+                               rules, title=ti if ti is not None else "",
+                               source_map=smap)
+                for t, s, ti in zip(text, source, title)]
         return pd.DataFrame(rows, columns=["clean_text", "kept"])
     return _proc
 
@@ -106,16 +108,24 @@ def strip_boilerplate(df: DataFrame, text_col: str = "text",
                       out_col: str = "clean_text",
                       rulesets: dict[str, RuleSet] | None = None,
                       source_map: dict[str, str] | None = None,
-                      drop_skipped: bool = False) -> DataFrame:
+                      drop_skipped: bool = False,
+                      title_col: str | None = None) -> DataFrame:
     """One pUDF pass; per-source rules resolved row-wise in the batch.
 
     ``source_map`` aliases table sources onto reference processors (e.g.
     ``{"src0": "wikidoc"}``). ``drop_skipped`` filters documents the
     processor rejected (reference ``return None``); otherwise a ``kept``
     column is exposed so the caller can count drops without a second pass.
+    ``title_col`` feeds the title-dependent reference processors (aafp's
+    title head + title-startswith line drop, gc's 'Title' sentinel, nice's
+    name prefix — ``scripts/clean.py:243-268,414-441,556-590``); when
+    absent those processors see ``title=""`` exactly like the sequential
+    API's default.
     """
+    title_expr = (F.col(title_col) if title_col is not None
+                  else F.lit("").cast("string"))
     struct = boilerplate_udf(rulesets, source_map)(
-        F.col(text_col), F.col(source_col))
+        F.col(text_col), F.col(source_col), title_expr)
     out = (df.withColumn("__bp", struct)
            .withColumn(out_col, F.col("__bp.clean_text"))
            .withColumn("kept", F.col("__bp.kept"))

@@ -45,17 +45,34 @@ def mark_duplicates(df: DataFrame, key_col: str,
         "is_duplicate", F.row_number().over(w) > 1)
 
 
-def _ensure_persisted(df: DataFrame) -> DataFrame:
+def _ensure_persisted(df: DataFrame) -> tuple[DataFrame, DataFrame | None]:
     """The slim/wide dual-use pattern feeds ``df`` into BOTH join sides; an
     unpersisted input re-executes its whole upstream (e.g. the mapInPandas
     extraction) once per consumer. Persist inside the operator so callers
     cannot hit double extraction; an already-persisted input is left
-    untouched (the caller unpersists after its action either way)."""
+    untouched. Returns ``(df, handle)`` — ``handle`` is the DataFrame this
+    call persisted (None if the input was already persisted); the operator
+    tags it onto its output for :func:`unpersist_input`."""
     lvl = df.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
         from pyspark.storagelevel import StorageLevel
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    return df
+        return df, df
+    return df, None
+
+
+def unpersist_input(marked: DataFrame) -> bool:
+    """Release the cache ``mark_duplicates_multi`` /
+    ``mark_duplicates_incremental`` created internally (no-op when the
+    caller had persisted the input itself). Call AFTER the terminal action
+    on the marked DataFrame — the cache is what keeps the upstream
+    extraction from running once per join side. Returns True if a cache
+    was released."""
+    handle = getattr(marked, "_ps_persisted_input", None)
+    if handle is not None:
+        handle.unpersist()
+        return True
+    return False
 
 
 def mark_duplicates_multi(df: DataFrame, key_cols: list[str],
@@ -68,8 +85,12 @@ def mark_duplicates_multi(df: DataFrame, key_cols: list[str],
     run over a slim ``(order_col, keys)`` projection (tens of bytes/row),
     and a single join on ``order_col`` carries the flag back, so the wide
     rows shuffle exactly once. ``order_col`` must be unique (url / doc_id).
+
+    If the input was not already persisted this operator persists it
+    (both join sides read it); release that cache with
+    :func:`unpersist_input` on the returned DataFrame after your action.
     """
-    df = _ensure_persisted(df)
+    df, persisted = _ensure_persisted(df)
     slim = df.select(order_col, *key_cols)
     flag = F.lit(False)
     for key in key_cols:
@@ -86,7 +107,9 @@ def mark_duplicates_multi(df: DataFrame, key_cols: list[str],
     flags = slim.select(order_col, flag.alias(flag_col))
     # shuffle-hash join, building on the slim flags side: SMJ would SORT the
     # wide rows (as costly as the per-key shuffles this function removes)
-    return df.join(flags.hint("shuffle_hash"), order_col)
+    out = df.join(flags.hint("shuffle_hash"), order_col)
+    out._ps_persisted_input = persisted
+    return out
 
 
 def mark_duplicates_incremental(df: DataFrame, key_cols: list[str],
@@ -106,10 +129,12 @@ def mark_duplicates_incremental(df: DataFrame, key_cols: list[str],
     Returns ``(marked_df, new_index_rows)`` — append ``new_index_rows`` to
     the index table after the data write commits. Appends may duplicate
     under crash-retry; ``load_keeper_index`` re-aggregates min() on read,
-    which keeps the index idempotent.
+    which keeps the index idempotent. As with ``mark_duplicates_multi``,
+    an unpersisted input is persisted internally — release it with
+    :func:`unpersist_input` on ``marked_df`` after the terminal action.
     """
     spark = df.sparkSession
-    df = _ensure_persisted(df)
+    df, persisted = _ensure_persisted(df)
     slim = df.select(order_col, *key_cols)
     flag = F.lit(False)
     new_index = None
@@ -139,6 +164,7 @@ def mark_duplicates_incremental(df: DataFrame, key_cols: list[str],
         flag = flag | (F.col(order_col) != F.col(f"__keep_{key}"))
     flags = slim.select(order_col, flag.alias(flag_col))
     marked = df.join(flags.hint("shuffle_hash"), order_col)
+    marked._ps_persisted_input = persisted
     if new_index is None:
         new_index = spark.createDataFrame(
             [], "key_name string, key string, keeper string")

@@ -24,16 +24,22 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
                 salt_keys: list | None = None) -> DataFrame:
     """Equi-join with hot-key salting.
 
-    ``big`` rows get ``salt = pmod(xxhash64(<all big columns>), n_salt)``
-    restricted to hot keys (uniform spread, deterministic); ``small`` rows
-    for hot keys replicate ``n_salt``× (explode), others keep salt 0 —
-    replication cost is bounded by ``n_salt × |hot small rows|``, which is
-    tiny by definition of "hot key list". When ``salt_keys`` is None every
-    key is treated hot (full ``n_salt``× replication of the small side —
-    only sane when the small side is genuinely small).
+    ``big`` rows get ``salt = pmod(xxhash64(<all big columns>,
+    spark_partition_id()), n_salt)`` restricted to hot keys; mixing the
+    input partition id keeps the spread deterministic (file-scan splits
+    are stable across retries) while splitting byte-identical duplicate
+    rows of a hot key — the viral-duplicate shape — across buckets as
+    long as they span input partitions. Identical rows *within one input
+    partition* still share a bucket (bounded by
+    ``maxPartitionBytes``-worth of rows, so no task owns a whole viral
+    key). ``small`` rows for hot keys replicate ``n_salt``× (explode),
+    others keep salt 0 — replication cost is bounded by ``n_salt × |hot
+    small rows|``, which is tiny by definition of "hot key list". When
+    ``salt_keys`` is None every key is treated hot (full ``n_salt``×
+    replication of the small side — only sane when the small side is
+    genuinely small).
     """
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti",
-                   "cross"):
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         # right/full joins would emit unmatched SMALL-side rows once per
         # salt replica — a silent row-count bug; reverse the sides instead
         raise ValueError(f"salted_join does not support how={how!r}: "
@@ -45,7 +51,8 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         hot = F.lit(True)
     big_salted = big.withColumn(
         "__salt",
-        F.when(hot, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+        F.when(hot, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns],
+                                      F.spark_partition_id()),
                            F.lit(n_salt)).cast("int"))
         .otherwise(F.lit(0)))
     small_salted = small.withColumn(
@@ -64,7 +71,8 @@ def salted_count(df: DataFrame, key: str, n_salt: int = 16,
     shape matters for aggregates WITHOUT a combiner — collect_list-like —
     and documents the pattern.)"""
     partial = (df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns],
+                                    F.spark_partition_id()),
                          F.lit(n_salt)).cast("int"))
         .groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__pc")))
     return partial.groupBy(key).agg(F.sum("__pc").cast("long").alias(out_col))

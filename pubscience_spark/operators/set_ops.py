@@ -45,9 +45,12 @@ def dedup_by_name(df: DataFrame, name_col: str, text_col: str = "text",
       ``overview``. Surviving overview rows are renamed to their subject
       (reference mutates ``name`` in place).
 
-    Scale shape: prefix matching is an equi-join on the FIRST TOKEN of the
-    name (a subject and every name it prefixes share token 1), then a
-    cheap ``startswith`` filter — no cross join, overview side broadcast.
+    Scale shape: the reference's ``name.startswith(subject)`` admits
+    mid-token prefixes (subject ``Alpha`` drops ``Alphabet history``), so
+    no token-level equi-join key exists; the overview-subject side is tiny
+    by construction (distinct page names ending in ``overview``), so the
+    prefix match is a broadcast nested-loop join — O(n·m) JVM string
+    compares with m = |overviews|, no shuffle, no cross join of big sides.
     Empty subjects (a doc literally named "overview") would prefix-match
     every article in the reference; they are guarded out here (divergence
     noted: the as-written behavior deletes the whole corpus).
@@ -72,18 +75,13 @@ def dedup_by_name(df: DataFrame, name_col: str, text_col: str = "text",
                  .where(name.endswith("overview"))
                  .select(subject.alias("__subj"))
                  .where(F.length("__subj") > 0)
-                 .distinct()
-                 .withColumn("__tok1", F.split("__subj", " ").getItem(0)))
-    candidates = merged.withColumn(
-        "__tok1",
-        F.when(name.endswith("overview"), F.lit(None))
-        .otherwise(F.split(name, " ").getItem(0)))
-    drop_keys = (candidates
-                 .join(F.broadcast(overviews), "__tok1")
-                 .where(name.startswith(F.col("__subj")))
+                 .distinct())
+    non_overview = merged.where(~name.endswith("overview"))
+    drop_keys = (non_overview.select(name_col)
+                 .join(F.broadcast(overviews),
+                       name.startswith(F.col("__subj")))
                  .select(name).distinct())
-    survivors = (candidates.drop("__tok1")
-                 .join(F.broadcast(drop_keys), name_col, "left_anti"))
+    survivors = merged.join(F.broadcast(drop_keys), name_col, "left_anti")
     if rename_overviews:
         survivors = survivors.withColumn(
             name_col,

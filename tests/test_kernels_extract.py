@@ -281,3 +281,40 @@ def test_html_depth_cap_preserves_text():
             + "</div>" * 5000 + "</body></html>")
     r2 = html_extract.extract_html(deep)
     assert r2["extracted_text"] == "kept para"
+
+
+def test_html_depth_cap_still_suppresses_skip_subtrees():
+    """ADVICE round 2: past MAX_DOM_DEPTH, <script>/<style>/boilerplate
+    subtrees must still swallow their text, and end tags of discarded
+    nodes must not desync the pre-cap cursor."""
+    nest = "<div>" * (html_extract.MAX_DOM_DEPTH + 5)
+    unnest = "</div>" * (html_extract.MAX_DOM_DEPTH + 5)
+    html = ("<html><body>" + nest
+            + "<script>var evil = 'JSLEAK';</script>"
+            + "<style>.x{color:CSSLEAK}</style>"
+            + '<nav class="nav">NAVLEAK</nav>'
+            + "over-deep prose stays "
+            + unnest + "<p>after para</p></body></html>")
+    r = html_extract.extract_html(html)
+    txt = r["extracted_text"]
+    assert "JSLEAK" not in txt and "CSSLEAK" not in txt
+    assert "NAVLEAK" not in txt
+    assert "over-deep prose stays" in txt      # non-skip text preserved
+    assert "after para" in txt                 # cursor resynced post-cap
+
+
+def test_html_depth_cap_precap_endtag_resyncs():
+    """An end tag closing a PRE-cap node from inside an overflow region
+    implicitly closes all discarded tags (no stale suppression)."""
+    nest = "<section>" * (html_extract.MAX_DOM_DEPTH + 3)
+    # </body> closes a pre-cap node while <span> overflow tags are open
+    html = ("<html><body>" + nest + "<span><script>LEAK1</script>"
+            + "</body></html><p>outside</p>")
+    r = html_extract.extract_html(html)
+    assert "LEAK1" not in r["extracted_text"]
+    # suppression must not stick past the pre-cap close
+    html2 = ("<html><body><p>pre</p>" + nest
+             + "<script>LEAK2" + "</body>" + "<p>post text</p></html>")
+    r2 = html_extract.extract_html(html2)
+    assert "LEAK2" not in r2["extracted_text"]
+    assert "pre" in r2["extracted_text"]

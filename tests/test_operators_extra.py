@@ -152,5 +152,23 @@ def test_salted_join_rejects_right_joins(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         salted_join(big, small, "k", how="right")
-    with _pt.raises(ValueError):
-        salted_join(big, small, "k", how="full")
+    with _pt.raises(ValueError):        # ADVICE round 2: cross + keys = inner
+        salted_join(big, small, "k", how="cross")
+
+
+def test_salted_join_spreads_identical_duplicate_rows(spark):
+    """ADVICE round 2: byte-identical duplicate rows of a hot key (the
+    viral-duplicate shape) must land in MULTIPLE salt buckets when they
+    span input partitions — a row-content-only hash collapses them all
+    into one bucket, leaving the skew unsplit."""
+    from pyspark.sql import functions as F2
+
+    # 4000 byte-identical rows spread over 16 input partitions
+    big = (spark.range(4000).repartition(16)
+           .select(F2.lit("hot").alias("k"), F2.lit("same-text").alias("v")))
+    salted = big.withColumn(
+        "__salt",
+        F2.pmod(F2.xxhash64(F2.col("k"), F2.col("v"),
+                            F2.spark_partition_id()), F2.lit(16)))
+    n_buckets = salted.select("__salt").distinct().count()
+    assert n_buckets > 4  # spread across many buckets, not one

@@ -26,7 +26,17 @@ def test_mark_duplicates_multi_persists_internally(spark):
     # consumer (double extraction in the pipeline)
     assert plan.count("InMemoryTableScan") >= 2
     assert marked.count() == 100
-    df.unpersist()
+    # ADVICE round 2: the operator-internal persist must be releasable by
+    # callers that never persisted anything themselves
+    assert dedup.unpersist_input(marked) is True
+    # an already-persisted input is NOT owned by the operator: no handle,
+    # and the caller's own cache survives
+    df2 = df.persist()
+    df2.count()
+    marked2 = dedup.mark_duplicates_multi(df2, ["sha256"], "url")
+    assert dedup.unpersist_input(marked2) is False
+    assert df2.storageLevel.useMemory or df2.storageLevel.useDisk
+    df2.unpersist()
 
 
 def test_reservoir_sample_partition_invariant(spark):

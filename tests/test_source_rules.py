@@ -109,6 +109,27 @@ def test_strip_boilerplate_real_rulesets_spark(spark):
     assert strip_boilerplate(df, drop_skipped=True).count() == 4
 
 
+def test_strip_boilerplate_plumbs_title_col(spark):
+    """title_col reaches title-dependent processors (ADVICE round 2):
+    the Spark path must equal process_source(..., title=...)."""
+    text = ("Noise header\nPrint\nShare\n"
+            "Asthma is a chronic condition of the airways.\n"
+            "More body text follows here.\n")
+    title = "Asthma Care | AAFP"
+    seq_text, seq_kept = process_source(text, "aafp", title=title)
+    df = spark.createDataFrame([("d0", "aafp", text, title)],
+                               ["doc_id", "source", "text", "title"])
+    row = (strip_boilerplate(df, title_col="title")
+           .select("clean_text", "kept").collect()[0])
+    assert (row["clean_text"], row["kept"]) == (seq_text, seq_kept)
+    # the aafp processor seeds output with the cleaned title head
+    assert seq_kept and seq_text.startswith("Asthma Care")
+    # without title_col the pUDF sees title="" — same as the sequential
+    # default, NOT the titled output
+    row2 = strip_boilerplate(df).select("clean_text").collect()[0]
+    assert row2["clean_text"] == process_source(text, "aafp")[0]
+
+
 # ---------------------------------------------------------------- X4 -----
 
 def _ref_wikidoc_dedup(articles):
@@ -141,6 +162,12 @@ def test_dedup_by_name_matches_reference_semantics(spark):
         {"i": 5, "name": "mitral overview", "text": "mo"},
         {"i": 6, "name": "mitral valve repair detail page", "text": "mv"},
         {"i": 7, "name": "unrelated article", "text": "ua"},
+        # mid-token prefix (ADVICE round 2): subject 'alpha' must drop
+        # 'alphabet history' — reference uses raw startswith, token
+        # boundaries don't matter
+        {"i": 8, "name": "alpha overview", "text": "ao"},
+        {"i": 9, "name": "alphabet history", "text": "ah"},
+        {"i": 10, "name": "alpine skiing", "text": "as"},
     ]
     expected = _ref_wikidoc_dedup(articles)
     df = spark.createDataFrame(articles)
@@ -149,6 +176,9 @@ def test_dedup_by_name_matches_reference_semantics(spark):
     assert got == expected
     # multi-token suffix IS removed (ADVICE round 1): 'medical therapy'
     assert not any(n == "aortic stenosis medical therapy" for n, _ in got)
+    # mid-token prefix removed (ADVICE round 2), non-prefix survives
+    assert not any(n == "alphabet history" for n, _ in got)
+    assert ("alpine skiing", "as") in got
     # first-seen text kept, not longest
     assert ("unrelated article", "ua") in got
 
