@@ -139,13 +139,30 @@ def is_pdf(raw: bytes) -> bool:
     return raw[:5] == b"%PDF-"
 
 
+# Markers that signal the PDF 1.5+ layout the legacy regex path cannot
+# read: compressed object streams, xref streams, CID text with ToUnicode
+# CMaps. Their presence routes the file to the structured parser
+# (kernels/pdfobj); plain files keep the byte-stable legacy path.
+_MODERN_MARKERS = (b"/ObjStm", b"/XRef", b"/ToUnicode")
+
+
+def _scanned_producer(producer: str) -> bool:
+    return any(k in producer.lower()
+               for k in ("scanner", "scan", "image", "finereader",
+                         "tesseract"))
+
+
 def pdf_to_pages(raw: bytes) -> tuple[list[str], str | None, bool, str]:
     """P1+P2: (pages, error, scanned, producer).
 
-    One page per PDF content stream (the synthetic corpus emits one stream
-    per page). FlateDecode streams are inflated; other filters yield an
-    error entry instead of killing the task (reference watchdog analog,
-    ``parse_pdfs.py:94-112`` → error column, SURVEY.md §4).
+    Modern PDFs (object/xref streams, ToUnicode CMaps — the post-2005
+    LaTeX/Word layout the reference reads via its pypdf→fitz→pdfminer
+    cascade, ``parse_pdfs.py:112-241``) go through the structured
+    object-model parser in :mod:`pdfobj`. Legacy/simple files keep the
+    regex path: one page per PDF content stream (the synthetic corpus
+    emits one stream per page). FlateDecode streams are inflated; other
+    filters yield an error entry instead of killing the task (reference
+    watchdog analog, ``parse_pdfs.py:94-112`` → error column, SURVEY.md §4).
     """
     if not is_pdf(raw):
         return [], "not-a-pdf", False, ""
@@ -153,8 +170,17 @@ def pdf_to_pages(raw: bytes) -> tuple[list[str], str | None, bool, str]:
     m = _RE_PRODUCER.search(raw)
     if m:
         producer = _unescape_pdf_string(m.group(1)).decode("latin-1", "replace")
-    scanned = any(k in producer.lower()
-                  for k in ("scanner", "scan", "image", "finereader", "tesseract"))
+    if any(mk in raw for mk in _MODERN_MARKERS):
+        try:
+            from . import pdfobj
+            doc = pdfobj.extract_document(raw)
+            if doc["pages"] and any(doc["pages"]):
+                producer = producer or doc["info"].get("Producer", "")
+                return (doc["pages"], doc["error"],
+                        _scanned_producer(producer), producer)
+        except Exception:
+            pass        # malformed modern layout: legacy path below
+    scanned = _scanned_producer(producer)
     pages: list[str] = []
     error = None
     for hdr, body in _RE_STREAM.findall(raw):

@@ -1,0 +1,669 @@
+"""Structured PDF object-model parsing — the modern-PDF tier of P1.
+
+The reference handles post-2005 PDFs (LaTeX/Word output) by delegating to
+pypdf → fitz → pdfminer (``retrieve/OAI/parse_pdfs.py:112-241``); none of
+those ship in this container, so this module implements from scratch the
+three features that separate "fixture PDFs" from real-world ones:
+
+- **indirect-object parsing** — a recursive-descent parser for the PDF
+  object syntax (dicts, arrays, names, numbers, literal/hex strings,
+  references, streams) over a sequential scan of ``N G obj`` sites, so
+  object discovery never depends on a valid xref table;
+- **cross-reference streams & object streams** (PDF 1.5+) —
+  ``/Type /XRef`` streams (with ``/W`` field widths, ``/Index`` subsections
+  and PNG predictors) are decoded into an authoritative object map, and
+  ``/Type /ObjStm`` streams are expanded so objects compressed inside
+  Flate streams (the normal LaTeX layout) become visible;
+- **ToUnicode CMap text decoding** — per-font ``/ToUnicode`` CMaps
+  (``bfchar``/``bfrange``) are parsed and applied to show-operator strings,
+  tracking the active font through ``Tf``, so Identity-H/CID-encoded hex
+  text extracts as real Unicode instead of garbage bytes.
+
+Entry points: :func:`parse_document` (object map + trailer) and
+:func:`extract_pages` (page-ordered text). ``pdfmini.pdf_to_pages``
+dispatches here when the file carries ``/ObjStm``/``/XRef``/``/ToUnicode``
+markers; plain legacy files keep the byte-stable regex path.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_WHITESPACE = b"\x00\t\n\x0c\r "
+_DELIMS = b"()<>[]{}/%"
+_RE_OBJ = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_RE_WS = re.compile(rb"\s+")
+
+
+class Name(str):
+    """A PDF name token (``/Foo``) — distinct from a PDF string."""
+
+
+class Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num = num
+        self.gen = gen
+
+    def __repr__(self):
+        return f"Ref({self.num},{self.gen})"
+
+    def __eq__(self, other):
+        return (isinstance(other, Ref) and other.num == self.num
+                and other.gen == self.gen)
+
+    def __hash__(self):
+        return hash((self.num, self.gen))
+
+
+class Stream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.dict = d
+        self.raw = raw
+
+
+class _Lexer:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def skip_ws(self):
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WHITESPACE:
+                self.pos += 1
+            elif c == 0x25:                       # % comment to EOL
+                nl = d.find(b"\n", self.pos)
+                self.pos = n if nl < 0 else nl + 1
+            else:
+                break
+
+    def peek(self) -> int:
+        return self.data[self.pos] if self.pos < len(self.data) else -1
+
+
+def _parse_literal_string(lex: _Lexer) -> bytes:
+    """Balanced-paren literal string; escapes left raw (callers unescape
+    via pdfmini's shared helper)."""
+    d = lex.data
+    assert d[lex.pos] == 0x28
+    lex.pos += 1
+    depth = 1
+    out = bytearray()
+    while lex.pos < len(d):
+        c = d[lex.pos]
+        if c == 0x5C and lex.pos + 1 < len(d):    # backslash escape
+            out += d[lex.pos:lex.pos + 2]
+            lex.pos += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                lex.pos += 1
+                return bytes(out)
+        out.append(c)
+        lex.pos += 1
+    return bytes(out)                             # unterminated: best effort
+
+
+def _parse_hex_string(lex: _Lexer) -> bytes:
+    d = lex.data
+    end = d.find(b">", lex.pos + 1)
+    if end < 0:
+        end = len(d)
+    h = _RE_WS.sub(b"", d[lex.pos + 1:end])
+    lex.pos = min(end + 1, len(d))
+    if len(h) % 2:
+        h += b"0"
+    try:
+        return bytes.fromhex(h.decode("ascii"))
+    except ValueError:
+        return b""
+
+
+def _parse_name(lex: _Lexer) -> Name:
+    d = lex.data
+    lex.pos += 1                                  # consume '/'
+    start = lex.pos
+    while lex.pos < len(d):
+        c = d[lex.pos]
+        if c in _WHITESPACE or c in _DELIMS:
+            break
+        lex.pos += 1
+    raw = d[start:lex.pos]
+    if b"#" in raw:                               # #xx hex escapes in names
+        raw = re.sub(rb"#([0-9A-Fa-f]{2})",
+                     lambda m: bytes([int(m.group(1), 16)]), raw)
+    return Name(raw.decode("latin-1"))
+
+
+_RE_NUMBER = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+def parse_object(lex: _Lexer):
+    """One PDF object at the lexer position (dict/array/name/number/
+    string/ref/bool/null). Raises ValueError on unparseable input."""
+    lex.skip_ws()
+    d = lex.data
+    c = lex.peek()
+    if c < 0:
+        raise ValueError("eof")
+    if c == 0x3C:                                 # '<'
+        if d[lex.pos:lex.pos + 2] == b"<<":
+            lex.pos += 2
+            out: dict = {}
+            while True:
+                lex.skip_ws()
+                if d[lex.pos:lex.pos + 2] == b">>":
+                    lex.pos += 2
+                    return out
+                if lex.peek() != 0x2F:
+                    raise ValueError("dict key is not a name")
+                key = _parse_name(lex)
+                out[str(key)] = parse_object(lex)
+        return _parse_hex_string(lex)
+    if c == 0x28:                                 # '('
+        return _parse_literal_string(lex)
+    if c == 0x2F:                                 # '/'
+        return _parse_name(lex)
+    if c == 0x5B:                                 # '['
+        lex.pos += 1
+        arr = []
+        while True:
+            lex.skip_ws()
+            if lex.peek() == 0x5D:
+                lex.pos += 1
+                return arr
+            arr.append(parse_object(lex))
+    m = _RE_NUMBER.match(d, lex.pos)
+    if m:
+        tok = m.group(0)
+        lex.pos = m.end()
+        if b"." in tok:
+            return float(tok)
+        num = int(tok)
+        # 'N G R' indirect reference lookahead
+        save = lex.pos
+        lex.skip_ws()
+        m2 = re.compile(rb"(\d+)\s+R\b").match(d, lex.pos)
+        if m2:
+            lex.pos = m2.end()
+            return Ref(num, int(m2.group(1)))
+        lex.pos = save
+        return num
+    for lit, val in ((b"true", True), (b"false", False), (b"null", None)):
+        if d.startswith(lit, lex.pos):
+            lex.pos += len(lit)
+            return val
+    raise ValueError(f"unparseable object at {lex.pos}")
+
+
+# --------------------------------------------------------------- filters --
+
+def _png_unpredict(data: bytes, colors: int, columns: int,
+                   bpc: int = 8) -> bytes:
+    """PNG predictor reversal for stream data (xref streams are almost
+    always /Predictor 12 = PNG Up). Scalar loop — xref streams are tiny
+    (bytes-per-object × object count), never a hot path."""
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos + 1 + rowlen <= len(data) + rowlen and pos < len(data):
+        ftype = data[pos]
+        row = bytearray(data[pos + 1:pos + 1 + rowlen])
+        if len(row) < rowlen:
+            row += bytes(rowlen - len(row))
+        if ftype == 1:                            # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:                          # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:                          # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:                          # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                cc = prev[i - bpp] if i >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+        pos += 1 + rowlen
+    return bytes(out)
+
+
+def decode_stream(stream: Stream, objs: dict | None = None) -> bytes:
+    """Apply /Filter cascade + /DecodeParms predictors. Raises ValueError
+    on unsupported filters (caller surfaces the error column)."""
+    data = stream.raw
+    filters = stream.dict.get("Filter")
+    if filters is None:
+        return data
+    if not isinstance(filters, list):
+        filters = [filters]
+    parms = stream.dict.get("DecodeParms") or stream.dict.get("DP")
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    for f, p in zip(filters, parms):
+        f = _resolve(f, objs)
+        p = _resolve(p, objs) or {}
+        if f == "FlateDecode":
+            data = zlib.decompress(data)
+        elif f == "ASCIIHexDecode":
+            h = _RE_WS.sub(b"", data.split(b">")[0])
+            if len(h) % 2:
+                h += b"0"
+            data = bytes.fromhex(h.decode("ascii"))
+        elif f == "ASCII85Decode":
+            import base64
+            d2 = _RE_WS.sub(b"", data)
+            if d2.endswith(b"~>"):
+                d2 = d2[:-2]
+            data = base64.a85decode(d2)
+        else:
+            raise ValueError(f"unsupported-filter:{f}")
+        pred = _resolve(p.get("Predictor"), objs) if isinstance(p, dict) else None
+        if pred and pred >= 10:
+            data = _png_unpredict(
+                data,
+                int(_resolve(p.get("Colors"), objs) or 1),
+                int(_resolve(p.get("Columns"), objs) or 1),
+                int(_resolve(p.get("BitsPerComponent"), objs) or 8))
+    return data
+
+
+def _resolve(v, objs: dict | None):
+    seen = 0
+    while isinstance(v, Ref) and objs is not None and seen < 32:
+        v = objs.get(v.num)
+        seen += 1
+    return v
+
+
+# ---------------------------------------------------------- object scan --
+
+def scan_objects(raw: bytes) -> dict[int, object]:
+    """Sequential scan of ``N G obj … endobj`` sites. Sequential (each
+    object parsed before searching for the next) so ``obj`` bytes inside
+    stream bodies never false-positive. Later duplicates of an object
+    number override earlier ones — incremental-update semantics."""
+    objs: dict[int, object] = {}
+    pos = 0
+    while True:
+        m = _RE_OBJ.search(raw, pos)
+        if m is None:
+            return objs
+        num = int(m.group(1))
+        lex = _Lexer(raw, m.end())
+        try:
+            val = parse_object(lex)
+            lex.skip_ws()
+            if isinstance(val, dict) and raw.startswith(b"stream", lex.pos):
+                body_start = lex.pos + len(b"stream")
+                if raw.startswith(b"\r\n", body_start):
+                    body_start += 2
+                elif raw.startswith(b"\n", body_start):
+                    body_start += 1
+                length = val.get("Length")
+                if isinstance(length, Ref):
+                    length = objs.get(length.num)   # forward refs: fall back
+                body_end = None
+                if isinstance(length, int) and \
+                        0 <= length <= len(raw) - body_start:
+                    cand = body_start + length
+                    if raw[cand:cand + 16].lstrip(
+                            b"\r\n \t").startswith(b"endstream"):
+                        body_end = cand
+                if body_end is None:      # bad/indirect Length: search
+                    body_end = raw.find(b"endstream", body_start)
+                    if body_end < 0:
+                        body_end = len(raw)
+                    if raw[body_end - 2:body_end] == b"\r\n":
+                        body_end -= 2
+                    elif raw[body_end - 1:body_end] in (b"\r", b"\n"):
+                        body_end -= 1
+                val = Stream(val, raw[body_start:body_end])
+                end = raw.find(b"endstream", body_end)
+                pos = (end + len(b"endstream")) if end >= 0 else body_end
+            else:
+                pos = lex.pos
+            objs[num] = val
+        except (ValueError, AssertionError, IndexError):
+            pos = m.end()
+
+
+def parse_xref_streams(raw: bytes, objs: dict) -> dict[int, tuple]:
+    """Decode every /Type /XRef stream into ``{objnum: (type, f2, f3)}``
+    (type 1: f2 = byte offset; type 2: f2 = containing ObjStm number,
+    f3 = index inside it). Later streams in file order override earlier —
+    the newest incremental section wins."""
+    table: dict[int, tuple] = {}
+    for num in sorted(objs):
+        v = objs[num]
+        if not (isinstance(v, Stream) and v.dict.get("Type") == "XRef"):
+            continue
+        try:
+            data = decode_stream(v, objs)
+        except (ValueError, zlib.error):
+            continue
+        w = [int(_resolve(x, objs)) for x in v.dict.get("W", [1, 1, 1])]
+        size = _resolve(v.dict.get("Size"), objs) or 0
+        index = v.dict.get("Index") or [0, size]
+        entry_len = sum(w)
+        pos = 0
+        for k in range(0, len(index) - 1, 2):
+            start, count = int(_resolve(index[k], objs)), int(
+                _resolve(index[k + 1], objs))
+            for i in range(count):
+                if pos + entry_len > len(data):
+                    break
+                fields = []
+                p = pos
+                for width in w:
+                    fields.append(
+                        int.from_bytes(data[p:p + width], "big") if width
+                        else 1)   # omitted type field defaults to 1
+                    p += width
+                table[start + i] = tuple(fields)
+                pos += entry_len
+    return table
+
+
+def expand_object_streams(raw: bytes, objs: dict) -> None:
+    """Parse objects held inside /Type /ObjStm streams into ``objs``
+    (PDF 1.5 compressed-object layout: header of (num, offset) int pairs,
+    bodies after /First)."""
+    for num in list(objs):
+        v = objs[num]
+        if not (isinstance(v, Stream) and v.dict.get("Type") == "ObjStm"):
+            continue
+        try:
+            data = decode_stream(v, objs)
+        except (ValueError, zlib.error):
+            continue
+        n = int(_resolve(v.dict.get("N"), objs) or 0)
+        first = int(_resolve(v.dict.get("First"), objs) or 0)
+        try:
+            ints = [int(x) for x in data[:first].split()]
+        except ValueError:
+            continue
+        pairs = list(zip(ints[0::2], ints[1::2]))[:n]
+        for onum, off in pairs:
+            lex = _Lexer(data, first + off)
+            try:
+                objs.setdefault(onum, parse_object(lex))
+            except (ValueError, IndexError):
+                continue
+
+
+def parse_document(raw: bytes) -> dict[int, object]:
+    """Full object map: sequential scan → ObjStm expansion, with xref
+    streams decoded so compressed-entry bookkeeping is honored (the scan
+    already locates every object, so a corrupt xref degrades gracefully
+    instead of failing the file)."""
+    objs = scan_objects(raw)
+    # xref streams are decoded for validation/authority; type-1 entries
+    # pointing at offsets the scan missed get a second parse attempt
+    xref = parse_xref_streams(raw, objs)
+    for onum, fields in xref.items():
+        if len(fields) >= 2 and fields[0] == 1 and onum not in objs:
+            off = fields[1]
+            m = _RE_OBJ.match(raw, off) or _RE_OBJ.search(raw, off, off + 64)
+            if m and int(m.group(1)) == onum:
+                lex = _Lexer(raw, m.end())
+                try:
+                    objs[onum] = parse_object(lex)
+                except (ValueError, IndexError):
+                    pass
+    expand_object_streams(raw, objs)
+    return objs
+
+
+# ------------------------------------------------------------ ToUnicode --
+
+_RE_BFCHAR = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_RE_BFRANGE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_RE_CODESPACE = re.compile(rb"begincodespacerange(.*?)endcodespacerange",
+                           re.DOTALL)
+_RE_HEX_TOK = re.compile(rb"<([0-9A-Fa-f]*)>")
+_RE_BFRANGE_ROW = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]*>|\[[^\]]*\])")
+
+
+def _utf16be(hexs: bytes) -> str:
+    try:
+        return bytes.fromhex(hexs.decode("ascii")).decode(
+            "utf-16-be", "replace")
+    except ValueError:
+        return ""
+
+
+def parse_tounicode(cmap_bytes: bytes) -> tuple[dict[int, str], int]:
+    """(code→text map, code byte width) from a ToUnicode CMap stream."""
+    code_bytes = 2                                # Identity-H default
+    m = _RE_CODESPACE.search(cmap_bytes)
+    if m:
+        toks = _RE_HEX_TOK.findall(m.group(1))
+        if toks:
+            code_bytes = max(1, len(toks[0]) // 2)
+    table: dict[int, str] = {}
+    for block in _RE_BFCHAR.findall(cmap_bytes):
+        toks = _RE_HEX_TOK.findall(block)
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            try:
+                table[int(src, 16)] = _utf16be(dst)
+            except ValueError:
+                continue
+    for block in _RE_BFRANGE.findall(cmap_bytes):
+        for row in _RE_BFRANGE_ROW.finditer(block):
+            try:
+                lo, hi = int(row.group(1), 16), int(row.group(2), 16)
+            except ValueError:
+                continue
+            dst = row.group(3)
+            if dst.startswith(b"["):
+                toks = _RE_HEX_TOK.findall(dst)
+                for i, t in enumerate(toks):
+                    if lo + i > hi:
+                        break
+                    table[lo + i] = _utf16be(t)
+            else:
+                base_hex = dst[1:-1]
+                try:
+                    base = int(base_hex, 16) if base_hex else 0
+                except ValueError:
+                    continue
+                # increment applies to the LAST UTF-16 code unit
+                width = max(4, len(base_hex))
+                for code in range(lo, min(hi, lo + 65535) + 1):
+                    table[code] = _utf16be(
+                        (f"%0{width}x" % (base + code - lo)).encode())
+    return table, code_bytes
+
+
+class FontDecoder:
+    """Decodes show-operator string bytes for one font."""
+    __slots__ = ("cmap", "code_bytes")
+
+    def __init__(self, cmap: dict[int, str] | None, code_bytes: int = 1):
+        self.cmap = cmap
+        self.code_bytes = code_bytes
+
+    def decode(self, bs: bytes) -> str:
+        if self.cmap is None:
+            return bs.decode("latin-1")
+        n, out = self.code_bytes, []
+        for i in range(0, len(bs) - n + 1, n):
+            out.append(self.cmap.get(int.from_bytes(bs[i:i + n], "big"), ""))
+        return "".join(out)
+
+
+_PLAIN = FontDecoder(None)
+
+
+def _font_decoders(res: dict, objs: dict) -> dict[str, FontDecoder]:
+    fonts = _resolve(res.get("Font"), objs) if isinstance(res, dict) else None
+    out: dict[str, FontDecoder] = {}
+    if not isinstance(fonts, dict):
+        return out
+    for fname, fref in fonts.items():
+        fobj = _resolve(fref, objs)
+        if not isinstance(fobj, dict):
+            continue
+        tu = _resolve(fobj.get("ToUnicode"), objs)
+        if isinstance(tu, Stream):
+            try:
+                cmap, width = parse_tounicode(decode_stream(tu, objs))
+                out[fname] = FontDecoder(cmap, width)
+                continue
+            except (ValueError, zlib.error):
+                pass
+        out[fname] = _PLAIN
+    return out
+
+
+# --------------------------------------------------------- page walking --
+
+_RE_CONTENT_OP = re.compile(
+    rb"/([^\s()<>\[\]{}/%]+)\s+[-+]?[\d.]+\s+Tf"       # font select
+    rb"|\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")"          # literal show
+    rb"|<([0-9A-Fa-f\s]*)>\s*(?:Tj|'|\")"              # hex show
+    rb"|\[(.*?)\]\s*TJ", re.DOTALL)                    # TJ array
+_RE_STR_IN_ARRAY = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
+
+
+def _page_list(objs: dict) -> list[tuple[dict, dict]]:
+    """(page_dict, inherited_resources) in page-tree order. Falls back to
+    object-number order over /Type /Page objects when no catalog exists."""
+    catalog = None
+    for v in objs.values():
+        if isinstance(v, dict) and v.get("Type") == "Catalog":
+            catalog = v
+            break
+    pages: list[tuple[dict, dict]] = []
+
+    def walk(node, inherited_res, depth=0):
+        node = _resolve(node, objs)
+        if not isinstance(node, dict) or depth > 64:
+            return
+        res = _resolve(node.get("Resources"), objs) or inherited_res
+        if node.get("Type") == "Page":
+            pages.append((node, res if isinstance(res, dict) else {}))
+        elif node.get("Type") == "Pages" or "Kids" in node:
+            kids = _resolve(node.get("Kids"), objs) or []
+            for kid in kids:
+                walk(kid, res, depth + 1)
+
+    if catalog is not None:
+        walk(catalog.get("Pages"), {})
+    if not pages:                                  # no/broken page tree
+        for num in sorted(objs):
+            v = objs[num]
+            if isinstance(v, dict) and v.get("Type") == "Page":
+                res = _resolve(v.get("Resources"), objs)
+                pages.append((v, res if isinstance(res, dict) else {}))
+    return pages
+
+
+def _page_content(page: dict, objs: dict) -> bytes:
+    contents = _resolve(page.get("Contents"), objs)
+    parts = contents if isinstance(contents, list) else [contents]
+    out = []
+    for part in parts:
+        part = _resolve(part, objs)
+        if isinstance(part, Stream):
+            try:
+                out.append(decode_stream(part, objs))
+            except (ValueError, zlib.error):
+                continue
+    return b"\n".join(out)
+
+
+def _content_text(body: bytes, fonts: dict[str, FontDecoder]) -> str:
+    pieces: list[str] = []
+    cur = _PLAIN
+    from .pdfmini import _unescape_pdf_string  # shared escape semantics
+    for m in _RE_CONTENT_OP.finditer(body):
+        fsel, lit, hexs, arr = m.group(1), m.group(2), m.group(3), m.group(4)
+        if fsel is not None:
+            cur = fonts.get(fsel.decode("latin-1"), _PLAIN)
+        elif lit is not None:
+            pieces.append(cur.decode(_unescape_pdf_string(lit)))
+        elif hexs is not None:
+            h = _RE_WS.sub(b"", hexs)
+            if len(h) % 2:
+                h += b"0"
+            try:
+                pieces.append(cur.decode(bytes.fromhex(h.decode("ascii"))))
+            except ValueError:
+                continue
+        else:
+            for s in _RE_STR_IN_ARRAY.finditer(arr):
+                if s.group(1) is not None:
+                    pieces.append(cur.decode(_unescape_pdf_string(s.group(1))))
+                else:
+                    h = _RE_WS.sub(b"", s.group(2))
+                    if len(h) % 2:
+                        h += b"0"
+                    try:
+                        pieces.append(
+                            cur.decode(bytes.fromhex(h.decode("ascii"))))
+                    except ValueError:
+                        continue
+    return "\n".join(pieces)
+
+
+def extract_document(raw: bytes) -> dict:
+    """Structured extraction: ``{pages, error, info}``. An empty page
+    list means the caller should fall back to the legacy regex path."""
+    objs = parse_document(raw)
+    page_nodes = _page_list(objs)
+    info = document_info(objs)
+    if not page_nodes:
+        return {"pages": [], "error": "no-page-tree", "info": info}
+    pages: list[str] = []
+    error = None
+    for node, res in page_nodes:
+        fonts = _font_decoders(res, objs)
+        body = _page_content(node, objs)
+        if not body and node.get("Contents") is not None:
+            error = error or "content-decode-failed"
+        pages.append(_content_text(body, fonts))
+    return {"pages": pages, "error": error, "info": info}
+
+
+def extract_pages(raw: bytes) -> tuple[list[str], str | None]:
+    doc = extract_document(raw)
+    return doc["pages"], doc["error"]
+
+
+def document_info(objs: dict) -> dict:
+    """Best-effort /Info metadata (Producer etc.) from the object map."""
+    for v in objs.values():
+        if isinstance(v, dict) and ("Producer" in v or "Creator" in v):
+            out = {}
+            for k in ("Producer", "Creator", "Title", "Author"):
+                val = v.get(k)
+                if isinstance(val, bytes):
+                    from .pdfmini import _unescape_pdf_string
+                    out[k] = _unescape_pdf_string(val).decode(
+                        "latin-1", "replace")
+            return out
+    return {}
