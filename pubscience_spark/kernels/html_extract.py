@@ -118,6 +118,12 @@ class _TreeBuilder(HTMLParser):
                 self.meta.append(dict(attrs))
             elif tag == "br" and not self._suppress:
                 self.cur.children.append("\n")
+            elif tag == "img" and not self._suppress \
+                    and self._depth < MAX_DOM_DEPTH:
+                # childless node so extended mode can render ![alt](src);
+                # contributes no text in default mode (no children)
+                self.cur.children.append(
+                    _Node("img", dict(attrs), self.cur, self.cur.skip))
             return
         if tag == "title":
             self._in_title = True
@@ -209,6 +215,14 @@ def _inline_md(node) -> tuple[str, int]:
         parts.append(t)
         anchor += a
     inner = "".join(parts)
+    if node.tag == "img":
+        src = node.attrs.get("src") or ""
+        alt = _WS.sub(" ", node.attrs.get("alt") or "").strip()
+        title = node.attrs.get("title")
+        if src:
+            t = f' "{title}"' if title else ""
+            return f"![{alt}]({src}{t})", 0
+        return "", 0
     if node.tag == "a":
         href = node.attrs.get("href")
         label = _WS.sub(" ", inner).strip()
@@ -260,6 +274,15 @@ class _Emitter:
             if isinstance(ch, str):
                 if not node.skip:
                     buf.append(ch)
+                continue
+            if ch.tag == "img":
+                # invisible in default mode (no flush — keeps surrounding
+                # bare text one paragraph, byte-stable); inline markdown
+                # in extended mode, like markdownify
+                if self.extended and not ch.skip and not node.skip:
+                    t, _ = _inline_md(ch)
+                    if t:
+                        buf.append(" " + t + " ")
                 continue
             flush()
             if ch.skip:
@@ -319,10 +342,43 @@ class _Emitter:
                 if raw.strip():
                     self.blocks.append(("pre", raw))
             elif tag in ("table",):
-                continue  # tables removed (B5 analog)
+                if self.extended:
+                    md = self._table_md(ch)
+                    if md:
+                        self.blocks.append(("table", md))
+                continue  # default mode: tables removed (B5 analog)
             else:
                 self.walk(ch)
         flush()
+
+    def _table_md(self, table: _Node) -> str:
+        """Markdownify-parity pipe table (H6 extended): first row is the
+        header, ``| --- |`` separator after it, cells inline-rendered with
+        ``|`` escaped. Matches markdownify's default table converter shape
+        (scripts/scrapers/scrapers.py:340 uses plain
+        ``markdownify.markdownify``)."""
+        def rows_of(node):
+            out = []
+            for ch in node.children:
+                if isinstance(ch, str) or ch.skip:
+                    continue
+                if ch.tag == "tr":
+                    out.append(ch)
+                elif ch.tag in ("thead", "tbody", "tfoot"):
+                    out.extend(rows_of(ch))
+            return out
+
+        lines: list[str] = []
+        for i, tr in enumerate(rows_of(table)):
+            cells = [c for c in tr.children
+                     if not isinstance(c, str) and not c.skip
+                     and c.tag in ("td", "th")]
+            rendered = [_norm(self._text(c)[0]).replace("|", r"\|")
+                        for c in cells]
+            lines.append("| " + " | ".join(rendered) + " |")
+            if i == 0:
+                lines.append("| " + " | ".join("---" for _ in cells) + " |")
+        return "\n".join(lines) if len(lines) > 2 else ""
 
     @staticmethod
     def _is_navlike(text: str, anchor_chars: int) -> bool:
@@ -386,6 +442,9 @@ def extract_html(html: str, extended: bool = False) -> dict:
         elif kind == "pre":
             rendered = f"```\n{text}\n```"
             span_kind = "code"
+        elif kind == "table":
+            rendered = text          # pre-rendered pipe rows
+            span_kind = "table"
         else:
             rendered = text
             span_kind = "paragraph"
