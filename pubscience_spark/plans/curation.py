@@ -129,10 +129,11 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     out = kept.drop("__len_ok", "__lang_ok", "__q_ok")
     out.write.mode("overwrite").partitionBy("split").parquet(corpus_path)
     # dynamic overwrite writes no files for an empty result — read back
-    # only when data exists (zero-input runs yield an empty manifest)
-    has_files = any(f.endswith(".parquet")
-                    for _r, _d, files in os.walk(corpus_path)
-                    for f in files) if os.path.isdir(corpus_path) else False
+    # only when data exists (zero-input runs yield an empty manifest).
+    # Hadoop FS probe: works for s3a://hdfs:// out_dirs, LocalFileSystem
+    # for plain paths
+    from . import fsutil
+    has_files = fsutil.has_files(spark, corpus_path)
     if has_files:
         written = spark.read.parquet(corpus_path)
         split_counts = {r["split"]: r["n"] for r in
@@ -156,6 +157,6 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
                    "split_weights": list(split_weights)},
         "corpus_path": corpus_path,
     }
-    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1)
+    fsutil.write_text(spark, os.path.join(out_dir, "manifest.json"),
+                      json.dumps(manifest, indent=1))
     return manifest

@@ -187,11 +187,11 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
         cached.unpersist()
 
     # empty run (everything committed already, or empty input): dynamic
-    # overwrite writes no files, so there may be nothing to read
-    has_files = any(
-        f.endswith(".parquet")
-        for root, _, files in os.walk(extracted_path)
-        for f in files) if os.path.isdir(extracted_path) else False
+    # overwrite writes no files, so there may be nothing to read. Probe
+    # through the Hadoop FS API so s3a://hdfs:// out_dirs work (round-2
+    # review: os.walk silently returns nothing for non-local paths)
+    from . import fsutil
+    has_files = fsutil.has_files(spark, extracted_path)
     if not has_files:
         return {"rows_written": 0, "buckets": n_buckets,
                 "buckets_skipped": skipped, "write_wall_s": wall,

@@ -197,3 +197,30 @@ def test_round2_operators_on_degenerate_inputs(spark, tmp_path):
     import os
     m = curate_corpus(spark, empty, os.path.join(str(tmp_path), "c0"))
     assert m["input"] == 0 and m["written"] == 0 and m["splits"] == {}
+
+
+def test_fsutil_hadoop_fs_roundtrip(spark, tmp_path):
+    """Round-3: commit/manifest/compaction metadata ops go through the
+    Hadoop FileSystem API — scheme-qualified (file://) URIs must work,
+    proving the protocol no longer assumes a driver-local filesystem."""
+    from pubscience_spark.plans import fsutil
+
+    base = f"file://{tmp_path}"
+    assert fsutil.exists(spark, base)
+    assert not fsutil.exists(spark, base + "/nope")
+    fsutil.write_text(spark, base + "/m.json", '{"k": 1}')
+    assert fsutil.read_text(spark, base + "/m.json") == '{"k": 1}'
+    fsutil.touch(spark, base + "/d/_MARKER")
+    assert fsutil.exists(spark, base + "/d/_MARKER")
+    assert fsutil.is_dir(spark, base + "/d")
+    # parquet probe
+    spark.range(5).write.parquet(base + "/t")
+    assert fsutil.has_files(spark, base + "/t")
+    assert fsutil.count_files(spark, base + "/t") >= 1
+    assert not fsutil.has_files(spark, base + "/d")
+    # rename + recursive delete
+    assert fsutil.rename(spark, base + "/t", base + "/t2")
+    assert fsutil.has_files(spark, base + "/t2")
+    assert fsutil.delete(spark, base + "/t2")
+    assert not fsutil.exists(spark, base + "/t2")
+    assert fsutil.delete(spark, base + "/t2") is False
