@@ -576,12 +576,23 @@ SELECT detected, count(*) AS n FROM d GROUP BY detected
 """
 
 
-def q_sentences(spark, sf_dir):
-    """G1: sentence segmentation counts per doc (rows-only)."""
+def q_segment_stats(spark, sf_dir):
+    """G1+G2 in one battery entry: sentence segmentation counts and
+    token-budget chunk counts per doc (rows-only — the splitter and the
+    greedy stateful packing are CPython kernels, not SQL).
+
+    Merged from the former separate ``sentences``/``token_chunks``
+    entries: the driver's correctness harness records at most 50 battery
+    queries (CORRECTNESS_r02 was the exact 50-entry prefix of the
+    registry, silently dropping the 51st, ``clean_sentences``), so the
+    battery is kept at exactly 50 with every operator still exercised."""
+    from .operators.clean import chunks_udf
     return (_docs_spread(spark, sf_dir)
             .select("doc_id",
                     F.size(split_sentences_udf(F.col("text")))
-                    .alias("n_sentences")))
+                    .alias("n_sentences"),
+                    F.size(chunks_udf(64)(F.col("text")))
+                    .cast("long").alias("n_chunks")))
 
 
 # --------------------------------------------------------------------------
@@ -1012,16 +1023,6 @@ FROM documents GROUP BY ROLLUP (source, lang)
 """
 
 
-def q_token_chunks(spark, sf_dir):
-    """G2: token-budget chunk counts per doc (greedy sentence packing,
-    kernel pUDF; rows-only — stateful fold is not SQL-expressible)."""
-    from .operators.clean import chunks_udf
-    return (_docs_spread(spark, sf_dir)
-            .select("doc_id",
-                    F.size(chunks_udf(64)(F.col("text")))
-                    .cast("long").alias("n_chunks")))
-
-
 _IDENTIFY_TERMS = ["spark", "query", "window", "join", "fast"]
 
 
@@ -1248,19 +1249,21 @@ QUERIES = {
     "corpus_rollup": q_corpus_rollup,
     "tfidf_top_terms": q_tfidf_top_terms,
     "minhash_pairs": q_minhash_pairs,
-    # rows-only (not SQL-expressible): driver records weaker check
+    "langid": q_langid,
+    "label_docs": q_label_docs,
+    # rows-only (not SQL-expressible): driver records weaker check.
+    # INVARIANT: len(QUERIES) == 50 — the driver's correctness harness
+    # records at most 50 entries (see q_segment_stats docstring); adding
+    # a 51st query silently drops the last one from the report.
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "mint_ids": q_mint_ids,
-    "langid": q_langid,
-    "sentences": q_sentences,
+    "segment_stats": q_segment_stats,
+    "clean_sentences": q_clean_sentences,
     "lsh_topk": q_lsh_topk,
-    "token_chunks": q_token_chunks,
     "boilerplate_strip": q_boilerplate_strip,
     "hash_embed_topk": q_hash_embed_topk,
     "translate_tagged": q_translate_tagged,
-    "label_docs": q_label_docs,
-    "clean_sentences": q_clean_sentences,
 }
 
 ORACLES = {

@@ -145,12 +145,13 @@ def test_rows_only_queries_golden_counts(spark):
     check would not (VERDICT r1 item 7)."""
     from pubscience_spark.queries import QUERIES
     sf = "/root/testdata/sf0.001"
-    s = QUERIES["sentences"](spark, sf).agg(
-        F.count("*"), F.sum("n_sentences")).collect()[0]
-    assert list(s) == [500, 500]
-    t = QUERIES["token_chunks"](spark, sf).agg(
-        F.count("*"), F.sum("n_chunks")).collect()[0]
-    assert list(t) == [500, 705]
+    s = QUERIES["segment_stats"](spark, sf).agg(
+        F.count("*"), F.sum("n_sentences"), F.sum("n_chunks")).collect()[0]
+    assert list(s) == [500, 500, 705]
+    # battery stays at the driver harness's 50-entry cap, clean_sentences
+    # inside it (VERDICT r2: entry 51 silently fell out of the report)
+    assert len(QUERIES) == 50
+    assert list(QUERIES).index("clean_sentences") < 50
     c = QUERIES["clean_sentences"](spark, sf).agg(
         F.count("*"), F.sum("n_sentences"), F.sum("n_chars")).collect()[0]
     assert list(c) == [1000, 1000, 8902]
