@@ -215,6 +215,17 @@ def minhash_candidates(df: DataFrame, id_col: str,
     Pure DataFrame plan: bands explode → self-join on band key → distinct
     pairs. The shuffle key is the band hash — uniformly distributed, so no
     salting needed here.
+
+    **Candidate-volume math:** unlike fixed-width sign-LSH, the band key
+    space here is the full hash range — for DISSIMILAR docs the collision
+    probability per band is ``t^r`` at Jaccard t (r = num_perm/bands
+    rows per band), so expected candidates ≈ ``C(n,2)·Σ_t P(t)·
+    (1-(1-t^r)^bands)`` — driven by the corpus's similarity structure,
+    not by a bucket-count cap. The failure mode is EXACT duplicates
+    (identical signatures, all bands collide): m copies of one page
+    produce m²/2 candidates per band. Run exact dedup (sha256) BEFORE
+    near-dup — the curation plan does (plans/curation.py) — so viral
+    duplicates never reach this join.
     """
     from .util import spread
     udf = (_minhash_bands_udf if (bands, num_perm) == (16, 128)
@@ -266,7 +277,8 @@ def simhash_keys(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_neardup(df: DataFrame, id_col: str, text_col: str = "text",
-                    max_hamming: int = 3, chunks: int = 4) -> DataFrame:
+                    max_hamming: int = 3, chunks: int = 4,
+                    n_rows: int | None = None) -> DataFrame:
     """SimHash hamming-neighbor pairs: band the 64-bit key into ``chunks``
     equal bit-slices, self-join on (chunk index, slice value), verify
     ``bit_count(a XOR b) <= max_hamming`` on candidates.
@@ -274,28 +286,52 @@ def simhash_neardup(df: DataFrame, id_col: str, text_col: str = "text",
     RECALL IS EXACT when ``max_hamming < chunks`` (pigeonhole: two keys
     within hamming r differ in at most r slices, so at least one of the
     ``chunks`` slices is equal) — unlike MinHash banding, this candidate
-    step provably loses nothing. The shuffle key is a 16-bit slice value:
-    uniformly distributed for hash-like keys, so no salting needed; at
-    10^12 docs raise ``chunks`` (narrower slices → smaller buckets) and
-    ``max_hamming`` bounds still hold while candidates stay bucketed.
+    step provably loses nothing. The shuffle key is a slice value:
+    uniformly distributed for hash-like keys, so no salting needed.
     Everything after the pUDF signature is JVM codegen (shiftright/xor/
     bit_count) — no Python in the join or verify.
+
+    **Candidate-volume math (round-2 footgun):** the join key is a
+    COMBINATION of ``q = chunks - max_hamming`` slices (pigeonhole: a
+    pair within hamming r differs in ≤ r slices, so some q-subset of
+    slices agrees entirely), giving ``2^(q·64/chunks)`` buckets per
+    combination at a ``C(chunks, q)``-fold explode of the slim keys.
+    The default (``chunks = max_hamming + 1``) has q = 1 — the classic
+    single-slice join, 2¹⁶ buckets, safe to n ≈ 6·10⁸ (10⁴-row
+    buckets). Past that, RAISE ``chunks``: with q > 1 the composite
+    keys widen — ``chunks=8, max_hamming=3`` → q=5, 56 combinations,
+    2⁴⁰ buckets — recall still exactly 1. Expected candidates per
+    combination ≈ ``n²/(2·2^(q·64/chunks))``; pass ``n_rows`` to get a
+    capacity warning when the chosen shape degenerates.
     """
+    from .util import warn_band_capacity
     if max_hamming >= chunks:
         raise ValueError("exact recall needs max_hamming < chunks")
     width = 64 // chunks
-    mask = F.lit((1 << width) - 1).cast("long")
+    q = chunks - max_hamming
+    if q * width > 62:
+        raise ValueError("composite key exceeds 62 bits — lower chunks")
+    import itertools
+    combos = list(itertools.combinations(range(chunks), q))
+    warn_band_capacity(n_rows, 2 ** (q * width),
+                       "simhash_neardup", "chunks")
     from .util import spread
     keyed = (spread(df.select(F.col(id_col).alias("id"),
                               F.col(text_col).alias("t")))
              .withColumn("sim", _simhash_udf(F.col("t"))).drop("t"))
-    sliced = (keyed.withColumn("chunk_idx",
-                               F.explode(F.array(*[F.lit(i)
-                                                   for i in range(chunks)])))
-              .withColumn("chunk_val",
-                          F.expr(f"shiftright(sim, chunk_idx * {width})")
-                          .bitwiseAND(mask))
-              .select("id", "sim", "chunk_idx", "chunk_val"))
+
+    def _slice(i: int) -> str:
+        return f"(shiftright(sim, {i * width}) & {(1 << width) - 1}L)"
+
+    combo_structs = ", ".join(
+        "named_struct('ci', {j}, 'cv', cast({expr} as bigint))".format(
+            j=j, expr=" + ".join(f"({_slice(i)} * {1 << (k * width)}L)"
+                                 for k, i in enumerate(combo)))
+        for j, combo in enumerate(combos))
+    sliced = (keyed
+              .withColumn("ck", F.explode(F.expr(f"array({combo_structs})")))
+              .select("id", "sim", F.col("ck.ci").alias("chunk_idx"),
+                      F.col("ck.cv").alias("chunk_val")))
     a, b = sliced.alias("a"), sliced.alias("b")
     cands = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
                     & (F.col("a.chunk_val") == F.col("b.chunk_val"))

@@ -253,9 +253,10 @@ def lsh_band_udf(dim: int, n_bands: int = 24, band_bits: int = 4,
 
 
 def embedding_neardup_lsh(corpus: DataFrame, threshold: float, dim: int,
-                          n_bands: int = 24, band_bits: int = 4,
+                          n_bands: int = 24, band_bits: int | None = None,
                           id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
+                          vec_col: str = "embedding",
+                          n_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs, the 100 TB shape: banded sign-LSH
     keys → band-bucket self-join (id_a < id_b) → exact cosine verify — the
     composed named API replacing any bounded all-pairs crossJoin.
@@ -263,10 +264,32 @@ def embedding_neardup_lsh(corpus: DataFrame, threshold: float, dim: int,
     One shuffle on the band key (uniform, no salting), candidates only in
     the verify; precision is exact (cosine recomputed), recall follows the
     banding formula on :func:`lsh_band_udf`. Everything after the
-    signature pUDF is JVM codegen."""
-    sig = lsh_band_udf(dim, n_bands, band_bits)
+    signature pUDF is JVM codegen.
+
+    **Candidate-volume math (round-2 footgun):** each band hashes the
+    corpus into ``2^band_bits`` buckets, so a band contributes
+    ``≈ n² · 2^(-band_bits) / 2`` candidate pairs — at n ≫ 10⁶ a small
+    fixed ``band_bits`` degenerates toward all-pairs. Defaults therefore
+    scale with the corpus: ``band_bits=None`` counts the corpus (one slim
+    scan) and picks ``ceil(log2(n / 64))`` clamped to [4, 24] (~64 rows
+    per expected bucket). Production callers pin ``band_bits`` explicitly
+    to skip the count; passing ``n_rows`` alongside an explicit
+    ``band_bits`` re-enables the capacity warning without a count job.
+    Raising ``band_bits`` lowers per-band recall (``p^band_bits``) —
+    compensate with more ``n_bands`` per the formula on
+    :func:`lsh_band_udf`."""
+    from .util import warn_band_capacity
     vecs = corpus.select(F.col(id_col).alias("id"),
                          F.col(vec_col).alias("v"))
+    if band_bits is None:
+        import math
+        if n_rows is None:
+            n_rows = vecs.count()
+        band_bits = max(4, min(24, math.ceil(
+            math.log2(max(n_rows, 2) / 64))))
+    warn_band_capacity(n_rows, 2 ** band_bits,
+                       "embedding_neardup_lsh", "band_bits")
+    sig = lsh_band_udf(dim, n_bands, band_bits)
     # slim (id, band) rows through the self-join + distinct; vectors join
     # back only for candidate pairs (wide arrays never shuffle n_bands×)
     banded = vecs.withColumn("band", F.explode(sig(F.col("v")))) \

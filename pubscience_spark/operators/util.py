@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 
 
@@ -13,11 +15,54 @@ def spread(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     measured 10× battery slowdowns on the fixture tables. When the plan has
     fewer partitions than ``min_ratio × defaultParallelism``, round-robin
     repartition to the default parallelism; on production inputs (thousands
-    of splits) this is a no-op, so no gratuitous shuffle at scale. Only
-    spread SLIM projections — the shuffle moves whatever columns the frame
-    carries.
+    of splits) this is a no-op, so no gratuitous shuffle at scale.
+
+    The partition probe prefers ``inputFiles()`` (pure plan metadata): a
+    scan over >= threshold files can never be under-parallel, so the
+    production path skips the plan→RDD conversion entirely (round-2
+    review: ``df.rdd`` costs planning time on wide plans and bypasses
+    AQE's view). Only the few-files case — the small-fixture shape —
+    falls back to the exact RDD partition count. Only spread SLIM
+    projections; the shuffle moves whatever columns the frame carries.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(1, int(target * min_ratio)):
+    thresh = max(1, int(target * min_ratio))
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= thresh:
+        return df
+    if df.rdd.getNumPartitions() < thresh:
         return df.repartition(target)
     return df
+
+
+# Expected rows per LSH band bucket above which the candidate self-join
+# starts degenerating toward all-pairs (m rows in a bucket → ~m²/2 pairs).
+BAND_BUCKET_WARN_ROWS = 10_000
+
+
+def warn_band_capacity(n_rows: int | None, n_buckets: int, op: str,
+                       knob: str) -> float | None:
+    """Candidate-volume guard for banded self-joins.
+
+    With ``n_rows`` hashed uniformly into ``n_buckets`` buckets per band,
+    the expected bucket holds ``n/k`` rows and each band contributes
+    ``≈ n²/(2k)`` candidate pairs. When the expected bucket size crosses
+    :data:`BAND_BUCKET_WARN_ROWS`, the banding no longer bounds the join
+    (the round-2 footgun: ``band_bits=4`` → 16 buckets at n ≫ 10⁶ is
+    effectively all-pairs) — warn with the knob to raise. Returns the
+    expected bucket size (None when ``n_rows`` is unknown)."""
+    if n_rows is None:
+        return None
+    expected = n_rows / max(1, n_buckets)
+    if expected > BAND_BUCKET_WARN_ROWS:
+        warnings.warn(
+            f"{op}: expected ~{expected:,.0f} rows per band bucket "
+            f"(n={n_rows:,}, {n_buckets:,} buckets/band) — the candidate "
+            f"self-join degenerates toward all-pairs "
+            f"(~n²/2k ≈ {n_rows * n_rows / (2 * max(1, n_buckets)):.2g} "
+            f"pairs per band). Raise {knob}.",
+            RuntimeWarning, stacklevel=3)
+    return expected

@@ -153,3 +153,64 @@ def test_ivf_assign_join_equals_literal(spark):
     b = {r["vec_id"]: r["list_id"] for r in
          similarity.ivf_assign_join(df, cents).collect()}
     assert a == b and len(a) == 61
+
+
+def test_simhash_combination_banding_exact_recall(spark):
+    """chunks > max_hamming+1 joins on slice COMBINATIONS (q-subsets) —
+    still exact recall by pigeonhole, wider composite keys for scale."""
+    from pubscience_spark.operators import dedup as dedup_ops
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(200)
+    base = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+            dedup_ops.simhash_neardup(docs, "doc_id", max_hamming=3,
+                                      chunks=4).collect()}
+    combo = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+             dedup_ops.simhash_neardup(docs, "doc_id", max_hamming=3,
+                                       chunks=8).collect()}
+    assert combo == base          # same exact pair set, different banding
+
+
+def test_band_capacity_warning_fires():
+    import warnings as w
+
+    from pubscience_spark.operators.util import warn_band_capacity
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        # 10^9 rows into 16 buckets: the round-2 footgun shape
+        expected = warn_band_capacity(10**9, 16, "embedding_neardup_lsh",
+                                      "band_bits")
+        assert expected == 10**9 / 16
+        assert len(rec) == 1 and "all-pairs" in str(rec[0].message)
+        # healthy shape: no warning
+        assert warn_band_capacity(10**6, 2**20, "x", "y") < 10
+        assert len(rec) == 1
+        # unknown size: silent no-op
+        assert warn_band_capacity(None, 16, "x", "y") is None
+
+
+def test_simhash_neardup_warns_on_capacity(spark):
+    import warnings as w
+
+    from pubscience_spark.operators import dedup as dedup_ops
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(10)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        # n_rows declares a 10^12 corpus against 2^16 buckets
+        dedup_ops.simhash_neardup(docs, "doc_id", max_hamming=3, chunks=4,
+                                  n_rows=10**12)
+        assert any("simhash_neardup" in str(r.message) for r in rec)
+
+
+def test_embedding_neardup_autoscaled_band_bits(spark):
+    """band_bits=None counts the corpus and scales the bucket space;
+    results still exact-verified (subset of brute force at threshold)."""
+    from pubscience_spark.operators import similarity as sim_ops
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(300)
+    dim = len(emb.select("embedding").first()[0])
+    auto = sim_ops.embedding_neardup_lsh(emb, threshold=0.38, dim=dim,
+                                         n_bands=48)
+    rows = auto.collect()
+    for r in rows:
+        assert r["cosine"] >= 0.38          # precision exact by verify
