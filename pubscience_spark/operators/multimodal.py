@@ -8,9 +8,12 @@ Decode tiers:
   extraction. Codec-library formats (JPEG, MP3, H.264, …) surface as an
   ``unsupported-format`` error column; swap in Pillow/soundfile on a
   production cluster for the long tail — the plan does not change.
-- Deterministic FAKE (``PUBSCIENCE_FAKE_DECODE=1``, the default for the
-  synthetic battery corpus whose media bytes are random): dims/features
-  from a blake2b of the bytes — exercises the full Arrow round trip.
+- Deterministic FAKE (opt-in: ``PUBSCIENCE_FAKE_DECODE=1`` or
+  ``fake=True`` — for the synthetic battery corpus whose media bytes
+  are random): dims/features from a blake2b of the bytes — exercises
+  the full Arrow round trip. Round-2 review: real decode is the
+  DEFAULT, so a production caller who forgets the env gets real pixels
+  (or an honest error column), never silent blake2b features.
 - Video decode has no stdlib path: fake or error, honestly stubbed.
 """
 
@@ -37,7 +40,7 @@ IMAGE_FEATURES_SCHEMA = StructType([
 
 
 def _fake_decode_enabled() -> bool:
-    return os.environ.get("PUBSCIENCE_FAKE_DECODE", "1") == "1"
+    return os.environ.get("PUBSCIENCE_FAKE_DECODE", "0") == "1"
 
 
 def _decode_image(raw: bytes, fake: bool = True) -> tuple[int, int, list[float]]:

@@ -18,18 +18,22 @@ def _media_df(spark):
 
 
 def test_image_features_schema_and_determinism(spark):
-    rows = {r["url"]: r for r in mm.image_features(_media_df(spark)).collect()}
+    # fake=True: the Arrow round-trip shape on synthetic (random) bytes
+    rows = {r["url"]: r
+            for r in mm.image_features(_media_df(spark), fake=True).collect()}
     assert set(rows) == {"u1", "u2", "u3"}
     r1 = rows["u1"]
     assert r1["error"] is None and len(r1["feature"]) == 8
     assert 64 <= r1["width"] <= 255 and 64 <= r1["height"] <= 255
     # deterministic across runs
-    again = {r["url"]: r for r in mm.image_features(_media_df(spark)).collect()}
+    again = {r["url"]: r
+             for r in mm.image_features(_media_df(spark), fake=True).collect()}
     assert again["u1"]["feature"] == r1["feature"]
 
 
 def test_audio_features(spark):
-    rows = {r["url"]: r for r in mm.audio_features(_media_df(spark)).collect()}
+    rows = {r["url"]: r
+            for r in mm.audio_features(_media_df(spark), fake=True).collect()}
     r = rows["u1"]
     assert r["error"] is None
     assert r["sample_rate"] in (8000, 16000, 22050, 44100)
@@ -37,7 +41,7 @@ def test_audio_features(spark):
 
 
 def test_video_frames_one_to_many(spark):
-    out = mm.video_frames(_media_df(spark), every_n=24)
+    out = mm.video_frames(_media_df(spark), every_n=24, fake=True)
     per_url = {r["url"]: r["n"] for r in
                out.groupBy("url").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert per_url["u1"] >= 1 and per_url["u2"] >= 1
@@ -47,16 +51,33 @@ def test_video_frames_one_to_many(spark):
     assert all(f["ts_s"] is not None for f in frames)
 
 
-def test_real_decode_on_random_bytes_yields_error_column(spark):
-    # real decode path on random (non-image) bytes: per-row error column
-    # (UnsupportedFormat), never a task failure
-    os.environ["PUBSCIENCE_FAKE_DECODE"] = "0"
-    try:
-        rows = mm.image_features(_media_df(spark)).collect()
-        assert all(r["error"] and "UnsupportedFormat" in r["error"]
-                   for r in rows)
-    finally:
-        os.environ["PUBSCIENCE_FAKE_DECODE"] = "1"
+def test_real_decode_is_the_default_path(spark):
+    """Round-2 review: with NO env vars and no fake flag, decode is REAL —
+    committed-format PNG/WAV fixtures produce real pixels/samples, and
+    random bytes produce the error column (never blake2b features, never
+    a task failure)."""
+    assert os.environ.get("PUBSCIENCE_FAKE_DECODE") is None
+    import numpy as np
+
+    from pubscience_spark.kernels import media
+    arr = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    wav = media.encode_wav(8000, 0.3 * np.sin(np.arange(4000) / 20.0))
+    df = spark.createDataFrame(
+        [("u_png", bytearray(media.encode_png(arr))),
+         ("u_junk", bytearray(b"\x89PNG fake bytes one"))],
+        "url string, media binary")
+    rows = {r["url"]: r for r in mm.image_features(df).collect()}
+    assert (rows["u_png"]["width"], rows["u_png"]["height"]) == (4, 6)
+    assert rows["u_png"]["error"] is None
+    assert rows["u_junk"]["error"] and "UnsupportedFormat" in \
+        rows["u_junk"]["error"]
+    adf = spark.createDataFrame([("u_wav", bytearray(wav))],
+                                "url string, media binary")
+    arow = mm.audio_features(adf).collect()[0]
+    assert arow["sample_rate"] == 8000 and arow["error"] is None
+    # video has no stdlib decoder: default path surfaces the honest error
+    vrow = mm.video_frames(df.limit(1)).collect()[0]
+    assert vrow["error"] and "NotImplementedError" in vrow["error"]
 
 
 # --------------------------------------------------------------------------
