@@ -13,11 +13,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def write_extracted(df: DataFrame, path: str, *, mode: str = "overwrite",
+def is_table_identifier(target: str) -> bool:
+    """True when ``target`` names a catalog table (``catalog.db.table``)
+    rather than a filesystem path. Paths carry ``/`` or a URI scheme;
+    multipart dotted names without either are table identifiers."""
+    if "/" in target or "\\" in target or "://" in target:
+        return False
+    return "." in target
+
+
+def write_extracted(df: DataFrame, target: str, *, mode: str = "overwrite",
                     partition_col: str = "bucket") -> None:
-    """K1: the extracted table, partitioned by url-hash bucket (the
-    Iceberg ``bucket(url)`` analog on plain parquet)."""
-    (df.write.mode(mode).partitionBy(partition_col).parquet(path))
+    """K1: the extracted table, partitioned by url-hash bucket.
+
+    Dispatch (the Iceberg seam, SURVEY §7.1): when ``target`` is a
+    catalog table identifier (``catalog.db.extracted``) the DataFrameV2
+    API is used — ``writeTo(...).append()`` for appends,
+    ``createOrReplace()`` for overwrite — which on an Iceberg catalog
+    gives real snapshot-commit semantics (and makes the parquet commit
+    protocol in plans/pipeline redundant: Iceberg's snapshot IS the
+    commit marker). When ``target`` is a path, plain parquet partitioned
+    by ``bucket`` (the ``bucket(url)`` partition-transform analog). This
+    container ships no Iceberg runtime jar (installs forbidden), so the
+    catalog branch is exercised against Spark's built-in session catalog
+    in tests; on a cluster, configuring
+    ``spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog``
+    routes the same call to Iceberg unchanged."""
+    if is_table_identifier(target):
+        writer = df.writeTo(target)
+        if partition_col and partition_col in df.columns:
+            writer = writer.partitionedBy(F.col(partition_col))
+        try:
+            if mode == "append":
+                try:
+                    writer.append()
+                except Exception as exc:  # first write: table absent
+                    if "TABLE_OR_VIEW_NOT_FOUND" in str(exc) or \
+                            "NoSuchTable" in str(exc):
+                        writer.create()
+                    else:
+                        raise
+            else:
+                writer.createOrReplace()
+        except Exception as exc:
+            # V1 session-catalog tables reject V2 REPLACE/append
+            # ("UNSUPPORTED_FEATURE", "Cannot write into v1 table") —
+            # fall back to the classic writer; an Iceberg/V2 catalog
+            # never takes this branch
+            if "UNSUPPORTED_FEATURE" not in str(exc) \
+                    and "v1 table" not in str(exc):
+                raise
+            df.write.mode("overwrite" if mode != "append" else "append") \
+                .saveAsTable(target)
+        return
+    df.write.mode(mode).partitionBy(partition_col).parquet(target)
 
 
 def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:

@@ -194,3 +194,34 @@ def test_read_text_lines_multi_split_numbering(spark, tmp_path):
     assert rows[0]["line"] == "line-00001"
     assert rows[2500]["line"] == f"line-{2501:05d}"
     assert rows[-1]["line"] == f"line-{n:05d}"
+
+
+def test_write_extracted_catalog_table_dispatch(spark):
+    """K1's Iceberg seam: a catalog table identifier routes through the
+    DataFrameV2 writeTo API (createOrReplace / append, with create-on-
+    first-append), falling back to the classic writer for V1 session-
+    catalog tables; a path routes to partitioned parquet. On a cluster
+    with spark.sql.catalog.<name> = SparkCatalog (Iceberg), the same
+    calls commit snapshots — no code change."""
+    from pyspark.sql import functions as F2
+
+    from pubscience_spark.sources.sinks import (is_table_identifier,
+                                                write_extracted)
+    assert is_table_identifier("iceberg.db.extracted")
+    assert is_table_identifier("spark_catalog.default.t")
+    assert not is_table_identifier("/tmp/out/extracted")
+    assert not is_table_identifier("s3a://bucket/extracted")
+    assert not is_table_identifier("extracted")          # bare name: path
+    df = spark.range(10).select(F2.col("id"),
+                                (F2.col("id") % 3).alias("bucket"))
+    tbl = "spark_catalog.default.t_sink_dispatch"
+    spark.sql("DROP TABLE IF EXISTS default.t_sink_dispatch")
+    try:
+        write_extracted(df, tbl, mode="overwrite")
+        assert spark.table(tbl).count() == 10
+        write_extracted(df, tbl, mode="append")
+        assert spark.table(tbl).count() == 20
+        write_extracted(df, tbl, mode="overwrite")       # replace resets
+        assert spark.table(tbl).count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS default.t_sink_dispatch")
