@@ -130,6 +130,12 @@ def _decode_stream(hdr: bytes, body: bytes) -> tuple[bytes | None, str | None]:
                 body = base64.a85decode(data)
             except ValueError:
                 return None, "ascii85-decode-failed"
+        elif name == b"LZWDecode":
+            from .pdfobj import lzw_decode
+            try:
+                body = lzw_decode(body)
+            except (ValueError, KeyError):
+                return None, "lzw-decode-failed"
         else:
             return None, "unsupported-filter"
     return body, None

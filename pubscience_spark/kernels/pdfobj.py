@@ -209,6 +209,47 @@ def parse_object(lex: _Lexer):
 
 # --------------------------------------------------------------- filters --
 
+def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode: MSB-first variable-width codes (9→12 bits), clear
+    code 256, EOD 257, /EarlyChange default 1 (width bumps one code
+    early). Older (pre-Flate) PDFs compress content streams with this."""
+    table = {i: bytes([i]) for i in range(256)}
+    next_code, code_len = 258, 9
+    prev: bytes | None = None
+    out = bytearray()
+    bitbuf = nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= code_len:
+            nbits -= code_len
+            code = (bitbuf >> nbits) & ((1 << code_len) - 1)
+            if code == 256:                        # clear table
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, code_len, prev = 258, 9, None
+                continue
+            if code == 257:                        # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:                # KwKwK case
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError("lzw: corrupt code")
+            out += entry
+            prev = entry
+            if next_code + early_change >= (1 << code_len) \
+                    and code_len < 12:
+                code_len += 1
+    return bytes(out)
+
+
 def _png_unpredict(data: bytes, colors: int, columns: int,
                    bpc: int = 8) -> bytes:
     """PNG predictor reversal for stream data (xref streams are almost
@@ -266,6 +307,10 @@ def decode_stream(stream: Stream, objs: dict | None = None) -> bytes:
         p = _resolve(p, objs) or {}
         if f == "FlateDecode":
             data = zlib.decompress(data)
+        elif f == "LZWDecode":
+            ec = _resolve(p.get("EarlyChange"), objs) \
+                if isinstance(p, dict) else None
+            data = lzw_decode(data, 1 if ec is None else int(ec))
         elif f == "ASCIIHexDecode":
             h = _RE_WS.sub(b"", data.split(b">")[0])
             if len(h) % 2:
@@ -542,11 +587,20 @@ def _font_decoders(res: dict, objs: dict) -> dict[str, FontDecoder]:
 # --------------------------------------------------------- page walking --
 
 _RE_CONTENT_OP = re.compile(
-    rb"/([^\s()<>\[\]{}/%]+)\s+[-+]?[\d.]+\s+Tf"       # font select
-    rb"|\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")"          # literal show
-    rb"|<([0-9A-Fa-f\s]*)>\s*(?:Tj|'|\")"              # hex show
-    rb"|\[(.*?)\]\s*TJ", re.DOTALL)                    # TJ array
-_RE_STR_IN_ARRAY = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
+    rb"/(?P<fsel>[^\s()<>\[\]{}/%]+)\s+[-+]?[\d.]+\s+Tf"   # font select
+    rb"|\((?P<lit>(?:[^()\\]|\\.)*)\)\s*(?P<litop>Tj|'|\")"
+    rb"|<(?P<hexs>[0-9A-Fa-f\s]*)>\s*(?P<hexop>Tj|'|\")"
+    rb"|\[(?P<arr>.*?)\]\s*TJ"
+    rb"|(?P<tdx>[-+]?[\d.]+)\s+(?P<tdy>[-+]?[\d.]+)\s+(?:Td|TD)"
+    rb"|(?P<tstar>T\*)"
+    rb"|(?P<tm>(?:[-+]?[\d.]+\s+){6})Tm"
+    rb"|(?P<bt>BT)\b", re.DOTALL)
+# TJ array items: strings and kerning numbers, in order
+_RE_TJ_ITEM = re.compile(
+    rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|([-+]?[\d.]+)")
+# kerning gap (thousandths of an em) treated as an inter-word space —
+# pypdf/pdfminer use comparable heuristics; LaTeX word gaps are ~ -300
+_TJ_SPACE_GAP = -150.0
 
 
 def _page_list(objs: dict) -> list[tuple[dict, dict]]:
@@ -597,37 +651,83 @@ def _page_content(page: dict, objs: dict) -> bytes:
 
 
 def _content_text(body: bytes, fonts: dict[str, FontDecoder]) -> str:
-    pieces: list[str] = []
+    """Positioning-aware text assembly for the structured path.
+
+    Real PDFs emit MANY show operators per visual line (LaTeX kerns every
+    few glyphs), so joining every Tj with ``\\n`` would put fragments of
+    one line on separate lines — and the downstream P6 cleanup
+    (``pdfmini.text_extractor``) scrubs by LINE (digit-start drops,
+    number-only-line drops), so line fidelity is semantic, not cosmetic.
+    Line breaks follow the text-positioning operators the way
+    pypdf/pdfminer approximate them: ``Td/TD`` with a vertical move,
+    ``T*``, a ``Tm`` that changes the y translation, and the ``'``/``"``
+    next-line show forms; within a line, show fragments concatenate, and
+    a TJ kerning gap below :data:`_TJ_SPACE_GAP` renders as a space."""
+    lines: list[str] = []
+    cur_line: list[str] = []
     cur = _PLAIN
+    last_tm_y: float | None = None
     from .pdfmini import _unescape_pdf_string  # shared escape semantics
+
+    def newline():
+        if cur_line:
+            lines.append("".join(cur_line))
+            cur_line.clear()
+
+    def hex_bytes(h: bytes) -> bytes:
+        h = _RE_WS.sub(b"", h)
+        if len(h) % 2:
+            h += b"0"
+        try:
+            return bytes.fromhex(h.decode("ascii"))
+        except ValueError:
+            return b""
+
     for m in _RE_CONTENT_OP.finditer(body):
-        fsel, lit, hexs, arr = m.group(1), m.group(2), m.group(3), m.group(4)
-        if fsel is not None:
-            cur = fonts.get(fsel.decode("latin-1"), _PLAIN)
-        elif lit is not None:
-            pieces.append(cur.decode(_unescape_pdf_string(lit)))
-        elif hexs is not None:
-            h = _RE_WS.sub(b"", hexs)
-            if len(h) % 2:
-                h += b"0"
-            try:
-                pieces.append(cur.decode(bytes.fromhex(h.decode("ascii"))))
-            except ValueError:
-                continue
-        else:
-            for s in _RE_STR_IN_ARRAY.finditer(arr):
+        g = m.groupdict()
+        if g["fsel"] is not None:
+            cur = fonts.get(g["fsel"].decode("latin-1"), _PLAIN)
+        elif g["lit"] is not None or g["hexs"] is not None:
+            op = g["litop"] or g["hexop"]
+            if op in (b"'", b'"'):          # next-line show forms
+                newline()
+            raw = (_unescape_pdf_string(g["lit"]) if g["lit"] is not None
+                   else hex_bytes(g["hexs"]))
+            cur_line.append(cur.decode(raw))
+        elif g["arr"] is not None:
+            for s in _RE_TJ_ITEM.finditer(g["arr"]):
                 if s.group(1) is not None:
-                    pieces.append(cur.decode(_unescape_pdf_string(s.group(1))))
+                    cur_line.append(cur.decode(_unescape_pdf_string(
+                        s.group(1))))
+                elif s.group(2) is not None:
+                    cur_line.append(cur.decode(hex_bytes(s.group(2))))
                 else:
-                    h = _RE_WS.sub(b"", s.group(2))
-                    if len(h) % 2:
-                        h += b"0"
                     try:
-                        pieces.append(
-                            cur.decode(bytes.fromhex(h.decode("ascii"))))
+                        if float(s.group(3)) < _TJ_SPACE_GAP:
+                            cur_line.append(" ")
                     except ValueError:
-                        continue
-    return "\n".join(pieces)
+                        pass
+        elif g["tdy"] is not None:
+            try:
+                if float(g["tdy"]) != 0.0:
+                    newline()
+            except ValueError:
+                pass
+        elif g["tstar"] is not None:
+            newline()
+        elif g["tm"] is not None:
+            try:
+                ty = float(g["tm"].split()[5])
+            except (ValueError, IndexError):
+                ty = None
+            if ty is not None:
+                if cur_line and ty != last_tm_y:
+                    newline()
+                last_tm_y = ty
+        elif g["bt"] is not None:
+            newline()
+    newline()
+    return "\n".join(lines)
 
 
 def extract_document(raw: bytes) -> dict:

@@ -129,7 +129,7 @@ def build_modern_pdf(page_texts: list[str], predictor: bool = False,
 
     for i, text in enumerate(page_texts):
         content = (f"BT /F9 11 Tf <{_hex_codes(text, inv)}> Tj "
-                   f"<0100010101020103> Tj ET").encode("ascii")
+                   f"0 -14 Td <0100010101020103> Tj ET").encode("ascii")
         emit(o_content0 + i, {"Filter": N("FlateDecode")},
              zlib.compress(content))
     emit(o_cmap, {"Filter": N("FlateDecode")},
@@ -250,6 +250,31 @@ def test_tounicode_parser_forms():
     assert table[0x60] == "A" and table[0x62] == "C"   # increment form
 
 
+def test_positioning_aware_line_assembly():
+    """Real PDFs emit many show ops per visual line; fragments must
+    concatenate within a line and break only on Td/T*/Tm-y/'/" moves,
+    with large negative TJ kerns rendering as inter-word spaces."""
+    fonts = {}
+    body = (b"BT /F1 10 Tf (Frag) Tj (ment one) Tj "      # same line
+            b"0 -12 Td (line two) Tj "                    # Td with dy
+            b"12 0 Td ( cont) Tj "                        # dy=0: no break
+            b"T* (line three) Tj "
+            b"[(kerned) -300 (words) -20 (glued)] TJ "    # TJ gaps
+            b"1 0 0 1 72 700 Tm (tm one) Tj "
+            b"1 0 0 1 72 688 Tm (tm two) Tj "             # y moved
+            b"1 0 0 1 200 688 Tm (same y) Tj "            # y same: no break
+            b"(next) ' ET")                               # ' = next line
+    txt = pdfobj._content_text(body, fonts)
+    assert txt.splitlines() == [
+        "Fragment one",
+        "line two cont",
+        "line threekerned wordsglued",
+        "tm one",
+        "tm twosame y",
+        "next",
+    ]
+
+
 def test_legacy_pdfs_keep_the_regex_path():
     """A plain (no ObjStm/XRef/ToUnicode) PDF must take the byte-stable
     legacy path — same output as before the structured tier existed."""
@@ -279,3 +304,60 @@ def test_extract_pdf_route_uses_structured_pages():
     assert out["error"] is None
     assert len(out["pages"]) == 2                 # >50-word pages kept
     assert "word word" in out["extracted_text"]
+
+
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Test-side PDF LZW encoder (MSB-first, clear=256, EOD=257)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, code_len = 258, 9
+    out_bits: list[tuple[int, int]] = [(256, code_len)]
+    w = b""
+    for b in data:
+        c = bytes([b])
+        if w + c in table:
+            w += c
+            continue
+        out_bits.append((table[w], code_len))
+        table[w + c] = next_code
+        next_code += 1
+        if next_code + early_change - 1 >= (1 << code_len) and code_len < 12:
+            code_len += 1
+        w = c
+    if w:
+        out_bits.append((table[w], code_len))
+    out_bits.append((257, code_len))
+    buf = bitn = acc = 0
+    ba = bytearray()
+    for code, width in out_bits:
+        acc = (acc << width) | code
+        bitn += width
+        while bitn >= 8:
+            bitn -= 8
+            ba.append((acc >> bitn) & 0xFF)
+    if bitn:
+        ba.append((acc << (8 - bitn)) & 0xFF)
+    return bytes(ba)
+
+
+def test_lzw_decode_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    assert pdfobj.lzw_decode(_lzw_encode(b"")) == b""
+    sample = b"-----A---B-----A---B aaaa bbbb " * 50
+    assert pdfobj.lzw_decode(_lzw_encode(sample)) == sample
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.binary(max_size=3000))
+    def rt(data):
+        assert pdfobj.lzw_decode(_lzw_encode(data)) == data
+    rt()
+
+
+def test_lzw_stream_in_legacy_pdf():
+    body = b"BT (lzw compressed text) Tj ET"
+    enc = _lzw_encode(body)
+    raw = (b"%PDF-1.2\n1 0 obj\n<< /Length " + str(len(enc)).encode()
+           + b" /Filter /LZWDecode >>\nstream\n" + enc
+           + b"\nendstream\nendobj\n%%EOF\n")
+    pages, error, _, _ = pdfmini.pdf_to_pages(raw)
+    assert error is None and pages == ["lzw compressed text"]
