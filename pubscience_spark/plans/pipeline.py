@@ -127,7 +127,8 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
             "__host", F.lower(F.expr("parse_url(url, 'HOST')")))
         extracted = strip_boilerplate(
             extracted, text_col="extracted_text", source_col="__host",
-            source_map=boilerplate_by_domain).drop("__host")
+            source_map=boilerplate_by_domain,
+            title_col="title").drop("__host")
 
     # X1/X2 duplicate marking (keep-first by url — deterministic total
     # order). Two strategies, identical output on a fresh run ("windows"
