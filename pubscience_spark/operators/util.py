@@ -17,22 +17,16 @@ def spread(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     repartition to the default parallelism; on production inputs (thousands
     of splits) this is a no-op, so no gratuitous shuffle at scale.
 
-    The partition probe prefers ``inputFiles()`` (pure plan metadata): a
-    scan over >= threshold files can never be under-parallel, so the
-    production path skips the plan→RDD conversion entirely (round-2
-    review: ``df.rdd`` costs planning time on wide plans and bypasses
-    AQE's view). Only the few-files case — the small-fixture shape —
-    falls back to the exact RDD partition count. Only spread SLIM
-    projections; the shuffle moves whatever columns the frame carries.
+    The probe is the exact RDD partition count. A file-count shortcut
+    (``inputFiles()``) was tried in round 3 and reverted as unsound:
+    Spark bin-packs small files into scan splits, so many files does
+    NOT imply many partitions, and an under-parallel UDF stage costs
+    10× while the rdd probe costs only planning time on a slim
+    projection. Only spread SLIM projections; the shuffle moves
+    whatever columns the frame carries.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     thresh = max(1, int(target * min_ratio))
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        n_files = 0
-    if n_files >= thresh:
-        return df
     if df.rdd.getNumPartitions() < thresh:
         return df.repartition(target)
     return df
