@@ -145,11 +145,12 @@ def is_pdf(raw: bytes) -> bool:
     return raw[:5] == b"%PDF-"
 
 
-# Markers that signal the PDF 1.5+ layout the legacy regex path cannot
-# read: compressed object streams, xref streams, CID text with ToUnicode
-# CMaps. Their presence routes the file to the structured parser
-# (kernels/pdfobj); plain files keep the byte-stable legacy path.
-_MODERN_MARKERS = (b"/ObjStm", b"/XRef", b"/ToUnicode")
+# Markers that signal a layout the legacy regex path cannot read:
+# compressed object streams, xref streams, CID text with ToUnicode
+# CMaps, encrypted files. Their presence routes the file to the
+# structured parser (kernels/pdfobj); plain files keep the byte-stable
+# legacy path.
+_MODERN_MARKERS = (b"/ObjStm", b"/XRef", b"/ToUnicode", b"/Encrypt")
 
 
 def _scanned_producer(producer: str) -> bool:
@@ -180,6 +181,11 @@ def pdf_to_pages(raw: bytes) -> tuple[list[str], str | None, bool, str]:
         try:
             from . import pdfobj
             doc = pdfobj.extract_document(raw)
+            if doc["error"] in ("pdf-password-protected",
+                                "pdf-encryption-unsupported"):
+                # terminal: the legacy path would just see filter noise
+                return ([], doc["error"], _scanned_producer(producer),
+                        producer)
             if doc["pages"] and any(doc["pages"]):
                 producer = producer or doc["info"].get("Producer", "")
                 return (doc["pages"], doc["error"],

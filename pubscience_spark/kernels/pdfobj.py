@@ -59,11 +59,25 @@ class Ref:
 
 
 class Stream:
-    __slots__ = ("dict", "raw")
+    __slots__ = ("dict", "raw", "num", "gen")
 
-    def __init__(self, d: dict, raw: bytes):
+    def __init__(self, d: dict, raw: bytes, num: int = 0, gen: int = 0):
         self.dict = d
         self.raw = raw
+        self.num = num          # owning object number (per-object crypto key)
+        self.gen = gen
+
+
+class ObjMap(dict):
+    """Object-number → object map; carries the document decryptor so
+    ``decode_stream`` can transparently decrypt encrypted streams, and
+    a crypt error string for password-protected files."""
+    __slots__ = ("decryptor", "crypt_error")
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.decryptor = None
+        self.crypt_error = None
 
 
 class _Lexer:
@@ -207,6 +221,167 @@ def parse_object(lex: _Lexer):
     raise ValueError(f"unparseable object at {lex.pos}")
 
 
+# ------------------------------------------------------------ encryption --
+#
+# PDF standard security handler, EMPTY-user-password case — the common
+# "encrypted but freely readable" shape (owner password set, user password
+# blank; pypdf opens these transparently, parse_pdfs.py relies on that).
+# Supported: R2/R3 (RC4 40/128), R4 (/CFM AESV2 = AES-128-CBC or /CFM V2 =
+# RC4), R6 (/V 5, AES-256 with the 2.B SHA-2 hash). Password-protected
+# files (non-empty user password) surface as a per-document error.
+
+_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A")
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (spec-vector-tested); symmetric."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _aes_cbc(key: bytes, iv: bytes, data: bytes, encrypt: bool = False) -> bytes:
+    from cryptography.hazmat.primitives.ciphers import (Cipher, algorithms,
+                                                        modes)
+    c = Cipher(algorithms.AES(key), modes.CBC(iv))
+    ctx = c.encryptor() if encrypt else c.decryptor()
+    return ctx.update(data) + ctx.finalize()
+
+
+def _std_file_key(enc: dict, file_id: bytes, password: bytes = b"") -> bytes:
+    """Algorithm 2 (R2-R4): MD5 key derivation."""
+    import hashlib
+    r = int(enc.get("R", 2))
+    n = int(enc.get("Length", 40)) // 8 if int(enc.get("V", 1)) >= 2 else 5
+    o = bytes(enc["O"])[:32]
+    p = int(enc["P"]) & 0xFFFFFFFF
+    h = hashlib.md5((password + _PAD)[:32] + o
+                    + p.to_bytes(4, "little") + file_id)
+    if r >= 4 and enc.get("EncryptMetadata") is False:
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """R6 Algorithm 2.B iterated SHA-2 hash."""
+    import hashlib
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc(k[:16], k[16:32], k1, encrypt=True)
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+class Decryptor:
+    """Per-document decryption state; ``decrypt(data, num, gen)``."""
+    __slots__ = ("key", "cfm", "v")
+
+    def __init__(self, enc: dict, file_id: bytes, objs: dict | None = None):
+        v = int(_resolve(enc.get("V"), objs) or 1)
+        r = int(_resolve(enc.get("R"), objs) or 2)
+        enc = {k: _resolve(x, objs) for k, x in enc.items()}
+        self.v = v
+        if v >= 5:                                 # R6: AES-256
+            u = bytes(enc["U"])
+            if _hash_2b(b"", u[32:40]) != u[:32]:
+                raise ValueError("pdf-password-protected")
+            ikey = _hash_2b(b"", u[40:48])
+            self.key = _aes_cbc(ikey, b"\x00" * 16, bytes(enc["UE"]))[:32]
+            self.cfm = "AESV3"
+            return
+        self.cfm = "V2"                            # RC4 default
+        if v == 4:
+            cf = enc.get("CF") or {}
+            stmf = str(enc.get("StmF", "StdCF"))
+            cfd = _resolve(cf.get(stmf), objs) if isinstance(cf, dict) else None
+            if isinstance(cfd, dict) and str(cfd.get("CFM")) == "AESV2":
+                self.cfm = "AESV2"
+            if isinstance(cfd, dict) and "Length" in cfd and \
+                    "Length" not in enc:
+                ln = int(_resolve(cfd["Length"], objs))
+                enc["Length"] = ln * 8 if ln <= 32 else ln
+        self.key = _std_file_key(enc, file_id)
+        if r >= 3:
+            # verify the empty user password via Algorithm 5 (first 16
+            # bytes of U): wrong → password-protected
+            import hashlib
+            h = hashlib.md5(_PAD + file_id).digest()
+            u = rc4(self.key, h)
+            for i in range(1, 20):
+                u = rc4(bytes(b ^ i for b in self.key), u)
+            if u[:16] != bytes(enc["U"])[:16]:
+                raise ValueError("pdf-password-protected")
+
+    def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+        import hashlib
+        if self.v >= 5:
+            if len(data) < 16:
+                return b""
+            return _unpad_cbc(_aes_cbc(self.key, data[:16], _cbc_body(data)))
+        okey = hashlib.md5(
+            self.key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+            + (b"sAlT" if self.cfm == "AESV2" else b"")).digest()
+        okey = okey[:min(len(self.key) + 5, 16)]
+        if self.cfm == "AESV2":
+            if len(data) < 16:
+                return b""
+            return _unpad_cbc(_aes_cbc(okey, data[:16], _cbc_body(data)))
+        return rc4(okey, data)
+
+
+def _cbc_body(data: bytes) -> bytes:
+    body = data[16:]
+    return body[:len(body) - (len(body) % 16)]
+
+
+def _unpad_cbc(plain: bytes) -> bytes:
+    if plain and 1 <= plain[-1] <= 16:
+        return plain[:-plain[-1]]
+    return plain
+
+
+_RE_FILE_ID = re.compile(
+    rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>\s*\]")
+
+
+def find_decryptor(raw: bytes, objs: dict) -> "Decryptor | None":
+    """Locate the /Encrypt dictionary (trailer-referenced; recognized by
+    its Standard-handler fields) and the file /ID, and build a Decryptor.
+    Returns None for unencrypted files; raises ValueError for
+    password-protected or unsupported handlers."""
+    enc = None
+    for v in objs.values():
+        if isinstance(v, dict) and "O" in v and "U" in v and "P" in v \
+                and str(v.get("Filter")) == "Standard":
+            enc = v
+            break
+    if enc is None:
+        return None
+    m = _RE_FILE_ID.search(raw)
+    file_id = bytes.fromhex(m.group(1).decode("ascii")) if m else b""
+    return Decryptor(enc, file_id, objs)
+
+
 # --------------------------------------------------------------- filters --
 
 def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
@@ -291,9 +466,15 @@ def _png_unpredict(data: bytes, colors: int, columns: int,
 
 
 def decode_stream(stream: Stream, objs: dict | None = None) -> bytes:
-    """Apply /Filter cascade + /DecodeParms predictors. Raises ValueError
-    on unsupported filters (caller surfaces the error column)."""
+    """Apply decryption (when the document is encrypted), then the
+    /Filter cascade + /DecodeParms predictors. Raises ValueError on
+    unsupported filters (caller surfaces the error column)."""
     data = stream.raw
+    decryptor = getattr(objs, "decryptor", None)
+    if decryptor is not None and stream.dict.get("Type") != "XRef":
+        # xref streams are never encrypted (spec 7.5.8.2); all other
+        # streams — content, ObjStm, CMaps — are
+        data = decryptor.decrypt(data, stream.num, stream.gen)
     filters = stream.dict.get("Filter")
     if filters is None:
         return data
@@ -349,13 +530,13 @@ def scan_objects(raw: bytes) -> dict[int, object]:
     object parsed before searching for the next) so ``obj`` bytes inside
     stream bodies never false-positive. Later duplicates of an object
     number override earlier ones — incremental-update semantics."""
-    objs: dict[int, object] = {}
+    objs: ObjMap = ObjMap()
     pos = 0
     while True:
         m = _RE_OBJ.search(raw, pos)
         if m is None:
             return objs
-        num = int(m.group(1))
+        num, gen = int(m.group(1)), int(m.group(2))
         lex = _Lexer(raw, m.end())
         try:
             val = parse_object(lex)
@@ -384,7 +565,7 @@ def scan_objects(raw: bytes) -> dict[int, object]:
                         body_end -= 2
                     elif raw[body_end - 1:body_end] in (b"\r", b"\n"):
                         body_end -= 1
-                val = Stream(val, raw[body_start:body_end])
+                val = Stream(val, raw[body_start:body_end], num, gen)
                 end = raw.find(b"endstream", body_end)
                 pos = (end + len(b"endstream")) if end >= 0 else body_end
             else:
@@ -464,6 +645,11 @@ def parse_document(raw: bytes) -> dict[int, object]:
     already locates every object, so a corrupt xref degrades gracefully
     instead of failing the file)."""
     objs = scan_objects(raw)
+    try:
+        objs.decryptor = find_decryptor(raw, objs)
+    except (ValueError, KeyError, TypeError) as exc:
+        objs.crypt_error = (str(exc) if "password" in str(exc)
+                            else "pdf-encryption-unsupported")
     # xref streams are decoded for validation/authority; type-1 entries
     # pointing at offsets the scan missed get a second parse attempt
     xref = parse_xref_streams(raw, objs)
@@ -732,8 +918,12 @@ def _content_text(body: bytes, fonts: dict[str, FontDecoder]) -> str:
 
 def extract_document(raw: bytes) -> dict:
     """Structured extraction: ``{pages, error, info}``. An empty page
-    list means the caller should fall back to the legacy regex path."""
+    list means the caller should fall back to the legacy regex path
+    (except ``pdf-password-protected``, which is terminal)."""
     objs = parse_document(raw)
+    if objs.crypt_error:
+        return {"pages": [], "error": objs.crypt_error,
+                "info": document_info(objs)}
     page_nodes = _page_list(objs)
     info = document_info(objs)
     if not page_nodes:

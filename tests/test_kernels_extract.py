@@ -216,7 +216,9 @@ def test_pdf_asciihex_filter_and_unsupported():
            + b"\n%%EOF\n")
     pages, error, _, _ = pdfmini.pdf_to_pages(pdf)
     assert error is None and pages == ["hexed body"]
-    bad = (b"%PDF-1.4\n" + _stream_obj(b"xx", "/Filter /LZWDecode")
+    # LZWDecode gained real support in round 3 — DCTDecode (JPEG) stays
+    # an honest unsupported-filter error
+    bad = (b"%PDF-1.4\n" + _stream_obj(b"xx", "/Filter /DCTDecode")
            + b"\n%%EOF\n")
     pages, error, _, _ = pdfmini.pdf_to_pages(bad)
     assert error == "unsupported-filter" and pages == [""]

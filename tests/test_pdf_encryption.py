@@ -1,0 +1,183 @@
+"""PDF standard security handler (kernels/pdfobj): RC4 R2/R3, AES-128
+R4 (AESV2), AES-256 R6 — the empty-user-password "encrypted but freely
+readable" shape pypdf opens transparently for the reference
+(/root/reference/src/pubscience/retrieve/OAI/parse_pdfs.py:112-241).
+
+Fixtures are built by an in-test encryptor. The RC4 primitive is pinned
+to the RFC 6229-style known vector (non-circular); the O-entry
+generation and AES sides use independent code paths (hashlib chains /
+the cryptography package), so a key-derivation bug cannot cancel out
+between encrypt and decrypt for those parts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+from pubscience_spark.kernels import pdfmini, pdfobj
+
+PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A")
+FILE_ID = bytes.fromhex("0123456789abcdef0123456789abcdef")
+BODY = b"BT (secret article text extracted fine) Tj ET"
+
+
+def test_rc4_known_vector():
+    # classic test vector: RC4("Key", "Plaintext")
+    assert pdfobj.rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    # symmetry
+    assert pdfobj.rc4(b"k2", pdfobj.rc4(b"k2", b"payload")) == b"payload"
+
+
+# --------------------------------------------------- fixture encryptors ---
+
+def _owner_entry(owner: bytes, n: int, r: int) -> tuple[bytes, bytes]:
+    h = hashlib.md5((owner + PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:n]
+    o = pdfobj.rc4(okey, PAD[:32])          # padded EMPTY user password
+    if r >= 3:
+        for i in range(1, 20):
+            o = pdfobj.rc4(bytes(b ^ i for b in okey), o)
+    return o, okey
+
+
+def _make_rc4_encrypt(r: int, nbits: int) -> tuple[dict, bytes]:
+    n = nbits // 8
+    o, _ = _owner_entry(b"own3r-pw", n, r)
+    enc = {"Filter": "Standard", "R": r, "V": 1 if r == 2 else 2,
+           "Length": nbits, "O": o, "P": -44}
+    fkey = pdfobj._std_file_key(enc, FILE_ID)
+    if r >= 3:
+        u = hashlib.md5(PAD + FILE_ID).digest()
+        u = pdfobj.rc4(fkey, u)
+        for i in range(1, 20):
+            u = pdfobj.rc4(bytes(b ^ i for b in fkey), u)
+        enc["U"] = u + b"\x00" * 16
+    else:
+        enc["U"] = pdfobj.rc4(fkey, PAD[:32])
+    return enc, fkey
+
+
+def _make_aesv2_encrypt() -> tuple[dict, bytes]:
+    enc, fkey = _make_rc4_encrypt(4, 128)
+    enc.update({"V": 4, "R": 4, "StmF": "StdCF", "StrF": "StdCF",
+                "CF": {"StdCF": {"CFM": "AESV2", "Length": 16}}})
+    return enc, fkey
+
+
+def _make_r6_encrypt() -> tuple[dict, bytes]:
+    fkey = bytes(range(32))
+    vsalt, ksalt = b"VSALT--1", b"KSALT--2"
+    u_hash = pdfobj._hash_2b(b"", vsalt)
+    ikey = pdfobj._hash_2b(b"", ksalt)
+    ue = pdfobj._aes_cbc(ikey, b"\x00" * 16, fkey, encrypt=True)
+    enc = {"Filter": "Standard", "R": 6, "V": 5, "Length": 256,
+           "O": b"\x00" * 48, "U": u_hash + vsalt + ksalt,
+           "UE": ue, "OE": b"\x00" * 32, "P": -44}
+    return enc, fkey
+
+
+def _obj_key(fkey: bytes, num: int, aes: bool) -> bytes:
+    k = hashlib.md5(fkey + num.to_bytes(3, "little") + b"\x00\x00"
+                    + (b"sAlT" if aes else b"")).digest()
+    return k[:min(len(fkey) + 5, 16)]
+
+
+def _val_bytes(v) -> bytes:
+    if isinstance(v, bytes):
+        return b"<" + v.hex().encode() + b">"
+    if isinstance(v, str):
+        return b"/" + v.encode()
+    if isinstance(v, dict):
+        return _enc_dict_bytes(v)
+    return str(v).encode()
+
+
+def _enc_dict_bytes(enc: dict) -> bytes:
+    parts = [f"/{k} ".encode() + _val_bytes(v) for k, v in enc.items()]
+    return b"<< " + b" ".join(parts) + b" >>"
+
+
+def build_encrypted_pdf(enc: dict, fkey: bytes, mode: str) -> bytes:
+    """Minimal 1-page PDF with a Flate content stream encrypted per the
+    handler: deflate → encrypt (decrypt side inverts in that order)."""
+    deflated = zlib.compress(BODY)
+    if mode == "rc4":
+        stream_data = pdfobj.rc4(_obj_key(fkey, 4, False), deflated)
+    elif mode == "aesv2":
+        iv = b"\x01" * 16
+        padlen = 16 - len(deflated) % 16
+        stream_data = iv + pdfobj._aes_cbc(
+            _obj_key(fkey, 4, True), iv, deflated + bytes([padlen]) * padlen,
+            encrypt=True)
+    else:                                          # aesv3 / R6
+        iv = b"\x02" * 16
+        padlen = 16 - len(deflated) % 16
+        stream_data = iv + pdfobj._aes_cbc(
+            fkey, iv, deflated + bytes([padlen]) * padlen, encrypt=True)
+    out = bytearray(b"%PDF-1.6\n")
+    offs = {}
+
+    def emit(num: int, body: bytes):
+        offs[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode() + body + b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    emit(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    emit(4, (f"<< /Length {len(stream_data)} /Filter /FlateDecode "
+             f">>\nstream\n").encode() + stream_data + b"\nendstream")
+    emit(5, _enc_dict_bytes(enc))
+    out.extend(b"trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R /ID [<"
+               + FILE_ID.hex().encode() + b"> <" + FILE_ID.hex().encode()
+               + b">] >>\n%%EOF\n")
+    return bytes(out)
+
+
+# --------------------------------------------------------------- tests ----
+
+def _assert_extracts(raw: bytes):
+    pages, error, _, _ = pdfmini.pdf_to_pages(raw)
+    assert error is None, error
+    assert pages == ["secret article text extracted fine"]
+
+
+def test_rc4_r3_128_decrypts():
+    enc, fkey = _make_rc4_encrypt(3, 128)
+    _assert_extracts(build_encrypted_pdf(enc, fkey, "rc4"))
+
+
+def test_rc4_r2_40_decrypts():
+    enc, fkey = _make_rc4_encrypt(2, 40)
+    _assert_extracts(build_encrypted_pdf(enc, fkey, "rc4"))
+
+
+def test_aesv2_r4_decrypts():
+    enc, fkey = _make_aesv2_encrypt()
+    _assert_extracts(build_encrypted_pdf(enc, fkey, "aesv2"))
+
+
+def test_aes256_r6_decrypts():
+    enc, fkey = _make_r6_encrypt()
+    _assert_extracts(build_encrypted_pdf(enc, fkey, "aesv3"))
+
+
+def test_nonempty_user_password_surfaces_error():
+    enc, fkey = _make_rc4_encrypt(3, 128)
+    # corrupt U: the empty-password check must fail closed
+    enc["U"] = b"\xff" * 32
+    raw = build_encrypted_pdf(enc, fkey, "rc4")
+    pages, error, _, _ = pdfmini.pdf_to_pages(raw)
+    assert pages == [] and error == "pdf-password-protected"
+
+
+def test_r6_wrong_password_surfaces_error():
+    enc, fkey = _make_r6_encrypt()
+    enc["U"] = b"\x00" * 32 + enc["U"][32:]
+    raw = build_encrypted_pdf(enc, fkey, "aesv3")
+    pages, error, _, _ = pdfmini.pdf_to_pages(raw)
+    assert pages == [] and error == "pdf-password-protected"
