@@ -1,0 +1,182 @@
+"""Web-scale training-corpus text curation operators.
+
+Two operators every LLM-pretraining pipeline needs that the reference
+lacks (its quality gate is length + language + term filters,
+``identify/identify.py``; SURVEY §2 LLM-ops tier):
+
+- :func:`gopher_repetition` — the Gopher/MassiveText repetition rules
+  (Rae et al. 2021, table A1): duplicate line/paragraph fractions,
+  duplicate line/paragraph CHARACTER fractions, top-n-gram character
+  fraction. All computed with native higher-order array functions on a
+  per-row basis — no shuffle, no Python, whole-stage codegen.
+- :func:`mark_contaminated` — n-gram test-set decontamination (the
+  GPT-3/LLaMA approach): a training doc is contaminated when it shares
+  any word n-gram (default 13, the GPT-3 choice) with an evaluation
+  document. Slim ``(id, ngram-hash)`` explode on both sides, equi-join
+  on the 64-bit hash, distinct ids back — the join key is uniform by
+  construction, candidates only, no text moves through the shuffle.
+
+Scale notes: ``gopher_repetition`` is embarrassingly parallel (pure
+projection). ``mark_contaminated`` shuffles ``total_words - n + 1``
+slim hash rows per side; the eval side is typically tiny (benchmarks) —
+pass ``broadcast_eval=True`` to skip the shuffle entirely and map-side
+join the eval hash set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(col):
+    t = F.trim(F.lower(col))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+
+
+def _lines(col):
+    # non-empty trimmed lines
+    return F.filter(
+        F.transform(F.split(col, r"\n"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0)
+
+
+def _paragraphs(col):
+    return F.filter(
+        F.transform(F.split(col, r"\n\s*\n"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0)
+
+
+def _dup_fraction(arr):
+    """(count - distinct count) / count — fraction of elements that are
+    repeats of an earlier element (Gopher's duplicate-fraction shape)."""
+    n = F.size(arr)
+    return F.when(n > 0,
+                  (n - F.size(F.array_distinct(arr)))
+                  / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def _dup_char_fraction(arr):
+    """Characters inside duplicated elements / total characters: for each
+    element value appearing k times, k-1 copies' characters count as
+    duplicated (the element's first occurrence is 'original')."""
+    total = F.aggregate(arr, F.lit(0),
+                        lambda acc, s: acc + F.length(s)).cast("double")
+    # chars in all occurrences minus chars in distinct values
+    distinct_chars = F.aggregate(F.array_distinct(arr), F.lit(0),
+                                 lambda acc, s: acc + F.length(s))
+    dup_chars = (total - distinct_chars)
+    return F.when(total > 0, dup_chars / total).otherwise(F.lit(0.0))
+
+
+def _ngrams(words, n: int):
+    """Word n-grams as strings via sequence+transform (JVM, no Python)."""
+    count = F.size(words) - (n - 1)
+    return F.when(count > 0, F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)))) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def _top_ngram_char_fraction(words, n: int, max_words: int):
+    """Fraction of characters covered by the most frequent word n-gram
+    (Gopher: 2-grams > 0.20, 3-grams > 0.18, 4-grams > 0.16 are dropped).
+
+    Mode-of-array is computed natively as array_sort + one aggregate()
+    fold tracking the longest equal-run — O(g log g) per row, no
+    Python, no shuffle (a naive count-per-distinct-gram filter is
+    O(g²) and measurably hangs on 2k-word docs). Ties resolve to the
+    lexicographically largest gram (the fold updates on run >= best
+    over the ascending sort). ``words`` is truncated to ``max_words``
+    to bound the per-row cost; the signal saturates long before 2k
+    words.
+    """
+    w = F.slice(words, 1, max_words)
+    grams = F.array_sort(_ngrams(w, n))
+    total_chars = F.aggregate(w, F.lit(0),
+                              lambda a, s: a + F.length(s)).cast("double")
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"), F.lit("").alias("bestg"))
+
+    def step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        upd = run >= acc["best"]
+        return F.struct(
+            g.alias("prev"), run.alias("run"),
+            F.when(upd, run).otherwise(acc["best"]).alias("best"),
+            F.when(upd, g).otherwise(acc["bestg"]).alias("bestg"))
+
+    st = F.aggregate(grams, zero, step)
+    # chars of the gram's WORDS = string length minus its n-1 spaces
+    frac = (st["best"] * (F.length(st["bestg"]) - F.lit(n - 1))) \
+        / total_chars
+    return F.when((F.size(grams) > 0) & (total_chars > 0),
+                  F.round(frac, 6)).otherwise(F.lit(0.0))
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text",
+                      max_words: int = 2000) -> DataFrame:
+    """Adds the Gopher/MassiveText repetition signals as columns:
+
+    ``dup_line_frac``, ``dup_line_char_frac``, ``dup_para_frac``,
+    ``dup_para_char_frac``, ``top_2gram_char_frac``,
+    ``top_3gram_char_frac``. Gopher's drop thresholds (A1): line-dup
+    > 0.30, line-char-dup > 0.20, para-dup > 0.30, para-char-dup
+    > 0.20, top-2-gram > 0.20, top-3-gram > 0.18 — left to the caller
+    (signals, not verdicts, so thresholds stay tunable).
+    """
+    col = F.col(text_col)
+    lines = _lines(col)
+    paras = _paragraphs(col)
+    words = _words(col)
+    return (df
+            .withColumn("dup_line_frac", F.round(_dup_fraction(lines), 6))
+            .withColumn("dup_line_char_frac",
+                        F.round(_dup_char_fraction(lines), 6))
+            .withColumn("dup_para_frac", F.round(_dup_fraction(paras), 6))
+            .withColumn("dup_para_char_frac",
+                        F.round(_dup_char_fraction(paras), 6))
+            .withColumn("top_2gram_char_frac",
+                        _top_ngram_char_fraction(words, 2, max_words))
+            .withColumn("top_3gram_char_frac",
+                        _top_ngram_char_fraction(words, 3, max_words)))
+
+
+def ngram_hashes(df: DataFrame, id_col: str, text_col: str = "text",
+                 n: int = 13) -> DataFrame:
+    """Slim ``(id, ngram_hash)`` rows: xxhash64 over each word n-gram.
+    Hashing before the explode keeps 8-byte longs (not n-word strings)
+    in the shuffle."""
+    grams = _ngrams(_words(F.col(text_col)), n)
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.transform(
+                          grams, lambda g: F.xxhash64(g))).alias("ngram_hash"))
+            .distinct())
+
+
+def mark_contaminated(train: DataFrame, eval_df: DataFrame, id_col: str,
+                      text_col: str = "text", n: int = 13,
+                      eval_text_col: str | None = None,
+                      broadcast_eval: bool = True,
+                      flag_col: str = "is_contaminated") -> DataFrame:
+    """Flags training docs sharing any word ``n``-gram with the eval set.
+
+    ``broadcast_eval=True`` (default) broadcasts the distinct eval-side
+    hash set — correct whenever the eval corpus is benchmark-sized; at
+    a huge eval side set it False for a shuffle hash join on the
+    uniform 64-bit key.
+    """
+    ev = ngram_hashes(eval_df, id_col, eval_text_col or text_col, n) \
+        .select("ngram_hash").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = ngram_hashes(train, id_col, text_col, n)
+    hit_ids = tr.join(ev, "ngram_hash").select("id").distinct() \
+        .withColumnRenamed("id", id_col)
+    # no broadcast hint on the hit set: usually tiny (AQE will broadcast
+    # it), but a heavily contaminated corpus could produce millions of
+    # ids — same policy as the curation plan's near-dup drop set
+    return train.join(hit_ids.withColumn(flag_col, F.lit(True)),
+                      id_col, "left") \
+        .withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False)))

@@ -1,0 +1,142 @@
+"""Gopher repetition signals + n-gram decontamination, checked against
+sequential brute-force implementations of the same definitions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pubscience_spark.operators import curate_text as C
+
+
+# ------------------------------------------------ brute-force references ---
+
+def _ref_dup_fraction(items):
+    if not items:
+        return 0.0
+    return (len(items) - len(set(items))) / len(items)
+
+
+def _ref_dup_char_fraction(items):
+    total = sum(len(s) for s in items)
+    if not total:
+        return 0.0
+    distinct = sum(len(s) for s in set(items))
+    return (total - distinct) / total
+
+
+def _ref_top_ngram_frac(text, n):
+    words = text.lower().split()
+    grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+    total = sum(len(w) for w in words)
+    if not grams or not total:
+        return 0.0
+    from collections import Counter
+    cnt = Counter(grams)
+    top = max(cnt.values())
+    # ties resolved to the lexicographically largest gram (operator rule)
+    gram = max(g for g, c in cnt.items() if c == top)
+    return top * (len(gram) - (n - 1)) / total
+
+
+DOCS = [
+    ("d0", "unique prose line one\nanother line\n\nfresh paragraph here"),
+    ("d1", "spam spam spam spam spam spam spam spam"),
+    ("d2", "menu\nmenu\nmenu\ncontact us\nmenu\n\nbody text paragraph\n\n"
+           "body text paragraph"),
+    ("d3", ""),
+    ("d4", "a b c d e f g h i j"),
+    ("d5", "repeat pair repeat pair repeat pair tail words here now"),
+]
+
+
+def test_gopher_repetition_matches_bruteforce(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in C.gopher_repetition(df).collect()}
+    for doc_id, text in DOCS:
+        lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+        import re
+        paras = [p.strip() for p in re.split(r"\n\s*\n", text) if p.strip()]
+        r = got[doc_id]
+        assert r["dup_line_frac"] == pytest.approx(
+            _ref_dup_fraction(lines), abs=1e-6), doc_id
+        assert r["dup_line_char_frac"] == pytest.approx(
+            _ref_dup_char_fraction(lines), abs=1e-6), doc_id
+        assert r["dup_para_frac"] == pytest.approx(
+            _ref_dup_fraction(paras), abs=1e-6), doc_id
+        assert r["dup_para_char_frac"] == pytest.approx(
+            _ref_dup_char_fraction(paras), abs=1e-6), doc_id
+        assert r["top_2gram_char_frac"] == pytest.approx(
+            _ref_top_ngram_frac(text, 2), abs=1e-6), doc_id
+        assert r["top_3gram_char_frac"] == pytest.approx(
+            _ref_top_ngram_frac(text, 3), abs=1e-6), doc_id
+    # the spammy docs are the ones Gopher's thresholds would drop
+    assert got["d1"]["top_2gram_char_frac"] > 0.20
+    assert got["d2"]["dup_line_frac"] > 0.30
+    assert got["d0"]["dup_line_frac"] == 0.0
+
+
+def test_gopher_repetition_on_real_docs(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(100)
+    out = C.gopher_repetition(docs).select(
+        "doc_id", "dup_line_frac", "top_2gram_char_frac").collect()
+    assert len(out) == 100
+    for r in out:
+        assert 0.0 <= r["dup_line_frac"] <= 1.0
+        assert 0.0 <= r["top_2gram_char_frac"] <= 1.0
+
+
+def test_mark_contaminated_matches_bruteforce(spark):
+    n = 5
+    eval_rows = [("e0", "the quick brown fox jumps over the lazy dog"),
+                 ("e1", "four score and seven years ago our fathers")]
+    train_rows = [
+        # contains eval e0's 5-gram verbatim
+        ("t0", "intro words the quick brown fox jumps over and then more"),
+        # clean
+        ("t1", "completely unrelated training document about spark joins"),
+        # shares only a 4-gram (below n) → clean
+        ("t2", "the quick brown fox sleeps all day long here"),
+        # contains e1 content, case-insensitive
+        ("t3", "FOUR SCORE AND SEVEN YEARS ago our fathers brought forth"),
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    ev = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["is_contaminated"] for r in
+           C.mark_contaminated(train, ev, "doc_id", n=n).collect()}
+    # brute force
+    def grams(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+    ev_grams = set().union(*(grams(t) for _, t in eval_rows))
+    for doc_id, text in train_rows:
+        assert got[doc_id] == bool(grams(text) & ev_grams), doc_id
+    assert got["t0"] and got["t3"] and not got["t1"] and not got["t2"]
+    # shuffle-join mode agrees with broadcast mode
+    got2 = {r["doc_id"]: r["is_contaminated"] for r in
+            C.mark_contaminated(train, ev, "doc_id", n=n,
+                                broadcast_eval=False).collect()}
+    assert got2 == got
+
+
+def test_mark_contaminated_short_docs_never_flagged(spark):
+    train = spark.createDataFrame([("t0", "too few words")],
+                                  ["doc_id", "text"])
+    ev = spark.createDataFrame([("e0", "too few words")], ["doc_id", "text"])
+    out = C.mark_contaminated(train, ev, "doc_id", n=13).collect()
+    assert out[0]["is_contaminated"] is False  # no 13-gram exists
+
+
+def test_curate_text_plan_is_native(spark):
+    """The repetition signals must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython in the plan, and decontamination's shuffle carries
+    only (id, 8-byte hash)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(50)
+    plan = C.gopher_repetition(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan
+    hashes = C.ngram_hashes(docs, "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in hashes
