@@ -54,6 +54,14 @@ def _quality_ok(text_col: str, *, min_alpha_ratio: float,
             & ((n_stop / n_words) >= min_stop_ratio))
 
 
+GOPHER_DEFAULT_MAX = {
+    # Rae et al. 2021 table A1 drop thresholds
+    "dup_line_frac": 0.30, "dup_line_char_frac": 0.20,
+    "dup_para_frac": 0.30, "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,
+}
+
+
 def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
                   id_col: str = "doc_id", text_col: str = "text",
                   min_chars: int = 100, min_words: int = 20,
@@ -64,9 +72,20 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
                   min_alpha_ratio: float = 0.6,
                   max_word_len: float = 12.0,
                   min_stop_ratio: float = 0.01,
+                  gopher_max: dict | None = None,
+                  decontam_eval: DataFrame | None = None,
+                  decontam_n: int = 13,
                   split_weights: tuple = (.9, .05, .05)) -> dict:
     """Run the funnel; returns the manifest dict (also written to
-    ``out_dir/manifest.json``). Output table at ``out_dir/corpus``."""
+    ``out_dir/manifest.json``). Output table at ``out_dir/corpus``.
+
+    ``gopher_max`` (opt-in) adds a repetition gate: a dict of
+    signal → max threshold over the ``gopher_repetition`` columns (use
+    :data:`GOPHER_DEFAULT_MAX` for the published values). Still one
+    aggregation pass — the signals are native expressions, so the gate
+    is just another boolean flag.
+    ``decontam_eval`` (opt-in) drops docs sharing any ``decontam_n``-gram
+    with the given evaluation corpus (id/text columns as named here)."""
     # ---- stage flags (cheap predicates; one aggregation pass) ----------
     flagged = (docs
                .withColumn("__len_ok",
@@ -87,10 +106,22 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
         "__q_ok", _quality_ok(text_col, min_alpha_ratio=min_alpha_ratio,
                               max_word_len=max_word_len,
                               min_stop_ratio=min_stop_ratio))
+    if gopher_max:
+        from ..operators.curate_text import gopher_repetition
+        flagged = gopher_repetition(flagged, text_col)
+        rep_ok = F.lit(True)
+        for sig, mx in gopher_max.items():
+            rep_ok = rep_ok & (F.col(sig) <= F.lit(float(mx)))
+        flagged = flagged.withColumn("__rep_ok", rep_ok).drop(
+            "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+            "dup_para_char_frac", "top_2gram_char_frac",
+            "top_3gram_char_frac")
+    else:
+        flagged = flagged.withColumn("__rep_ok", F.lit(True))
 
     # exact-dedup keeper per sha256 among gate survivors (min() agg —
     # map-side combine, viral-duplicate safe)
-    gated = flagged.where("__len_ok AND __lang_ok AND __q_ok")
+    gated = flagged.where("__len_ok AND __lang_ok AND __q_ok AND __rep_ok")
     keepers = (gated
                .select(F.sha2(F.col(text_col), 256).alias("__sha"), id_col)
                .groupBy("__sha").agg(F.min(id_col).alias("__keep")))
@@ -111,6 +142,19 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     # it), but a near-dup-heavy corpus at 10^12 docs can produce a drop
     # set too large to ship to every executor — let the planner decide
     kept = exact.join(drop_ids, id_col, "left_anti")
+    n_contaminated = 0
+    hit_ids = None
+    if decontam_eval is not None:
+        from ..operators.curate_text import ngram_hashes
+        ev = ngram_hashes(decontam_eval, id_col, text_col, decontam_n) \
+            .select("ngram_hash").distinct()
+        # persist the (tiny) hit set: its count and the anti-join would
+        # otherwise each re-run the 13-gram explode over the corpus
+        hit_ids = (ngram_hashes(kept, id_col, text_col, decontam_n)
+                   .join(F.broadcast(ev), "ngram_hash")
+                   .select(F.col("id").alias(id_col)).distinct()).persist()
+        n_contaminated = hit_ids.count()
+        kept = kept.join(hit_ids, id_col, "left_anti")
     kept = train_val_test_split(kept, id_col, weights=split_weights)
 
     # ---- one-pass funnel counts + write -------------------------------
@@ -123,10 +167,14 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
                          .otherwise(0)), z).alias("lang_ok"),
         F.coalesce(F.sum(F.when(F.col("__len_ok") & F.col("__lang_ok")
                                 & F.col("__q_ok"), 1).otherwise(0)), z)
-        .alias("quality_ok")).collect()[0]
+        .alias("quality_ok"),
+        F.coalesce(F.sum(F.when(F.col("__len_ok") & F.col("__lang_ok")
+                                & F.col("__q_ok") & F.col("__rep_ok"), 1)
+                         .otherwise(0)), z)
+        .alias("repetition_ok")).collect()[0]
     corpus_path = os.path.join(out_dir, "corpus")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out = kept.drop("__len_ok", "__lang_ok", "__q_ok")
+    out = kept.drop("__len_ok", "__lang_ok", "__q_ok", "__rep_ok")
     out.write.mode("overwrite").partitionBy("split").parquet(corpus_path)
     # dynamic overwrite writes no files for an empty result — read back
     # only when data exists (zero-input runs yield an empty manifest).
@@ -143,17 +191,25 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
         split_counts = {}
     n_written = sum(split_counts.values())
     exact.unpersist()
+    if hit_ids is not None:
+        hit_ids.unpersist()
     manifest = {
         "input": funnel_row["input"],
         "after_length_gate": funnel_row["len_ok"],
         "after_lang_gate": funnel_row["lang_ok"],
         "after_quality_gate": funnel_row["quality_ok"],
+        "after_repetition_gate": funnel_row["repetition_ok"],
+        "decontaminated_dropped": n_contaminated,
         "written": n_written,
-        "exact_and_neardup_dropped": funnel_row["quality_ok"] - n_written,
+        "exact_and_neardup_dropped":
+            funnel_row["repetition_ok"] - n_contaminated - n_written,
         "splits": split_counts,
         "params": {"min_chars": min_chars, "min_words": min_words,
                    "lang_keep": lang_keep,
                    "neardup_threshold": neardup_threshold,
+                   "gopher_max": gopher_max,
+                   "decontam_n": decontam_n if decontam_eval is not None
+                   else None,
                    "split_weights": list(split_weights)},
         "corpus_path": corpus_path,
     }

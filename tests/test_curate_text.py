@@ -140,3 +140,42 @@ def test_curate_text_plan_is_native(spark):
     hashes = C.ngram_hashes(docs, "doc_id")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "EvalPython" not in hashes
+
+
+def test_curation_funnel_with_gopher_and_decontam(spark, tmp_path):
+    """Opt-in repetition gate + decontamination stages in curate_corpus:
+    funnel counts stay consistent, stages drop the right docs."""
+    import os
+
+    from pubscience_spark.plans.curation import (GOPHER_DEFAULT_MAX,
+                                                 curate_corpus)
+    base = ("solid prose content with the usual stopwords and a view of "
+            "analysis that is long enough to pass all of the gates in "
+            "this small curation test corpus for sure ") * 3
+    rows = [(f"d{i}", base + f"variation token {i} " * 5) for i in range(20)]
+    # a repetition-spam doc: passes length/quality, fails the Gopher gate
+    rows.append(("d_spam", ("the same line again and again\n" * 40)))
+    # a doc contaminated with the eval corpus
+    eval_text = ("held out evaluation question about the spark optimizer "
+                 "and its adaptive execution behavior in detail")
+    rows.append(("d_leak", base + " " + eval_text))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ev = spark.createDataFrame([("e0", eval_text)], ["doc_id", "text"])
+    m = curate_corpus(spark, docs, os.path.join(str(tmp_path), "out"),
+                      min_chars=50, min_words=10,
+                      gopher_max=GOPHER_DEFAULT_MAX,
+                      decontam_eval=ev, decontam_n=13,
+                      neardup_threshold=0.995)
+    assert m["input"] == 22
+    assert m["after_repetition_gate"] == m["after_quality_gate"] - 1
+    assert m["decontaminated_dropped"] == 1
+    written = spark.read.parquet(m["corpus_path"])
+    ids = {r["doc_id"] for r in written.select("doc_id").collect()}
+    assert "d_spam" not in ids and "d_leak" not in ids
+    assert m["written"] == len(ids)
+    # default call (no opt-ins) keeps the old manifest shape working
+    m2 = curate_corpus(spark, docs, os.path.join(str(tmp_path), "out2"),
+                       min_chars=50, min_words=10,
+                       neardup_threshold=0.995)
+    assert m2["after_repetition_gate"] == m2["after_quality_gate"]
+    assert m2["decontaminated_dropped"] == 0
