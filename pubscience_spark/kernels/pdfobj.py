@@ -104,8 +104,10 @@ class _Lexer:
 
 
 def _parse_literal_string(lex: _Lexer) -> bytes:
-    """Balanced-paren literal string; escapes left raw (callers unescape
-    via pdfmini's shared helper)."""
+    """Balanced-paren literal string, escape sequences RESOLVED — the
+    returned bytes are the true string value (encryption O/U entries and
+    Info strings are consumed as-is; a round-trip property test pins
+    this)."""
     d = lex.data
     assert d[lex.pos] == 0x28
     lex.pos += 1
@@ -123,10 +125,11 @@ def _parse_literal_string(lex: _Lexer) -> bytes:
             depth -= 1
             if depth == 0:
                 lex.pos += 1
-                return bytes(out)
+                break
         out.append(c)
         lex.pos += 1
-    return bytes(out)                             # unterminated: best effort
+    from .pdfmini import _unescape_pdf_string
+    return _unescape_pdf_string(bytes(out))
 
 
 def _parse_hex_string(lex: _Lexer) -> bytes:
@@ -952,8 +955,7 @@ def document_info(objs: dict) -> dict:
             for k in ("Producer", "Creator", "Title", "Author"):
                 val = v.get(k)
                 if isinstance(val, bytes):
-                    from .pdfmini import _unescape_pdf_string
-                    out[k] = _unescape_pdf_string(val).decode(
-                        "latin-1", "replace")
+                    # parse_object already resolved string escapes
+                    out[k] = val.decode("latin-1", "replace")
             return out
     return {}

@@ -361,3 +361,45 @@ def test_lzw_stream_in_legacy_pdf():
            + b"\nendstream\nendobj\n%%EOF\n")
     pages, error, _, _ = pdfmini.pdf_to_pages(raw)
     assert error is None and pages == ["lzw compressed text"]
+
+
+def test_object_parser_roundtrip_hypothesis():
+    """Serialize random nested PDF values with the test writer and parse
+    them back — the parser must invert the writer for every shape."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    name = st.text(alphabet="abcdefgABCDEFG0123456789", min_size=1,
+                   max_size=8).map(N)
+    scalar = st.one_of(
+        st.integers(-2**31, 2**31), st.booleans(), st.none(),
+        st.binary(max_size=40), name,
+        st.builds(R, st.integers(1, 9999), st.just(0)))
+    value = st.recursive(
+        scalar,
+        lambda ch: st.one_of(
+            st.lists(ch, max_size=5),
+            st.dictionaries(st.text(alphabet="abcXYZ", min_size=1,
+                                    max_size=6), ch, max_size=5)),
+        max_leaves=20)
+
+    @settings(max_examples=120, deadline=None)
+    @given(value)
+    def rt(v):
+        data = _ser(v)
+        lex = pdfobj._Lexer(data, 0)
+        got = pdfobj.parse_object(lex)
+        assert _normalize(got) == _normalize(v)
+        assert lex.pos == len(data) or data[lex.pos:].isspace()
+    rt()
+
+
+def _normalize(v):
+    """Ref → tuple for comparison; floats not generated (PDF ints only)."""
+    if isinstance(v, pdfobj.Ref):
+        return ("R", v.num, v.gen)
+    if isinstance(v, list):
+        return [_normalize(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _normalize(x) for k, x in v.items()}
+    return v
