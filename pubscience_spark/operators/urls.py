@@ -1,0 +1,109 @@
+"""URL curation operators for Common-Crawl-style corpora.
+
+The input table keys documents by ``url`` (BASELINE.json input_hint);
+web-scale curation needs URL hygiene before any url-keyed dedup:
+
+- :func:`with_normalized_url` — canonical form (lowercased scheme/host,
+  default-port and fragment and tracking-param (utm_*/fbclid/gclid/…)
+  removal, trailing-slash trim) via native ``parse_url`` + higher-order
+  array functions — no Python;
+- :func:`dedup_by_url` — keep-first per normalized URL (min()-agg
+  keepers, the hot-key-safe shape shared with the sha256 dedup);
+- :func:`filter_domains` — block/allow by domain suffix. The scalable
+  shape for big lists: explode each host into its ≤ ``max_labels``
+  parent suffixes and equi-join the (broadcast) list — O(labels) per
+  row, never O(|list|) per row like an ``endswith``-any scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_cid",
+                     "mc_eid", "igshid", "ref_src", "ref_url", "_hsenc",
+                     "_hsmi", "yclid")
+
+
+def _norm_query(url):
+    q = F.parse_url(url, F.lit("QUERY"))
+    parts = F.split(q, "&")
+    kept = F.filter(parts, lambda p: ~F.lower(p).rlike(
+        "^(" + "|".join(TRACKING_PREFIXES) + ")"))
+    joined = F.array_join(kept, "&")
+    return F.when(q.isNull() | (F.length(joined) == 0), F.lit("")) \
+        .otherwise(F.concat(F.lit("?"), joined))
+
+
+def normalized_url_expr(url_col: str):
+    """Canonical URL as a native Column expression."""
+    url = F.col(url_col)
+    proto = F.lower(F.coalesce(F.parse_url(url, F.lit("PROTOCOL")),
+                               F.lit("http")))
+    host = F.lower(F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit("")))
+    # strip default ports (parse_url HOST excludes the port; catch the
+    # :80/:443 written into otherwise portless authorities)
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.when(path.endswith("/") & (F.length(path) > 1),
+                  path.substr(F.lit(1), F.length(path) - 1)) \
+        .otherwise(path)
+    return F.concat(proto, F.lit("://"), host, path, _norm_query(url))
+
+
+def with_normalized_url(df: DataFrame, url_col: str = "url",
+                        out_col: str = "url_norm") -> DataFrame:
+    return df.withColumn(out_col, normalized_url_expr(url_col))
+
+
+def dedup_by_url(df: DataFrame, url_col: str = "url",
+                 order_col: str | None = None,
+                 flag_col: str = "is_url_duplicate") -> DataFrame:
+    """Keep-first per normalized URL: min(order)-agg keepers (map-side
+    combine — a viral URL duplicated millions of times never sorts one
+    hot partition) joined back on the normalized key. ``order_col``
+    defaults to the raw url (a deterministic if arbitrary total order)."""
+    order = order_col or url_col
+    keyed = with_normalized_url(df, url_col, "__un")
+    keepers = keyed.groupBy("__un").agg(F.min(order).alias("__keep"))
+    return (keyed.join(keepers, "__un")
+            .withColumn(flag_col, F.col(order) != F.col("__keep"))
+            .drop("__un", "__keep"))
+
+
+def _host_suffixes(host, max_labels: int):
+    """['a.b.co.uk','b.co.uk','co.uk','uk'] — suffix keys for the join."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), F.least(n, F.lit(max_labels))),
+        lambda i: F.array_join(F.slice(labels, n - i + 1, i), "."))
+
+
+def filter_domains(df: DataFrame, domains: list[str] | DataFrame,
+                   url_col: str = "url", mode: str = "block",
+                   max_labels: int = 6) -> DataFrame:
+    """Drop (``mode='block'``) or keep (``mode='allow'``) rows whose URL
+    host matches any listed domain or is a subdomain of one.
+
+    ``domains`` may be a python list (made into a broadcast frame) or a
+    DataFrame with a ``domain`` column (for list tables too big to ship
+    through the driver). Matching explodes each host into its parent
+    suffixes and semi/anti-joins — per-row cost is bounded by the
+    host's label count, independent of list size."""
+    if mode not in ("block", "allow"):
+        raise ValueError("mode must be 'block' or 'allow'")
+    spark = df.sparkSession
+    if isinstance(domains, DataFrame):
+        dom = domains.select(F.lower(F.col("domain")).alias("__dom"))
+    else:
+        dom = spark.createDataFrame(
+            [(d.lower().lstrip("."),) for d in domains], ["__dom"])
+    dom = F.broadcast(dom.distinct())
+    host = F.lower(F.coalesce(F.parse_url(F.col(url_col), F.lit("HOST")),
+                              F.lit("")))
+    keyed = df.withColumn("__sfx", F.explode(_host_suffixes(host,
+                                                            max_labels)))
+    hits = keyed.join(dom, F.col("__sfx") == F.col("__dom")) \
+        .select(url_col).distinct()
+    how = "left_anti" if mode == "block" else "left_semi"
+    return df.join(hits, url_col, how)
