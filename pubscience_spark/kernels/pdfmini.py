@@ -150,7 +150,9 @@ def is_pdf(raw: bytes) -> bool:
 # CMaps, encrypted files. Their presence routes the file to the
 # structured parser (kernels/pdfobj); plain files keep the byte-stable
 # legacy path.
-_MODERN_MARKERS = (b"/ObjStm", b"/XRef", b"/ToUnicode", b"/Encrypt")
+_MODERN_MARKERS = (b"/ObjStm", b"/XRef", b"/ToUnicode", b"/Encrypt",
+                   b"/Differences", b"/WinAnsiEncoding",
+                   b"/MacRomanEncoding")
 
 
 def _scanned_producer(producer: str) -> bool:

@@ -751,6 +751,102 @@ class FontDecoder:
 
 _PLAIN = FontDecoder(None)
 
+# Adobe Glyph List subset: the names /Differences arrays actually use in
+# Latin-script documents. Single-char names and uniXXXX forms are handled
+# programmatically; everything else falls back to '' (dropped, like an
+# unmapped CID).
+_GLYPHS = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ",
+    "dagger": "†", "daggerdbl": "‡", "section": "§",
+    "paragraph": "¶", "copyright": "©", "registered": "®",
+    "trademark": "™", "degree": "°", "plusminus": "±",
+    "multiply": "×", "divide": "÷", "mu": "µ",
+    "adieresis": "ä", "odieresis": "ö", "udieresis": "ü",
+    "Adieresis": "Ä", "Odieresis": "Ö", "Udieresis": "Ü",
+    "germandbls": "ß", "eacute": "é", "egrave": "è",
+    "ecircumflex": "ê", "agrave": "à", "aacute": "á",
+    "acircumflex": "â", "ccedilla": "ç", "ntilde": "ñ",
+    "oacute": "ó", "ograve": "ò", "iacute": "í",
+    "igrave": "ì", "uacute": "ú", "ugrave": "ù",
+    "aring": "å", "oslash": "ø", "ae": "æ",
+    "Aring": "Å", "Oslash": "Ø", "AE": "Æ",
+    "Eacute": "É", "guillemotleft": "«",
+    "guillemotright": "»", "questiondown": "¿",
+    "exclamdown": "¡", "sterling": "£", "Euro": "€",
+    "yen": "¥", "cent": "¢", "florin": "ƒ",
+    "dotlessi": "ı", "OE": "Œ", "oe": "œ",
+    "Scaron": "Š", "scaron": "š", "Zcaron": "Ž",
+    "zcaron": "ž", "Ydieresis": "Ÿ", "ydieresis": "ÿ",
+    "thorn": "þ", "Thorn": "Þ", "eth": "ð",
+    "Eth": "Ð", "minus": "−", "fraction": "⁄",
+    "periodcentered": "·", "middot": "·",
+    "perthousand": "‰", "nbspace": " ",
+}
+
+
+def glyph_to_unicode(name: str) -> str:
+    if len(name) == 1:
+        return name
+    if name in _GLYPHS:
+        return _GLYPHS[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return ""
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return ""
+    return ""
+
+
+def _base_encoding_map(name: str) -> dict[int, str]:
+    codec = {"WinAnsiEncoding": "cp1252",
+             "MacRomanEncoding": "mac_roman"}.get(name, "latin-1")
+    out = {}
+    for i in range(32, 256):
+        try:
+            out[i] = bytes([i]).decode(codec)
+        except UnicodeDecodeError:
+            continue
+    return out
+
+
+def _simple_font_decoder(enc, objs: dict) -> FontDecoder:
+    """1-byte font decoder from /Encoding: a base-encoding name
+    (WinAnsi/MacRoman; StandardEncoding ≈ latin-1 in the ASCII range) or
+    a dict with /BaseEncoding + /Differences (code, glyph-name, …) —
+    the layout older Type1 journal PDFs use instead of ToUnicode."""
+    if isinstance(enc, (Name, str)):
+        return FontDecoder(_base_encoding_map(str(enc)), 1)
+    table = _base_encoding_map(str(_resolve(enc.get("BaseEncoding"), objs)
+                                   or ""))
+    diffs = _resolve(enc.get("Differences"), objs) or []
+    code = 0
+    for item in diffs:
+        if isinstance(item, (int, float)):
+            code = int(item)
+        else:
+            table[code] = glyph_to_unicode(str(item))
+            code += 1
+    return FontDecoder(table, 1)
+
 
 def _font_decoders(res: dict, objs: dict) -> dict[str, FontDecoder]:
     fonts = _resolve(res.get("Font"), objs) if isinstance(res, dict) else None
@@ -769,6 +865,12 @@ def _font_decoders(res: dict, objs: dict) -> dict[str, FontDecoder]:
                 continue
             except (ValueError, zlib.error):
                 pass
+        enc = _resolve(fobj.get("Encoding"), objs)
+        if isinstance(enc, (Name, str, dict)) and not (
+                isinstance(enc, (Name, str))
+                and str(enc).startswith("Identity")):
+            out[fname] = _simple_font_decoder(enc, objs)
+            continue
         out[fname] = _PLAIN
     return out
 

@@ -403,3 +403,51 @@ def _normalize(v):
     if isinstance(v, dict):
         return {k: _normalize(x) for k, x in v.items()}
     return v
+
+
+def test_simple_font_differences_encoding():
+    """Type1 fonts with /Encoding /Differences (no ToUnicode) — the
+    pre-ToUnicode journal layout — decode via the glyph-name map."""
+    content = b"BT /F1 10 Tf (caf\x80 na\x81ve \x82 uni) Tj ET"
+    raw = (b"%PDF-1.3\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+           b"/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+           b"\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+           b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Times "
+           b"/Encoding << /BaseEncoding /WinAnsiEncoding /Differences "
+           b"[ 128 /eacute 129 /idieresis /uni2603 ] >> >>\nendobj\n"
+           b"%%EOF\n")
+    pages, error, _, _ = pdfmini.pdf_to_pages(raw)
+    assert error is None
+    # 0x80→eacute, 0x81→idieresis (uniXXXX fallback absent → ''), 0x82→☃
+    assert pages[0].startswith("café na")
+    assert "☃" in pages[0]
+
+
+def test_winansi_base_encoding_high_range():
+    content = b"BT /F1 10 Tf (dash \x96 quote \x93x\x94) Tj ET"
+    raw = (b"%PDF-1.3\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+           b"/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+           b"\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+           b"5 0 obj\n<< /Type /Font /Subtype /TrueType "
+           b"/Encoding /WinAnsiEncoding >>\nendobj\n%%EOF\n")
+    pages, error, _, _ = pdfmini.pdf_to_pages(raw)
+    assert error is None
+    assert pages[0] == "dash – quote “x”"   # cp1252, not latin-1
+
+
+def test_glyph_to_unicode_forms():
+    assert pdfobj.glyph_to_unicode("eacute") == "é"
+    assert pdfobj.glyph_to_unicode("a") == "a"
+    assert pdfobj.glyph_to_unicode("uni0041") == "A"
+    assert pdfobj.glyph_to_unicode("u1F600") == "😀"
+    assert pdfobj.glyph_to_unicode("unknownglyphname") == ""
