@@ -363,7 +363,19 @@ def pdf_links(raw: bytes) -> list[str]:
     """P8: distinct /URI values from link annotations. The reference walks
     /Annots → /A → /URI via PyPDF2 and set()-dedups; here a regex scans the
     raw bytes plus every decodable stream (annotations may live in object
-    streams). Sorted for a deterministic column value."""
+    streams). Modern/encrypted files route through the object model,
+    which reaches ObjStm-compressed and string-encrypted annotations.
+    Sorted for a deterministic column value."""
+    if any(mk in raw for mk in _MODERN_MARKERS):
+        try:
+            from . import pdfobj
+            objs = pdfobj.parse_document(raw)
+            if not objs.crypt_error:
+                links = pdfobj.harvest_links(objs)
+                if links:
+                    return links
+        except Exception:
+            pass        # fall through to the regex scan
     found: set[str] = set()
     for m in _RE_URI.finditer(raw):
         found.add(_unescape_pdf_string(m.group(1)).decode("latin-1",

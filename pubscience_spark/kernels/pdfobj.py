@@ -367,22 +367,49 @@ _RE_FILE_ID = re.compile(
     rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>\s*\]")
 
 
-def find_decryptor(raw: bytes, objs: dict) -> "Decryptor | None":
+def find_decryptor(raw: bytes,
+                   objs: dict) -> "tuple[Decryptor, int] | None":
     """Locate the /Encrypt dictionary (trailer-referenced; recognized by
     its Standard-handler fields) and the file /ID, and build a Decryptor.
-    Returns None for unencrypted files; raises ValueError for
-    password-protected or unsupported handlers."""
-    enc = None
-    for v in objs.values():
+    Returns ``(decryptor, encrypt_obj_num)`` or None for unencrypted
+    files; raises ValueError for password-protected or unsupported
+    handlers."""
+    enc, enc_num = None, -1
+    for num, v in objs.items():
         if isinstance(v, dict) and "O" in v and "U" in v and "P" in v \
                 and str(v.get("Filter")) == "Standard":
-            enc = v
+            enc, enc_num = v, num
             break
     if enc is None:
         return None
     m = _RE_FILE_ID.search(raw)
     file_id = bytes.fromhex(m.group(1).decode("ascii")) if m else b""
-    return Decryptor(enc, file_id, objs)
+    return Decryptor(enc, file_id, objs), enc_num
+
+
+def _decrypt_strings(objs: ObjMap, enc_num: int) -> None:
+    """String values inside object dicts/arrays are encrypted too (Info
+    metadata, /URI link targets) — decrypt them in place with each
+    object's own key. The /Encrypt dict itself stays plaintext (spec)."""
+    d = objs.decryptor
+
+    def walk(v, num, gen):
+        if isinstance(v, bytes):
+            return d.decrypt(v, num, gen)
+        if isinstance(v, list):
+            return [walk(x, num, gen) for x in v]
+        if isinstance(v, dict):
+            return {k: walk(x, num, gen) for k, x in v.items()}
+        if isinstance(v, Stream):
+            v.dict = walk(v.dict, num, gen)
+        return v
+
+    for num in list(objs):
+        if num == enc_num:
+            continue
+        objs[num] = walk(objs[num], num,
+                         objs[num].gen if isinstance(objs[num], Stream)
+                         else 0)
 
 
 # --------------------------------------------------------------- filters --
@@ -648,8 +675,11 @@ def parse_document(raw: bytes) -> dict[int, object]:
     already locates every object, so a corrupt xref degrades gracefully
     instead of failing the file)."""
     objs = scan_objects(raw)
+    enc_num = -1
     try:
-        objs.decryptor = find_decryptor(raw, objs)
+        found = find_decryptor(raw, objs)
+        if found is not None:
+            objs.decryptor, enc_num = found
     except (ValueError, KeyError, TypeError) as exc:
         objs.crypt_error = (str(exc) if "password" in str(exc)
                             else "pdf-encryption-unsupported")
@@ -666,6 +696,10 @@ def parse_document(raw: bytes) -> dict[int, object]:
                     objs[onum] = parse_object(lex)
                 except (ValueError, IndexError):
                     pass
+    if objs.decryptor is not None:
+        # BEFORE ObjStm expansion: strings inside object streams are
+        # covered by the stream's own decryption, not re-encrypted
+        _decrypt_strings(objs, enc_num)
     expand_object_streams(raw, objs)
     return objs
 
@@ -1047,6 +1081,32 @@ def extract_document(raw: bytes) -> dict:
 def extract_pages(raw: bytes) -> tuple[list[str], str | None]:
     doc = extract_document(raw)
     return doc["pages"], doc["error"]
+
+
+def harvest_links(objs: dict) -> list[str]:
+    """P8 via the object model: /URI values from link-annotation action
+    dicts — reaches annotations inside object streams and (decrypted)
+    encrypted files, which the raw-bytes regex cannot. Sorted distinct."""
+    found: set[str] = set()
+
+    def walk(v, depth=0):
+        if depth > 32:
+            return
+        if isinstance(v, dict):
+            uri = v.get("URI")
+            if isinstance(uri, bytes):
+                found.add(uri.decode("latin-1", "replace"))
+            for x in v.values():
+                walk(x, depth + 1)
+        elif isinstance(v, list):
+            for x in v:
+                walk(x, depth + 1)
+        elif isinstance(v, Stream):
+            walk(v.dict, depth + 1)
+
+    for v in objs.values():
+        walk(v)
+    return sorted(found)
 
 
 def document_info(objs: dict) -> dict:

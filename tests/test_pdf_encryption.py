@@ -181,3 +181,40 @@ def test_r6_wrong_password_surfaces_error():
     raw = build_encrypted_pdf(enc, fkey, "aesv3")
     pages, error, _, _ = pdfmini.pdf_to_pages(raw)
     assert pages == [] and error == "pdf-password-protected"
+
+
+def test_encrypted_strings_and_links_decrypt():
+    """Info metadata strings and /URI link targets inside an encrypted
+    file decrypt with the per-object keys (string pass before ObjStm
+    expansion)."""
+    enc, fkey = _make_rc4_encrypt(3, 128)
+    deflated = zlib.compress(BODY)
+    stream_data = pdfobj.rc4(_obj_key(fkey, 4, False), deflated)
+    producer = b"Encrypted Producer 9000"
+    uri = b"https://example.org/encrypted-link"
+    enc_producer = pdfobj.rc4(_obj_key(fkey, 6, False), producer)
+    enc_uri = pdfobj.rc4(_obj_key(fkey, 7, False), uri)
+    out = bytearray(b"%PDF-1.6\n")
+
+    def emit(num, body):
+        out.extend(f"{num} 0 obj\n".encode() + body + b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    emit(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Annots [7 0 R] >>")
+    emit(4, (f"<< /Length {len(stream_data)} /Filter /FlateDecode "
+             f">>\nstream\n").encode() + stream_data + b"\nendstream")
+    emit(5, _enc_dict_bytes(enc))
+    emit(6, b"<< /Producer <" + enc_producer.hex().encode() + b"> >>")
+    emit(7, b"<< /Type /Annot /Subtype /Link /A << /S /URI /URI <"
+            + enc_uri.hex().encode() + b"> >> >>")
+    out.extend(b"trailer\n<< /Size 8 /Root 1 0 R /Encrypt 5 0 R /ID [<"
+               + FILE_ID.hex().encode() + b"> <" + FILE_ID.hex().encode()
+               + b">] >>\n%%EOF\n")
+    raw = bytes(out)
+    pages, error, _, prod = pdfmini.pdf_to_pages(raw)
+    assert error is None
+    assert pages == ["secret article text extracted fine"]
+    assert prod == "Encrypted Producer 9000"
+    assert pdfmini.pdf_links(raw) == ["https://example.org/encrypted-link"]
