@@ -156,8 +156,17 @@ class _TreeBuilder(HTMLParser):
                         self._suppress -= 1
                 del self._overflow_stack[idx:]
                 return
-            # end tag for a PRE-cap node: every still-open discarded tag
-            # is implicitly closed; fall through to the normal unwind
+            # not a discarded tag: either it closes an OPEN pre-cap
+            # ancestor (implicitly closing every discarded tag — fall
+            # through to the normal unwind) or it is a stray end tag
+            # never opened, which must NOT cancel suppression (a stray
+            # </em> inside a suppressed footer subtree would otherwise
+            # leak all remaining boilerplate text)
+            probe = self.cur
+            while probe is not self.root and probe.tag != tag:
+                probe = probe.parent
+            if probe is self.root:
+                return          # stray: ignore entirely
             self._overflow_stack.clear()
             self._suppress = 0
         node = self.cur

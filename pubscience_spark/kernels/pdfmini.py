@@ -162,19 +162,28 @@ def _scanned_producer(producer: str) -> bool:
 
 
 def pdf_to_pages(raw: bytes) -> tuple[list[str], str | None, bool, str]:
-    """P1+P2: (pages, error, scanned, producer).
+    """P1+P2: (pages, error, scanned, producer)."""
+    return _pdf_document(raw)[:4]
+
+
+def _pdf_document(raw: bytes) -> tuple[list[str], str | None, bool, str,
+                                       list[str] | None]:
+    """(pages, error, scanned, producer, links).
 
     Modern PDFs (object/xref streams, ToUnicode CMaps — the post-2005
     LaTeX/Word layout the reference reads via its pypdf→fitz→pdfminer
     cascade, ``parse_pdfs.py:112-241``) go through the structured
-    object-model parser in :mod:`pdfobj`. Legacy/simple files keep the
-    regex path: one page per PDF content stream (the synthetic corpus
-    emits one stream per page). FlateDecode streams are inflated; other
-    filters yield an error entry instead of killing the task (reference
-    watchdog analog, ``parse_pdfs.py:94-112`` → error column, SURVEY.md §4).
+    object-model parser in :mod:`pdfobj` — ONE parse serves both text
+    extraction and the P8 link harvest (``links``; None means the
+    structured path didn't run and the caller should use the regex
+    harvest). Legacy/simple files keep the regex path: one page per PDF
+    content stream (the synthetic corpus emits one stream per page).
+    FlateDecode streams are inflated; other filters yield an error entry
+    instead of killing the task (reference watchdog analog,
+    ``parse_pdfs.py:94-112`` → error column, SURVEY.md §4).
     """
     if not is_pdf(raw):
-        return [], "not-a-pdf", False, ""
+        return [], "not-a-pdf", False, "", None
     producer = ""
     m = _RE_PRODUCER.search(raw)
     if m:
@@ -182,16 +191,18 @@ def pdf_to_pages(raw: bytes) -> tuple[list[str], str | None, bool, str]:
     if any(mk in raw for mk in _MODERN_MARKERS):
         try:
             from . import pdfobj
-            doc = pdfobj.extract_document(raw)
+            objs = pdfobj.parse_document(raw)
+            doc = pdfobj.extract_document(raw, objs=objs)
             if doc["error"] in ("pdf-password-protected",
                                 "pdf-encryption-unsupported"):
                 # terminal: the legacy path would just see filter noise
                 return ([], doc["error"], _scanned_producer(producer),
-                        producer)
+                        producer, [])
             if doc["pages"] and any(doc["pages"]):
                 producer = producer or doc["info"].get("Producer", "")
                 return (doc["pages"], doc["error"],
-                        _scanned_producer(producer), producer)
+                        _scanned_producer(producer), producer,
+                        pdfobj.harvest_links(objs))
         except Exception:
             pass        # malformed modern layout: legacy path below
     scanned = _scanned_producer(producer)
@@ -209,7 +220,7 @@ def pdf_to_pages(raw: bytes) -> tuple[list[str], str | None, bool, str]:
         pages = [""] * n_pages
         if n_pages and not scanned:
             error = error or "no-text-streams"
-    return pages, error, scanned, producer
+    return pages, error, scanned, producer, None
 
 
 # --- P5: summary capture state machine (parse_pdfs.py:244-353) --------------
@@ -390,8 +401,11 @@ def pdf_links(raw: bytes) -> list[str]:
 
 
 def extract_pdf(raw: bytes) -> dict:
-    """Full PDF route: pages → summaries + filtered body."""
-    pages, error, scanned, producer = pdf_to_pages(raw)
+    """Full PDF route: pages → summaries + filtered body + P8 links.
+    Links come from the SAME parse as the text when the structured path
+    ran (round-3 review: the hot loop used to parse modern/encrypted
+    files twice); the regex harvest covers the legacy path."""
+    pages, error, scanned, producer, links = _pdf_document(raw)
     english, dutch = extract_summary(pages)
     body_pages, word_counts = text_extractor(pages)
     return {
@@ -403,4 +417,5 @@ def extract_pdf(raw: bytes) -> dict:
         "producer": producer,
         "error": error,
         "extracted_text": "\n".join(body_pages),
+        "links": links if links is not None else pdf_links(raw),
     }

@@ -71,13 +71,15 @@ class Stream:
 class ObjMap(dict):
     """Object-number → object map; carries the document decryptor so
     ``decode_stream`` can transparently decrypt encrypted streams, and
-    a crypt error string for password-protected files."""
-    __slots__ = ("decryptor", "crypt_error")
+    a crypt error string for password-protected files, plus each plain
+    object's generation number (per-object crypto keys are (num, gen))."""
+    __slots__ = ("decryptor", "crypt_error", "gens")
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
         self.decryptor = None
         self.crypt_error = None
+        self.gens: dict[int, int] = {}
 
 
 class _Lexer:
@@ -407,9 +409,9 @@ def _decrypt_strings(objs: ObjMap, enc_num: int) -> None:
     for num in list(objs):
         if num == enc_num:
             continue
-        objs[num] = walk(objs[num], num,
-                         objs[num].gen if isinstance(objs[num], Stream)
-                         else 0)
+        gen = (objs[num].gen if isinstance(objs[num], Stream)
+               else objs.gens.get(num, 0))
+        objs[num] = walk(objs[num], num, gen)
 
 
 # --------------------------------------------------------------- filters --
@@ -601,6 +603,7 @@ def scan_objects(raw: bytes) -> dict[int, object]:
             else:
                 pos = lex.pos
             objs[num] = val
+            objs.gens[num] = gen
         except (ValueError, AssertionError, IndexError):
             pos = m.end()
 
@@ -642,10 +645,19 @@ def parse_xref_streams(raw: bytes, objs: dict) -> dict[int, tuple]:
     return table
 
 
-def expand_object_streams(raw: bytes, objs: dict) -> None:
+def expand_object_streams(raw: bytes, objs: dict,
+                          xref: dict[int, tuple] | None = None) -> None:
     """Parse objects held inside /Type /ObjStm streams into ``objs``
     (PDF 1.5 compressed-object layout: header of (num, offset) int pairs,
-    bodies after /First)."""
+    bodies after /First).
+
+    Precedence (round-3 review): when the newest xref says object N
+    lives in THIS object stream (type-2 entry), the ObjStm copy
+    OVERRIDES any plain ``N 0 obj`` copy the scan found — that is how an
+    incremental update supersedes an original body object with a
+    compressed one. Without xref authority the ObjStm copy only fills
+    gaps (setdefault), preserving the scan's later-wins rule for plain
+    objects."""
     for num in list(objs):
         v = objs[num]
         if not (isinstance(v, Stream) and v.dict.get("Type") == "ObjStm"):
@@ -664,9 +676,15 @@ def expand_object_streams(raw: bytes, objs: dict) -> None:
         for onum, off in pairs:
             lex = _Lexer(data, first + off)
             try:
-                objs.setdefault(onum, parse_object(lex))
+                parsed = parse_object(lex)
             except (ValueError, IndexError):
                 continue
+            entry = xref.get(onum) if xref else None
+            if entry is not None and len(entry) >= 2 \
+                    and entry[0] == 2 and entry[1] == num:
+                objs[onum] = parsed          # xref-authoritative
+            else:
+                objs.setdefault(onum, parsed)
 
 
 def parse_document(raw: bytes) -> dict[int, object]:
@@ -700,7 +718,7 @@ def parse_document(raw: bytes) -> dict[int, object]:
         # BEFORE ObjStm expansion: strings inside object streams are
         # covered by the stream's own decryption, not re-encrypted
         _decrypt_strings(objs, enc_num)
-    expand_object_streams(raw, objs)
+    expand_object_streams(raw, objs, xref)
     return objs
 
 
@@ -1055,11 +1073,14 @@ def _content_text(body: bytes, fonts: dict[str, FontDecoder]) -> str:
     return "\n".join(lines)
 
 
-def extract_document(raw: bytes) -> dict:
+def extract_document(raw: bytes, objs: ObjMap | None = None) -> dict:
     """Structured extraction: ``{pages, error, info}``. An empty page
     list means the caller should fall back to the legacy regex path
-    (except ``pdf-password-protected``, which is terminal)."""
-    objs = parse_document(raw)
+    (except ``pdf-password-protected``, which is terminal). Pass a
+    pre-built ``objs`` map to reuse one parse across extraction and
+    link harvesting (the hot extraction loop does)."""
+    if objs is None:
+        objs = parse_document(raw)
     if objs.crypt_error:
         return {"pages": [], "error": objs.crypt_error,
                 "info": document_info(objs)}

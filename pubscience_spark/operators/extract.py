@@ -106,7 +106,7 @@ def extract_one(raw: bytes, html_extended: bool = False) -> dict:
                 scanned=r["scanned"], producer=r["producer"],
                 summary_en=r["summary_en"] or None,
                 summary_nl=r["summary_nl"] or None, error=r["error"],
-                links=pdfmini.pdf_links(raw))  # P8 /URI harvest
+                links=r["links"])  # P8 /URI harvest, same parse as text
         elif route == "rtf":
             from ..kernels import rtf as _rtf
             cleaned = textclean.clean_line(_rtf.extract_rtf_bytes(raw))

@@ -5,7 +5,7 @@ web-scale curation needs URL hygiene before any url-keyed dedup:
 
 - :func:`with_normalized_url` — canonical form (lowercased scheme/host,
   default-port and fragment and tracking-param (utm_*/fbclid/gclid/…)
-  removal, trailing-slash trim) via native ``parse_url`` + higher-order
+  removal, trailing-slash trim) via native ``try_parse_url`` + higher-order
   array functions — no Python;
 - :func:`dedup_by_url` — keep-first per normalized URL (min()-agg
   keepers, the hot-key-safe shape shared with the sha256 dedup);
@@ -26,7 +26,7 @@ TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_cid",
 
 
 def _norm_query(url):
-    q = F.parse_url(url, F.lit("QUERY"))
+    q = F.try_parse_url(url, F.lit("QUERY"))
     parts = F.split(q, "&")
     kept = F.filter(parts, lambda p: ~F.lower(p).rlike(
         "^(" + "|".join(TRACKING_PREFIXES) + ")"))
@@ -36,18 +36,29 @@ def _norm_query(url):
 
 
 def normalized_url_expr(url_col: str):
-    """Canonical URL as a native Column expression."""
+    """Canonical URL as a native Column expression. Unparseable URLs
+    (try_parse_url yields no host — spaces, illegal chars) pass through
+    UNCHANGED rather than collapsing onto a shared constant that would
+    cross-dedup unrelated rows."""
     url = F.col(url_col)
-    proto = F.lower(F.coalesce(F.parse_url(url, F.lit("PROTOCOL")),
+    proto = F.lower(F.coalesce(F.try_parse_url(url, F.lit("PROTOCOL")),
                                F.lit("http")))
-    host = F.lower(F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit("")))
-    # strip default ports (parse_url HOST excludes the port; catch the
-    # :80/:443 written into otherwise portless authorities)
-    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    host = F.lower(F.coalesce(F.try_parse_url(url, F.lit("HOST")), F.lit("")))
+    # parse_url HOST drops the port — recover it from the authority and
+    # keep NON-default ports (distinct origins must stay distinct keys)
+    port = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:(\d+)(?:[/?#]|$)", 1)
+    is_default = ((proto == "http") & (port == "80")) | \
+        ((proto == "https") & (port == "443"))
+    port_part = F.when((F.length(port) > 0) & ~is_default,
+                       F.concat(F.lit(":"), port)).otherwise(F.lit(""))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
     path = F.when(path.endswith("/") & (F.length(path) > 1),
                   path.substr(F.lit(1), F.length(path) - 1)) \
         .otherwise(path)
-    return F.concat(proto, F.lit("://"), host, path, _norm_query(url))
+    norm = F.concat(proto, F.lit("://"), host, port_part, path,
+                    _norm_query(url))
+    return F.when(F.length(host) > 0, norm).otherwise(url)
 
 
 def with_normalized_url(df: DataFrame, url_col: str = "url",
@@ -60,13 +71,20 @@ def dedup_by_url(df: DataFrame, url_col: str = "url",
                  flag_col: str = "is_url_duplicate") -> DataFrame:
     """Keep-first per normalized URL: min(order)-agg keepers (map-side
     combine — a viral URL duplicated millions of times never sorts one
-    hot partition) joined back on the normalized key. ``order_col``
-    defaults to the raw url (a deterministic if arbitrary total order)."""
-    order = order_col or url_col
+    hot partition) joined back on the normalized key.
+
+    ``order_col`` must be a UNIQUE row id (doc_id): with a non-unique
+    order, rows tied at the minimum are all 'keepers' — in particular
+    the url itself would never flag byte-identical repeated URLs, the
+    most common duplicate shape. Required, like dedup_by_name."""
+    if order_col is None:
+        raise ValueError("dedup_by_url needs a unique order_col (doc id) "
+                         "— a non-unique order never flags exact "
+                         "repeats of the same URL")
     keyed = with_normalized_url(df, url_col, "__un")
-    keepers = keyed.groupBy("__un").agg(F.min(order).alias("__keep"))
+    keepers = keyed.groupBy("__un").agg(F.min(order_col).alias("__keep"))
     return (keyed.join(keepers, "__un")
-            .withColumn(flag_col, F.col(order) != F.col("__keep"))
+            .withColumn(flag_col, F.col(order_col) != F.col("__keep"))
             .drop("__un", "__keep"))
 
 
@@ -99,7 +117,7 @@ def filter_domains(df: DataFrame, domains: list[str] | DataFrame,
         dom = spark.createDataFrame(
             [(d.lower().lstrip("."),) for d in domains], ["__dom"])
     dom = F.broadcast(dom.distinct())
-    host = F.lower(F.coalesce(F.parse_url(F.col(url_col), F.lit("HOST")),
+    host = F.lower(F.coalesce(F.try_parse_url(F.col(url_col), F.lit("HOST")),
                               F.lit("")))
     keyed = df.withColumn("__sfx", F.explode(_host_suffixes(host,
                                                             max_labels)))

@@ -45,7 +45,9 @@ def compact_extracted(spark: SparkSession, extracted_path: str,
     # renames — finish its swap; any other leftover sibling is garbage
     if (not fsutil.is_dir(spark, extracted_path) and
             fsutil.exists(spark, compact_tmp + "/_COMPACTED")):
-        fsutil.rename(spark, compact_tmp, extracted_path)
+        if not fsutil.rename(spark, compact_tmp, extracted_path):
+            raise IOError(f"compaction recovery rename failed: "
+                          f"{compact_tmp} -> {extracted_path}")
     for leftover in (old_tmp, compact_tmp):
         fsutil.delete(spark, leftover)
 
@@ -65,8 +67,19 @@ def compact_extracted(spark: SparkSession, extracted_path: str,
     # the recovery above promotes). Readers planned against old file paths
     # during the swap window fail their scan and must re-plan — run
     # compaction when the table is quiescent.
-    fsutil.rename(spark, extracted_path, old_tmp)
-    fsutil.rename(spark, compact_tmp, extracted_path)
+    # Hadoop rename returns False instead of raising (and renaming INTO
+    # an existing directory silently nests src under dst) — every swap
+    # step must be checked or a failed swap reports success while the
+    # compacted data is lost (round-3 review finding)
+    if not fsutil.rename(spark, extracted_path, old_tmp):
+        fsutil.delete(spark, compact_tmp)
+        raise IOError(f"compaction swap aborted: could not move live "
+                      f"table aside ({extracted_path} -> {old_tmp})")
+    if not fsutil.rename(spark, compact_tmp, extracted_path):
+        # roll the live table back before failing
+        fsutil.rename(spark, old_tmp, extracted_path)
+        raise IOError(f"compaction swap failed promoting {compact_tmp}; "
+                      f"live table restored")
     fsutil.delete(spark, old_tmp)
     after = fsutil.count_files(spark, extracted_path)
     return {"files_before": before, "files_after": after,

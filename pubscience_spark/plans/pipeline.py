@@ -124,7 +124,7 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
     if boilerplate_by_domain is not None:
         from ..operators.boilerplate import strip_boilerplate
         extracted = extracted.withColumn(
-            "__host", F.lower(F.expr("parse_url(url, 'HOST')")))
+            "__host", F.lower(F.expr("try_parse_url(url, 'HOST')")))
         extracted = strip_boilerplate(
             extracted, text_col="extracted_text", source_col="__host",
             source_map=boilerplate_by_domain,

@@ -14,12 +14,16 @@ from pyspark.sql import functions as F
 
 
 def is_table_identifier(target: str) -> bool:
-    """True when ``target`` names a catalog table (``catalog.db.table``)
-    rather than a filesystem path. Paths carry ``/`` or a URI scheme;
-    multipart dotted names without either are table identifiers."""
+    """True when ``target`` names a catalog table rather than a
+    filesystem path. Paths carry ``/`` or a URI scheme; a catalog table
+    must be CATALOG-QUALIFIED (``catalog.db.table`` — at least two
+    dots), so a dotted relative filename like ``out.parquet`` is still
+    treated as a path (round-3 review: a single-dot rule silently
+    created a managed table named `out`.`parquet` instead of writing
+    the file)."""
     if "/" in target or "\\" in target or "://" in target:
         return False
-    return "." in target
+    return target.count(".") >= 2
 
 
 def write_extracted(df: DataFrame, target: str, *, mode: str = "overwrite",
@@ -63,8 +67,11 @@ def write_extracted(df: DataFrame, target: str, *, mode: str = "overwrite",
             if "UNSUPPORTED_FEATURE" not in str(exc) \
                     and "v1 table" not in str(exc):
                 raise
-            df.write.mode("overwrite" if mode != "append" else "append") \
-                .saveAsTable(target)
+            writer_v1 = df.write.mode(
+                "overwrite" if mode != "append" else "append")
+            if partition_col and partition_col in df.columns:
+                writer_v1 = writer_v1.partitionBy(partition_col)
+            writer_v1.saveAsTable(target)
         return
     df.write.mode(mode).partitionBy(partition_col).parquet(target)
 

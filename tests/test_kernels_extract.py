@@ -361,3 +361,15 @@ def test_html_depth_cap_precap_endtag_resyncs():
     r2 = html_extract.extract_html(html2)
     assert "LEAK2" not in r2["extracted_text"]
     assert "pre" in r2["extracted_text"]
+
+
+def test_html_depth_cap_stray_endtag_keeps_suppression():
+    """Round-3 review: a stray end tag (never opened) inside an over-deep
+    suppressed subtree must not cancel suppression."""
+    nest = "<div>" * (html_extract.MAX_DOM_DEPTH + 2)
+    html = ("<html><body>" + nest
+            + '<nav class="footer">start </em> LEAKYNAV</nav>'
+            + "safe text here</body></html>")
+    r = html_extract.extract_html(html)
+    assert "LEAKYNAV" not in r["extracted_text"]
+    assert "safe text here" in r["extracted_text"]

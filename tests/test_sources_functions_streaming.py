@@ -212,6 +212,8 @@ def test_write_extracted_catalog_table_dispatch(spark):
     assert not is_table_identifier("/tmp/out/extracted")
     assert not is_table_identifier("s3a://bucket/extracted")
     assert not is_table_identifier("extracted")          # bare name: path
+    assert not is_table_identifier("out.parquet")        # dotted filename
+    assert not is_table_identifier("db.table")           # needs catalog.
     df = spark.range(10).select(F2.col("id"),
                                 (F2.col("id") % 3).alias("bucket"))
     tbl = "spark_catalog.default.t_sink_dispatch"

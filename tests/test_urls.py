@@ -22,6 +22,14 @@ def test_normalized_url_expr(spark):
         ("HTTP://WWW.Ex.com/CaSe", "http://www.ex.com/CaSe"),
         # all params tracking → no '?'
         ("http://ex.com/x?utm_medium=a&gclid=b", "http://ex.com/x"),
+        # non-default port preserved (distinct origin), default stripped
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+        ("http://ex.com:80/a", "http://ex.com/a"),
+        ("https://ex.com:443/a", "https://ex.com/a"),
+        # unparseable (space in path): passes through unchanged, no
+        # collapse onto a shared constant
+        ("http://ex.com/a b", "http://ex.com/a b"),
+        ("not a url at all", "not a url at all"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r["url_norm"] for r in
@@ -36,11 +44,17 @@ def test_normalized_url_expr(spark):
 def test_dedup_by_url_keep_first(spark):
     rows = [("http://ex.com/a?utm_source=x", "d1"),
             ("http://EX.com/a", "d2"),          # same normalized → dup
-            ("http://ex.com/b", "d3")]
+            ("http://ex.com/b", "d3"),
+            ("http://ex.com/b", "d4")]          # byte-identical repeat
     df = spark.createDataFrame(rows, ["url", "doc_id"])
     out = {r["doc_id"]: r["is_url_duplicate"] for r in
            U.dedup_by_url(df, order_col="doc_id").collect()}
-    assert out == {"d1": False, "d2": True, "d3": False}
+    assert out == {"d1": False, "d2": True, "d3": False, "d4": True}
+    # a unique order is REQUIRED — the url itself can never flag exact
+    # repeats (review finding)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        U.dedup_by_url(df)
 
 
 def test_filter_domains_suffix_semantics(spark):
