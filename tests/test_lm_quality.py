@@ -1,0 +1,95 @@
+"""CCNet-style trigram LM quality scorer: brute-force score equality,
+language separation, determinism, native training plan."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pubscience_spark.operators import lm_quality as L
+
+
+def _ref_score(text, counts, total, vocab, k, max_chars=10_000):
+    """Sequential re-derivation of the add-k trigram score."""
+    denom = total + k * (vocab + 1)
+    t = " ".join(text.lower().split())[:max_chars]
+    b = t.encode("latin-1", "replace")
+    if len(b) < 3:
+        return math.log(k / denom)
+    lps = []
+    for i in range(len(b) - 2):
+        code = (b[i] << 16) | (b[i + 1] << 8) | b[i + 2]
+        n = counts.get(code, 0)
+        lps.append(math.log((n + k) / denom) if n else math.log(k / denom))
+    return sum(lps) / len(lps)
+
+
+ENGLISH = [
+    "the quick brown fox jumps over the lazy dog and keeps running",
+    "a model of the language is trained on character trigrams here",
+    "plain english sentences share most of their trigram mass",
+    "training corpora determine what the scorer considers natural",
+] * 5
+
+
+def test_lm_score_matches_bruteforce(spark):
+    df = spark.createDataFrame([(t,) for t in ENGLISH], ["text"])
+    model = L.train_char_lm(df, vocab_size=10_000, k_smooth=0.5)
+    # rebuild the reference count table from the model itself is circular;
+    # recount sequentially instead
+    from collections import Counter
+    grams = Counter()
+    for t in ENGLISH:
+        norm = " ".join(t.lower().split())
+        b = norm.encode("latin-1", "replace")
+        for i in range(len(b) - 2):
+            grams[(b[i] << 16) | (b[i + 1] << 8) | b[i + 2]] += 1
+    total = sum(grams.values())
+    assert model.n_train == total           # native count == sequential
+    tests = ["the quick brown fox", "zzzqqqxxx zz", "", "ab",
+             "language model scoring of sentences"]
+    sdf = spark.createDataFrame([(t,) for t in tests], ["text"])
+    got = {r["text"]: r["lm_logprob"] for r in
+           L.with_lm_score(sdf, model).collect()}
+    for t in tests:
+        want = _ref_score(t, grams, total, len(grams), 0.5)
+        assert got[t] == pytest.approx(want, rel=1e-6), t
+
+
+def test_lm_separates_language_from_noise(spark):
+    df = spark.createDataFrame([(t,) for t in ENGLISH], ["text"])
+    model = L.train_char_lm(df)
+    probe = spark.createDataFrame(
+        [("good", "the brown fox jumps over the lazy languages"),
+         ("noise", "xq zv qqj wxkz vvq jjx qzw kkv"),
+         ("shuffled", "eht kciuq nworb xof spmuj")], ["k", "text"])
+    s = {r["k"]: r["lm_logprob"] for r in
+         L.with_lm_score(probe, model).collect()}
+    assert s["good"] > s["noise"]
+    assert s["good"] > s["shuffled"]
+    # deterministic re-train + re-score
+    model2 = L.train_char_lm(df)
+    s2 = {r["k"]: r["lm_logprob"] for r in
+          L.with_lm_score(probe, model2).collect()}
+    assert s == s2
+
+
+def test_lm_training_is_native(spark):
+    """The heavy pass (trigram explode + count) must be JVM-side."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(50)
+    t = L._norm_text_expr("text")
+    from pyspark.sql import functions as F
+    n_grams = F.greatest(F.length(t) - 2, F.lit(0))
+    grams = F.when(n_grams > 0, F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: t.substr(i, F.lit(3)))) \
+        .otherwise(F.array().cast("array<string>"))
+    plan = docs.select(F.explode(grams).alias("g")).groupBy("g").count() \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # end-to-end on real docs
+    model = L.train_char_lm(docs, vocab_size=5000)
+    scored = L.with_lm_score(docs, model)
+    rows = scored.select("doc_id", "lm_logprob").collect()
+    assert len(rows) == 50 and all(r["lm_logprob"] < 0 for r in rows)
