@@ -1,0 +1,177 @@
+"""Product-quantization ANN (IVF-PQ's compression half).
+
+At 10^12 documents the float vectors themselves are the bottleneck
+(64-dim float32 × 10^12 = 256 TB — they cannot live in executor memory
+or shuffle cheaply). Product quantization stores each vector as ``m``
+byte codes (64× smaller at m=8) and scores queries against codes via
+per-query lookup tables (asymmetric distance computation, ADC) — the
+standard faiss IVF-PQ recipe re-expressed in Spark operators:
+
+- :func:`train_pq` — codebooks from a DETERMINISTIC md5-ordered sample
+  (faiss practice: train on ~10-100k vectors, not the corpus), numpy
+  Lloyd per subspace driver-side. Driver state: m × 256 × dsub floats.
+- :func:`encode_pq` — corpus → ``(id, codes: binary[m])``; vectorized
+  numpy argmin per subspace in an Arrow batch, no shuffle.
+- :func:`pq_topk` — ADC top-k: queries broadcast into a mapInPandas
+  pass that emits only each batch's local top-k per query (slim rows),
+  then one global window finishes the ranking — candidates, not
+  vectors, cross the shuffle.
+
+Vectors are unit-normalized before encoding and querying, so the ADC
+inner product approximates cosine (the repo's similarity metric);
+precision is approximate by construction — the exactness knob is m.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType,
+                               LongType, StringType, StructField,
+                               StructType)
+
+
+class PQCodebook:
+    __slots__ = ("m", "dsub", "centroids")
+
+    def __init__(self, centroids: np.ndarray):
+        # centroids: (m, 256, dsub) float32
+        self.centroids = centroids
+        self.m = centroids.shape[0]
+        self.dsub = centroids.shape[2]
+
+
+def _unit_rows(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.maximum(n, 1e-12)
+
+
+def _kmeans_np(x: np.ndarray, k: int, n_iter: int) -> np.ndarray:
+    """Deterministic Lloyd: init = evenly spaced rows of the (already
+    deterministically ordered) training sample."""
+    idx = np.linspace(0, len(x) - 1, num=min(k, len(x)), dtype=np.int64)
+    cents = x[idx].astype(np.float32).copy()
+    if len(cents) < k:                            # tiny sample: pad
+        cents = np.vstack([cents,
+                           np.zeros((k - len(cents), x.shape[1]),
+                                    dtype=np.float32)])
+    for _ in range(n_iter):
+        # (n,k) squared distances via ||x||² - 2x·c + ||c||²
+        d = (-2.0 * x @ cents.T
+             + (cents * cents).sum(axis=1)[None, :])
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                cents[j] = x[mask].mean(axis=0)
+    return cents
+
+
+def train_pq(corpus: DataFrame, dim: int, m: int = 8,
+             n_train: int = 20_000, n_iter: int = 10,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> PQCodebook:
+    """Train m per-subspace 256-centroid codebooks on an md5-ordered
+    sample (deterministic under any partitioning)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rows = (corpus
+            .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+            .limit(n_train)
+            .select(F.col(vec_col).cast("array<float>").alias("v"))
+            .collect())
+    x = _unit_rows(np.array([r["v"] for r in rows], dtype=np.float32))
+    dsub = dim // m
+    cents = np.stack([
+        _kmeans_np(x[:, j * dsub:(j + 1) * dsub], 256, n_iter)
+        for j in range(m)])
+    return PQCodebook(cents)
+
+
+_CODES_SCHEMA = StructType([StructField("id", LongType()),
+                            StructField("codes", BinaryType())])
+
+
+def encode_pq(corpus: DataFrame, codebook: PQCodebook,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes binary[m]) — each byte is the vector's nearest
+    sub-centroid in that subspace (on the unit-normalized vector)."""
+    cents = codebook.centroids
+    m, dsub = codebook.m, codebook.dsub
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_norms = [(cents[j] * cents[j]).sum(axis=1) for j in range(m)]
+        for b in it:
+            x = _unit_rows(np.stack(
+                b["v"].map(lambda v: np.asarray(v, dtype=np.float32))))
+            codes = np.empty((len(x), m), dtype=np.uint8)
+            for j in range(m):
+                sub = x[:, j * dsub:(j + 1) * dsub]
+                d = -2.0 * sub @ cents[j].T + c_norms[j][None, :]
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame({"id": b["id"].astype("int64"),
+                                "codes": [c.tobytes() for c in codes]})
+
+    slim = corpus.select(F.col(id_col).cast("long").alias("id"),
+                         F.col(vec_col).alias("v"))
+    return slim.mapInPandas(_batches, schema=_CODES_SCHEMA)
+
+
+_TOPK_SCHEMA = StructType([
+    StructField("query_id", LongType()),
+    StructField("neighbor_id", LongType()),
+    StructField("score", DoubleType()),
+])
+
+
+def pq_topk(codes_df: DataFrame, queries: DataFrame,
+            codebook: PQCodebook, k: int = 10,
+            id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k: per-query lookup tables (m × 256 inner products) score
+    whole Arrow batches of codes with one fancy-index + sum; each batch
+    emits only its local top-k per query, the global window finishes.
+    Scores approximate cosine (unit-normalized both sides)."""
+    q_rows = queries.select(F.col(id_col).cast("long").alias("qid"),
+                            F.col(vec_col).alias("qv")).collect()
+    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    qx = _unit_rows(np.array([r["qv"] for r in q_rows], dtype=np.float32))
+    cents = codebook.centroids
+    m, dsub = codebook.m, codebook.dsub
+    # tables[q, j, code] = dot(query_sub_j, centroid_j_code)
+    tables = np.stack([
+        qx[:, j * dsub:(j + 1) * dsub] @ cents[j].T for j in range(m)],
+        axis=1)                                   # (nq, m, 256)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            codes = np.stack(
+                b["codes"].map(lambda c: np.frombuffer(c, dtype=np.uint8)))
+            ids = b["id"].to_numpy()
+            # scores[q, n] = Σ_j tables[q, j, codes[n, j]]
+            scores = tables[:, np.arange(m)[None, :],
+                            codes[:, :]].sum(axis=2)
+            kk = min(k, scores.shape[1])
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                out_q.extend([q_ids[qi]] * kk)
+                out_n.extend(ids[top[qi]])
+                out_s.extend(scores[qi, top[qi]])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "score": np.asarray(out_s,
+                                                    dtype=np.float64)})
+
+    cands = codes_df.mapInPandas(_batches, schema=_TOPK_SCHEMA) \
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (cands.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("score", 6).alias("score"), "rank"))
