@@ -200,9 +200,12 @@ def _pdf_document(raw: bytes) -> tuple[list[str], str | None, bool, str,
                         producer, [])
             if doc["pages"] and any(doc["pages"]):
                 producer = producer or doc["info"].get("Producer", "")
+                # empty structured harvest → cheap regex fallback (NOT
+                # a second structured parse): annotations can live in
+                # objects the model failed to parse (round-3 review)
+                links = pdfobj.harvest_links(objs) or _links_regex(raw)
                 return (doc["pages"], doc["error"],
-                        _scanned_producer(producer), producer,
-                        pdfobj.harvest_links(objs))
+                        _scanned_producer(producer), producer, links)
         except Exception:
             pass        # malformed modern layout: legacy path below
     scanned = _scanned_producer(producer)
@@ -387,6 +390,10 @@ def pdf_links(raw: bytes) -> list[str]:
                     return links
         except Exception:
             pass        # fall through to the regex scan
+    return _links_regex(raw)
+
+
+def _links_regex(raw: bytes) -> list[str]:
     found: set[str] = set()
     for m in _RE_URI.finditer(raw):
         found.add(_unescape_pdf_string(m.group(1)).decode("latin-1",

@@ -73,13 +73,16 @@ class ObjMap(dict):
     ``decode_stream`` can transparently decrypt encrypted streams, and
     a crypt error string for password-protected files, plus each plain
     object's generation number (per-object crypto keys are (num, gen))."""
-    __slots__ = ("decryptor", "crypt_error", "gens")
+    __slots__ = ("decryptor", "crypt_error", "gens", "scan_pos")
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
         self.decryptor = None
         self.crypt_error = None
         self.gens: dict[int, int] = {}
+        # file offset each plain object was scanned at — file order IS
+        # incremental-update order, used to arbitrate ObjStm overrides
+        self.scan_pos: dict[int, int] = {}
 
 
 class _Lexer:
@@ -604,6 +607,7 @@ def scan_objects(raw: bytes) -> dict[int, object]:
                 pos = lex.pos
             objs[num] = val
             objs.gens[num] = gen
+            objs.scan_pos[num] = m.start()
         except (ValueError, AssertionError, IndexError):
             pos = m.end()
 
@@ -680,9 +684,19 @@ def expand_object_streams(raw: bytes, objs: dict,
             except (ValueError, IndexError):
                 continue
             entry = xref.get(onum) if xref else None
+            scan_pos = getattr(objs, "scan_pos", {})
+            plain_pos = scan_pos.get(onum, -1)
+            stm_pos = scan_pos.get(num, 2 ** 62)
             if entry is not None and len(entry) >= 2 \
-                    and entry[0] == 2 and entry[1] == num:
-                objs[onum] = parsed          # xref-authoritative
+                    and entry[0] == 2 and entry[1] == num \
+                    and plain_pos < stm_pos:
+                # xref says the object lives here AND the plain copy sits
+                # EARLIER in the file than this ObjStm — the compressed
+                # copy is the newer incremental update. A plain copy
+                # appended AFTER the ObjStm (newest update without a
+                # fresh xref) keeps winning (round-3 review: a stale
+                # type-2 entry must not clobber it).
+                objs[onum] = parsed
             else:
                 objs.setdefault(onum, parsed)
 
@@ -712,6 +726,7 @@ def parse_document(raw: bytes) -> dict[int, object]:
                 lex = _Lexer(raw, m.end())
                 try:
                     objs[onum] = parse_object(lex)
+                    objs.scan_pos[onum] = off
                 except (ValueError, IndexError):
                     pass
     if objs.decryptor is not None:

@@ -95,6 +95,9 @@ def train_char_lm(df: DataFrame, text_col: str = "text",
 def _score_batch(texts: pd.Series, codes: np.ndarray, lps: np.ndarray,
                  floor: float, max_chars: int) -> pd.Series:
     out = np.empty(len(texts), dtype=np.float64)
+    if len(codes) == 0:                 # degenerate model (no trigrams
+        out.fill(floor)                 # in training corpus): floor all
+        return pd.Series(out)
     for i, t in enumerate(texts):
         t = " ".join((t or "").lower().split())[:max_chars]
         b = np.frombuffer(t.encode("latin-1", "replace"), dtype=np.uint8)

@@ -84,6 +84,8 @@ def train_pq(corpus: DataFrame, dim: int, m: int = 8,
             .limit(n_train)
             .select(F.col(vec_col).cast("array<float>").alias("v"))
             .collect())
+    if not rows:
+        raise ValueError("train_pq: empty training corpus")
     x = _unit_rows(np.array([r["v"] for r in rows], dtype=np.float32))
     dsub = dim // m
     cents = np.stack([
@@ -139,6 +141,10 @@ def pq_topk(codes_df: DataFrame, queries: DataFrame,
     Scores approximate cosine (unit-normalized both sides)."""
     q_rows = queries.select(F.col(id_col).cast("long").alias("qid"),
                             F.col(vec_col).alias("qv")).collect()
+    if not q_rows:                       # empty query set → empty result
+        spark = codes_df.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int")
     q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     qx = _unit_rows(np.array([r["qv"] for r in q_rows], dtype=np.float32))
     cents = codebook.centroids
@@ -156,7 +162,10 @@ def pq_topk(codes_df: DataFrame, queries: DataFrame,
             # scores[q, n] = Σ_j tables[q, j, codes[n, j]]
             scores = tables[:, np.arange(m)[None, :],
                             codes[:, :]].sum(axis=2)
-            kk = min(k, scores.shape[1])
+            # k+1: the query's own vector may sit in this batch and is
+            # filtered AFTER pruning — k alone would waste a slot on it
+            # and lose the true k-th neighbor (round-3 review)
+            kk = min(k + 1, scores.shape[1])
             top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
             out_q, out_n, out_s = [], [], []
             for qi in range(len(q_ids)):

@@ -82,9 +82,14 @@ def dedup_by_url(df: DataFrame, url_col: str = "url",
                          "— a non-unique order never flags exact "
                          "repeats of the same URL")
     keyed = with_normalized_url(df, url_col, "__un")
-    keepers = keyed.groupBy("__un").agg(F.min(order_col).alias("__keep"))
-    return (keyed.join(keepers, "__un")
-            .withColumn(flag_col, F.col(order_col) != F.col("__keep"))
+    keepers = (keyed.where(F.col("__un").isNotNull())
+               .groupBy("__un").agg(F.min(order_col).alias("__keep")))
+    # LEFT join: NULL-url rows have no key, survive with flag False
+    # (an inner join would silently drop them — round-3 review)
+    return (keyed.join(keepers, "__un", "left")
+            .withColumn(flag_col,
+                        F.when(F.col("__keep").isNull(), F.lit(False))
+                        .otherwise(F.col(order_col) != F.col("__keep")))
             .drop("__un", "__keep"))
 
 

@@ -93,3 +93,15 @@ def test_lm_training_is_native(spark):
     scored = L.with_lm_score(docs, model)
     rows = scored.select("doc_id", "lm_logprob").collect()
     assert len(rows) == 50 and all(r["lm_logprob"] < 0 for r in rows)
+
+
+def test_lm_degenerate_training_corpus(spark):
+    """A model trained on no trigrams floors every score, never crashes
+    the scoring UDF (round-3 review)."""
+    tiny = spark.createDataFrame([("a",), ("zz",), ("",)], ["text"])
+    model = L.train_char_lm(tiny)
+    assert len(model.codes) == 0
+    probe = spark.createDataFrame([("some real text here",), ("xy",)],
+                                  ["text"])
+    rows = L.with_lm_score(probe, model).collect()
+    assert all(r["lm_logprob"] == pytest.approx(model.floor) for r in rows)

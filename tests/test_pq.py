@@ -87,3 +87,29 @@ def test_pq_dim_must_divide(spark):
     emb = _emb(spark, 50)
     with pytest.raises(ValueError):
         PQ.train_pq(emb, dim=64, m=7)
+
+
+def test_pq_topk_full_k_with_self_in_corpus(spark):
+    """Round-3 review: the query's own vector must not consume a top-k
+    slot — every query still gets k neighbors."""
+    emb = _emb(spark, 100)
+    dim = len(emb.select("embedding").first()[0])
+    cb = PQ.train_pq(emb, dim=dim, m=4, n_train=100, n_iter=4)
+    codes = PQ.encode_pq(emb, cb).coalesce(1)   # worst case: one batch
+    q = emb.where(F.col("vec_id") < 4)
+    got = PQ.pq_topk(codes, q, cb, k=7)
+    counts = {r["query_id"]: r["n"] for r in
+              got.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 7 for n in counts.values()), counts
+    assert not got.where(F.col("query_id") == F.col("neighbor_id")).count()
+
+
+def test_pq_empty_inputs(spark):
+    emb = _emb(spark, 50)
+    dim = len(emb.select("embedding").first()[0])
+    cb = PQ.train_pq(emb, dim=dim, m=4, n_train=50, n_iter=2)
+    codes = PQ.encode_pq(emb, cb)
+    empty_q = emb.where(F.col("vec_id") < 0)
+    assert PQ.pq_topk(codes, empty_q, cb, k=3).count() == 0
+    with pytest.raises(ValueError):
+        PQ.train_pq(emb.where(F.col("vec_id") < 0), dim=dim, m=4)

@@ -80,3 +80,13 @@ def test_url_ops_native_plan(spark):
     plan = U.with_normalized_url(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_dedup_by_url_keeps_null_url_rows(spark):
+    """Round-3 review: NULL-url rows must survive with flag False, not
+    vanish in the key equi-join."""
+    rows = [("http://ex.com/a", "d1"), (None, "d2"), (None, "d3")]
+    df = spark.createDataFrame(rows, "url string, doc_id string")
+    out = {r["doc_id"]: r["is_url_duplicate"] for r in
+           U.dedup_by_url(df, order_col="doc_id").collect()}
+    assert out == {"d1": False, "d2": False, "d3": False}
