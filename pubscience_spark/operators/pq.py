@@ -184,3 +184,76 @@ def pq_topk(codes_df: DataFrame, queries: DataFrame,
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
                     F.round("score", 6).alias("score"), "rank"))
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
+               codebook: PQCodebook, *, k: int = 10, n_lists: int = 16,
+               n_probe: int = 4, kmeans_iter: int = 5,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Full IVF-PQ: coarse inverted lists prune the corpus (each query
+    scores only its ``n_probe`` nearest lists — the faiss recipe), then
+    PQ-ADC ranks the survivors.
+
+    Plan shape: corpus → ``ivf_assign`` list ids + PQ codes (one pUDF
+    pass, slim output); query-side list probes are a tiny broadcast
+    (query_id, list_id) frame; the equi-join on ``list_id`` moves only
+    ``n_probe/n_lists`` of the m-byte code rows per query; scoring is
+    one vectorized table lookup per candidate group, then the global
+    window. Vectors never cross a shuffle. Approximate on BOTH axes
+    (coarse recall via n_probe, fine precision via m) — tune with the
+    standard faiss knobs."""
+    from .similarity import ivf_assign, kmeans_centroids
+    cents = kmeans_centroids(corpus, n_lists, n_iter=kmeans_iter,
+                             id_col=id_col, vec_col=vec_col)
+    coded = encode_pq(corpus, codebook, id_col, vec_col)
+    # list assignment on a slim (id, vec) projection; joined onto the
+    # code rows (the corpus is scanned once per branch — both slim)
+    lists = ivf_assign(corpus.select(F.col(id_col), F.col(vec_col)),
+                       cents, vec_col) \
+        .select(F.col(id_col).cast("long").alias("id"), "list_id")
+    coded = coded.join(lists, "id")
+
+    q_rows = queries.select(F.col(id_col).cast("long").alias("qid"),
+                            F.col(vec_col).alias("qv")).collect()
+    if not q_rows:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int")
+    qx = _unit_rows(np.array([r["qv"] for r in q_rows], dtype=np.float32))
+    cmat = _unit_rows(np.array(cents, dtype=np.float32))
+    probe_rows = []
+    for r, row in zip(q_rows, qx @ cmat.T):
+        for li in np.argsort(-row)[:n_probe]:
+            probe_rows.append((int(r["qid"]), int(li)))
+    spark = corpus.sparkSession
+    probes = F.broadcast(spark.createDataFrame(
+        probe_rows, "query_id long, list_id int"))
+    cands = coded.join(probes, "list_id")          # the IVF prune
+
+    m, dsub = codebook.m, codebook.dsub
+    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    tables = np.stack([
+        qx[:, j * dsub:(j + 1) * dsub] @ codebook.centroids[j].T
+        for j in range(m)], axis=1)
+    qpos = {int(q): i for i, q in enumerate(q_ids)}
+
+    def _batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for b in it:
+            codes = np.stack(
+                b["codes"].map(lambda c: np.frombuffer(c, dtype=np.uint8)))
+            qi = b["query_id"].map(qpos).to_numpy()
+            per_row = tables[qi[:, None], np.arange(m)[None, :],
+                             codes].sum(axis=1)
+            yield pd.DataFrame({"query_id": b["query_id"].astype("int64"),
+                                "neighbor_id": b["id"].astype("int64"),
+                                "score": per_row.astype(np.float64)})
+
+    scored = cands.mapInPandas(_batches, schema=_TOPK_SCHEMA) \
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("score", 6).alias("score"), "rank"))

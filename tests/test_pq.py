@@ -113,3 +113,33 @@ def test_pq_empty_inputs(spark):
     assert PQ.pq_topk(codes, empty_q, cb, k=3).count() == 0
     with pytest.raises(ValueError):
         PQ.train_pq(emb.where(F.col("vec_id") < 0), dim=dim, m=4)
+
+
+def test_ivfpq_probe_all_matches_pq(spark):
+    """Probing ALL lists makes IVF-PQ equal plain PQ ADC ranking (the
+    coarse stage prunes nothing), mirroring ivf_topk's probe-all oracle
+    invariance."""
+    emb = _emb(spark, 200)
+    dim = len(emb.select("embedding").first()[0])
+    cb = PQ.train_pq(emb, dim=dim, m=8, n_train=200, n_iter=6)
+    q = emb.where(F.col("vec_id") < 5)
+    full = {(r["query_id"], r["neighbor_id"]) for r in
+            PQ.ivfpq_topk(emb, q, cb, k=8, n_lists=8, n_probe=8).collect()}
+    plain = {(r["query_id"], r["neighbor_id"]) for r in
+             PQ.pq_topk(PQ.encode_pq(emb, cb), q, cb, k=8).collect()}
+    assert full == plain
+
+
+def test_ivfpq_pruned_recall(spark):
+    emb = _emb(spark, 300)
+    dim = len(emb.select("embedding").first()[0])
+    cb = PQ.train_pq(emb, dim=dim, m=8, n_train=300, n_iter=6)
+    q = emb.where(F.col("vec_id") < 8)
+    pruned = {(r["query_id"], r["neighbor_id"]) for r in
+              PQ.ivfpq_topk(emb, q, cb, k=8, n_lists=8,
+                            n_probe=3).collect()}
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             sim_ops.cosine_topk(emb, q, k=8).collect()}
+    assert len(pruned & exact) / len(exact) >= 0.4   # coarse+fine approx
+    # pruning really happened: every query got at most k rows
+    assert len(pruned) <= 8 * 8
