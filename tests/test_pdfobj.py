@@ -451,3 +451,43 @@ def test_glyph_to_unicode_forms():
     assert pdfobj.glyph_to_unicode("uni0041") == "A"
     assert pdfobj.glyph_to_unicode("u1F600") == "😀"
     assert pdfobj.glyph_to_unicode("unknownglyphname") == ""
+
+
+def test_pdf_parser_total_on_garbage_hypothesis():
+    """The structured parser's whole surface (objects, xref, ObjStm,
+    crypto, fonts, links) must degrade to an error/empty result on
+    arbitrary bytes — never raise through extract_one (task-killer)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pubscience_spark.operators.extract import extract_one
+
+    marker = st.sampled_from([b"/ObjStm", b"/XRef", b"/ToUnicode",
+                              b"/Encrypt", b"/Differences",
+                              b"/WinAnsiEncoding"])
+    chunks = st.lists(st.one_of(
+        st.binary(max_size=60), marker,
+        st.sampled_from([b" obj\n", b"endobj", b"stream\n", b"endstream",
+                         b"<<", b">>", b"[", b"]", b"(", b")", b"<", b">",
+                         b"/Filter /FlateDecode", b"/Length 99",
+                         b"0 R", b"trailer", b"/ID [<00> <00>]",
+                         b"/O <ff> /U <ff> /P -1 /Filter /Standard",
+                         b"beginbfrange", b"endbfrange"])),
+        max_size=24)
+
+    @settings(max_examples=150, deadline=None)
+    @given(chunks)
+    def fuzz(parts):
+        raw = b"%PDF-1.5\n" + b"".join(parts) + b"\n%%EOF"
+        # the kernel entry points themselves must not raise (extract_one
+        # would catch, but a raise means a half-parsed state escaped)
+        pages, error, scanned, producer = pdfmini.pdf_to_pages(raw)
+        assert isinstance(pages, list) and isinstance(scanned, bool)
+        links = pdfmini.pdf_links(raw)
+        assert isinstance(links, list)
+        rec = extract_one(raw)
+        assert rec["route"] == "pdf"
+        assert isinstance(rec["extracted_text"], str)
+        assert len(rec["sha256"]) == 64
+        assert rec["links"] is None or isinstance(rec["links"], list)
+    fuzz()
