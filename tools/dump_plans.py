@@ -151,6 +151,52 @@ def main() -> None:
         "pUDF inside the banded candidate step.",
         explain_str(curated)))
 
+    # 9. round-3 tier operators
+    from pubscience_spark.operators import curate_text as CT
+    sections.append((
+        "Gopher repetition signals (gopher_repetition)",
+        "All six signals are native higher-order array expressions "
+        "(array_sort + aggregate fold for mode-of-array) — a pure "
+        "Project over the scan, no ArrowEvalPython, no Exchange.",
+        explain_str(CT.gopher_repetition(docs.limit(100)))))
+
+    ev = docs.limit(5).select("doc_id", "text")
+    sections.append((
+        "n-gram decontamination (mark_contaminated)",
+        "Both sides explode to slim (id, xxhash64) rows — 8-byte keys "
+        "through the join, the eval side broadcast; the hit-id set "
+        "anti-join is the only wide-row touch.",
+        explain_str(CT.mark_contaminated(docs.limit(200), ev, "doc_id"))))
+
+    from pubscience_spark.operators import lm_quality as LM
+    t = LM._norm_text_expr("text")
+    n_grams = F.greatest(F.length(t) - 2, F.lit(0))
+    grams = F.when(n_grams > 0, F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: t.substr(i, F.lit(3)))) \
+        .otherwise(F.array().cast("array<string>"))
+    lm_train = docs.select(F.explode(grams).alias("g")) \
+        .groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    sections.append((
+        "Trigram LM training pass (train_char_lm)",
+        "The heavy pass is a native explode + partial/final count "
+        "aggregate (map-side combine over trigram keys); only the "
+        "top-V limit reaches the driver.",
+        explain_str(lm_train)))
+
+    from pubscience_spark.operators import pq as PQm
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .where(F.col("vec_id") < 200)
+    cb = PQm.train_pq(emb, dim=64, m=8, n_train=200, n_iter=3)
+    codes = PQm.encode_pq(emb, cb)
+    sections.append((
+        "PQ ADC top-k (pq_topk)",
+        "Corpus rows through the scorer are (id, m-byte codes) — 64× "
+        "slimmer than the float vectors; each Arrow batch emits only "
+        "its local top-k, and the global window ranks candidates, so "
+        "vectors never cross a shuffle.",
+        explain_str(PQm.pq_topk(codes, emb.where(F.col("vec_id") < 3),
+                                cb, k=5))))
+
     out = ["# PLANS — physical-plan evidence\n",
            "Generated by `python tools/dump_plans.py` "
            "(sf0.01, local[4]; plan *shapes* are scale-independent).\n"]
