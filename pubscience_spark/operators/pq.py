@@ -186,33 +186,118 @@ def pq_topk(codes_df: DataFrame, queries: DataFrame,
                     F.round("score", 6).alias("score"), "rank"))
 
 
+def _train_pq_residual(corpus: DataFrame, cmat: np.ndarray, m: int,
+                       n_train: int, n_iter: int, id_col: str,
+                       vec_col: str) -> PQCodebook:
+    """Codebooks over residuals (v − coarse centroid) — residuals have
+    far smaller variance than raw vectors, so the same m bytes carry
+    more precision (the faiss IVF-PQ default)."""
+    rows = (corpus
+            .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+            .limit(n_train)
+            .select(F.col(vec_col).cast("array<float>").alias("v"))
+            .collect())
+    if not rows:
+        raise ValueError("train_pq_residual: empty training corpus")
+    x = _unit_rows(np.array([r["v"] for r in rows], dtype=np.float32))
+    assign = (x @ cmat.T).argmax(axis=1)
+    resid = x - cmat[assign]
+    dim = x.shape[1]
+    dsub = dim // m
+    cents = np.stack([
+        _kmeans_np(resid[:, j * dsub:(j + 1) * dsub], 256, n_iter)
+        for j in range(m)])
+    return PQCodebook(cents)
+
+
+_CODES_LIST_SCHEMA = StructType([StructField("id", LongType()),
+                                 StructField("list_id", IntegerType()),
+                                 StructField("codes", BinaryType())])
+
+
+def _encode_residual(corpus: DataFrame, codebook: PQCodebook,
+                     cmat: np.ndarray, id_col: str,
+                     vec_col: str) -> DataFrame:
+    """(id, list_id, codes): list assignment + residual PQ codes in ONE
+    Arrow pass (no second corpus scan, no id join)."""
+    cb = codebook.centroids
+    m, dsub = codebook.m, codebook.dsub
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_norms = [(cb[j] * cb[j]).sum(axis=1) for j in range(m)]
+        for b in it:
+            x = _unit_rows(np.stack(
+                b["v"].map(lambda v: np.asarray(v, dtype=np.float32))))
+            assign = (x @ cmat.T).argmax(axis=1)
+            resid = x - cmat[assign]
+            codes = np.empty((len(x), m), dtype=np.uint8)
+            for j in range(m):
+                sub = resid[:, j * dsub:(j + 1) * dsub]
+                d = -2.0 * sub @ cb[j].T + c_norms[j][None, :]
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame({"id": b["id"].astype("int64"),
+                                "list_id": assign.astype("int32"),
+                                "codes": [c.tobytes() for c in codes]})
+
+    slim = corpus.select(F.col(id_col).cast("long").alias("id"),
+                         F.col(vec_col).alias("v"))
+    return slim.mapInPandas(_batches, schema=_CODES_LIST_SCHEMA)
+
+
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
-               codebook: PQCodebook, *, k: int = 10, n_lists: int = 16,
-               n_probe: int = 4, kmeans_iter: int = 5,
+               codebook: PQCodebook | None = None, *, k: int = 10,
+               n_lists: int = 16, n_probe: int = 4,
+               m: int = 8, residual: bool = False,
+               n_train: int = 20_000, pq_iter: int = 10,
+               kmeans_iter: int = 5,
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """Full IVF-PQ: coarse inverted lists prune the corpus (each query
     scores only its ``n_probe`` nearest lists — the faiss recipe), then
     PQ-ADC ranks the survivors.
 
-    Plan shape: corpus → ``ivf_assign`` list ids + PQ codes (one pUDF
-    pass, slim output); query-side list probes are a tiny broadcast
-    (query_id, list_id) frame; the equi-join on ``list_id`` moves only
-    ``n_probe/n_lists`` of the m-byte code rows per query; scoring is
-    one vectorized table lookup per candidate group, then the global
-    window. Vectors never cross a shuffle. Approximate on BOTH axes
-    (coarse recall via n_probe, fine precision via m) — tune with the
-    standard faiss knobs."""
-    from .similarity import ivf_assign, kmeans_centroids
+    ``residual=True`` (the faiss default recipe) quantizes
+    ``v − coarse_centroid`` instead of raw vectors — on CLUSTERED
+    corpora the coarse centroid absorbs most of the magnitude, so the
+    same m bytes approximate better (on near-uniform synthetic vectors
+    raw encoding can edge it out — measured in the tests; pick per
+    corpus). The score
+    decomposes linearly: ``q·v ≈ q·c_list + Σ_j Qtable[j, code_j]``
+    with the Qtables built against the residual codebooks and the
+    ``q·c_list`` term added per candidate from a tiny (nq × n_lists)
+    matrix. Residual mode trains its codebook internally (it must match
+    these centroids); pass a pre-trained ``codebook`` only with
+    ``residual=False``.
+
+    Plan shape: one Arrow pass over the corpus yields slim
+    ``(id, list_id, m-byte codes)`` rows; query-side probes are a tiny
+    broadcast (query_id, list_id) frame; the equi-join moves only
+    ``n_probe/n_lists`` of the code rows per query; scoring is a
+    vectorized table lookup; vectors never cross a shuffle. Approximate
+    on BOTH axes (coarse recall via n_probe, fine precision via m)."""
+    from .similarity import kmeans_centroids
     cents = kmeans_centroids(corpus, n_lists, n_iter=kmeans_iter,
                              id_col=id_col, vec_col=vec_col)
-    coded = encode_pq(corpus, codebook, id_col, vec_col)
-    # list assignment on a slim (id, vec) projection; joined onto the
-    # code rows (the corpus is scanned once per branch — both slim)
-    lists = ivf_assign(corpus.select(F.col(id_col), F.col(vec_col)),
-                       cents, vec_col) \
-        .select(F.col(id_col).cast("long").alias("id"), "list_id")
-    coded = coded.join(lists, "id")
+    cmat = _unit_rows(np.array(cents, dtype=np.float32))
+    if residual:
+        if codebook is not None:
+            raise ValueError("residual=True trains its own codebook "
+                             "(it must match these coarse centroids)")
+        codebook = _train_pq_residual(corpus, cmat, m, n_train, pq_iter,
+                                      id_col, vec_col)
+        coded = _encode_residual(corpus, codebook, cmat, id_col, vec_col)
+    else:
+        if codebook is None:
+            dim = len(corpus.select(vec_col).first()[0])
+            codebook = train_pq(corpus, dim=dim, m=m, n_train=n_train,
+                                n_iter=pq_iter, id_col=id_col,
+                                vec_col=vec_col)
+        from .similarity import ivf_assign
+        coded = encode_pq(corpus, codebook, id_col, vec_col)
+        lists = ivf_assign(corpus.select(F.col(id_col), F.col(vec_col)),
+                           cents, vec_col) \
+            .select(F.col(id_col).cast("long").alias("id"), "list_id")
+        coded = coded.join(lists, "id")
 
     q_rows = queries.select(F.col(id_col).cast("long").alias("qid"),
                             F.col(vec_col).alias("qv")).collect()
@@ -221,9 +306,9 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, score double, rank int")
     qx = _unit_rows(np.array([r["qv"] for r in q_rows], dtype=np.float32))
-    cmat = _unit_rows(np.array(cents, dtype=np.float32))
+    qdotc = qx @ cmat.T                           # (nq, n_lists)
     probe_rows = []
-    for r, row in zip(q_rows, qx @ cmat.T):
+    for r, row in zip(q_rows, qdotc):
         for li in np.argsort(-row)[:n_probe]:
             probe_rows.append((int(r["qid"]), int(li)))
     spark = corpus.sparkSession
@@ -231,20 +316,23 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
         probe_rows, "query_id long, list_id int"))
     cands = coded.join(probes, "list_id")          # the IVF prune
 
-    m, dsub = codebook.m, codebook.dsub
+    mm, dsub = codebook.m, codebook.dsub
     q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     tables = np.stack([
         qx[:, j * dsub:(j + 1) * dsub] @ codebook.centroids[j].T
-        for j in range(m)], axis=1)
+        for j in range(mm)], axis=1)
     qpos = {int(q): i for i, q in enumerate(q_ids)}
+    use_resid = residual
 
     def _batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for b in it:
             codes = np.stack(
                 b["codes"].map(lambda c: np.frombuffer(c, dtype=np.uint8)))
             qi = b["query_id"].map(qpos).to_numpy()
-            per_row = tables[qi[:, None], np.arange(m)[None, :],
+            per_row = tables[qi[:, None], np.arange(mm)[None, :],
                              codes].sum(axis=1)
+            if use_resid:                          # + q·c_list term
+                per_row = per_row + qdotc[qi, b["list_id"].to_numpy()]
             yield pd.DataFrame({"query_id": b["query_id"].astype("int64"),
                                 "neighbor_id": b["id"].astype("int64"),
                                 "score": per_row.astype(np.float64)})

@@ -143,3 +143,33 @@ def test_ivfpq_pruned_recall(spark):
     assert len(pruned & exact) / len(exact) >= 0.4   # coarse+fine approx
     # pruning really happened: every query got at most k rows
     assert len(pruned) <= 8 * 8
+
+
+def test_ivfpq_residual_mode(spark):
+    """Residual encoding (faiss recipe): sane recall and determinism.
+    NOTE: on this near-uniform synthetic corpus raw encoding can edge
+    out residual (measured 0.88 vs 0.80 recall@8) — residual's gain
+    comes from CLUSTERED corpora where coarse centroids absorb most of
+    the vector magnitude; both modes ship, callers pick per corpus."""
+    emb = _emb(spark, 300)
+    q = emb.where(F.col("vec_id") < 8)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             sim_ops.cosine_topk(emb, q, k=8).collect()}
+    res = {(r["query_id"], r["neighbor_id"]) for r in
+           PQ.ivfpq_topk(emb, q, k=8, n_lists=8, n_probe=8, m=8,
+                         residual=True, n_train=300).collect()}
+    r_res = len(res & exact) / len(exact)
+    assert r_res >= 0.5, r_res
+    # determinism
+    res2 = {(r["query_id"], r["neighbor_id"]) for r in
+            PQ.ivfpq_topk(emb, q, k=8, n_lists=8, n_probe=8, m=8,
+                          residual=True, n_train=300).collect()}
+    assert res == res2
+
+
+def test_ivfpq_residual_rejects_foreign_codebook(spark):
+    emb = _emb(spark, 60)
+    dim = len(emb.select("embedding").first()[0])
+    cb = PQ.train_pq(emb, dim=dim, m=4, n_train=60, n_iter=2)
+    with pytest.raises(ValueError):
+        PQ.ivfpq_topk(emb, emb.limit(2), cb, residual=True)
