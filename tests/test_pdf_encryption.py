@@ -218,3 +218,44 @@ def test_encrypted_strings_and_links_decrypt():
     assert pages == ["secret article text extracted fine"]
     assert prod == "Encrypted Producer 9000"
     assert pdfmini.pdf_links(raw) == ["https://example.org/encrypted-link"]
+
+
+def test_encrypted_modern_layout_objstm_cmap():
+    """Interaction coverage: RC4 encryption OVER the PDF 1.5 layout —
+    the ObjStm must decrypt before expansion, the CMap stream before
+    parsing, and Identity-H text still comes out as Unicode."""
+    import test_pdfobj as M
+
+    enc, fkey = _make_rc4_encrypt(3, 128)
+    raw = M.build_modern_pdf([T_PAGE], producer="enc-writer")
+    # re-encrypt every stream body in place: walk 'N 0 obj ... stream'
+    import re
+    out = bytearray()
+    pos = 0
+    for m in re.finditer(rb"(\d+) 0 obj\n(<<.*?>>)\nstream\n", raw,
+                         re.DOTALL):
+        num = int(m.group(1))
+        hdr_end = m.end()
+        body_end = raw.find(b"\nendstream", hdr_end)
+        body = raw[hdr_end:body_end]
+        is_xref = b"/XRef" in m.group(2)
+        new_body = body if is_xref else pdfobj.rc4(
+            _obj_key(fkey, num, False), body)
+        out.extend(raw[pos:hdr_end])
+        out.extend(new_body)
+        pos = body_end
+    out.extend(raw[pos:])
+    # lengths unchanged (RC4 is length-preserving) → offsets/xref valid
+    out = out.replace(
+        b"startxref",
+        b"90 0 obj\n" + _enc_dict_bytes(enc) + b"\nendobj\n"
+        b"trailer\n<< /Encrypt 90 0 R /ID [<" + FILE_ID.hex().encode()
+        + b"> <" + FILE_ID.hex().encode() + b">] >>\nstartxref")
+    pages, error, scanned, producer = pdfmini.pdf_to_pages(bytes(out))
+    assert error is None, error
+    assert pages[0].startswith(T_PAGE)
+    assert pages[0].splitlines()[1] == "abcd"     # bfrange via enc CMap
+    assert producer == "enc-writer"               # Info inside enc ObjStm
+
+
+T_PAGE = "Encrypted modern page with Identity-H text."
