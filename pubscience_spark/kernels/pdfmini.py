@@ -161,13 +161,17 @@ def _scanned_producer(producer: str) -> bool:
                          "tesseract"))
 
 
-def pdf_to_pages(raw: bytes) -> tuple[list[str], str | None, bool, str]:
-    """P1+P2: (pages, error, scanned, producer)."""
-    return _pdf_document(raw)[:4]
+def pdf_to_pages(raw: bytes, password: "bytes | str" = b"",
+                 ) -> tuple[list[str], str | None, bool, str]:
+    """P1+P2: (pages, error, scanned, producer). ``password`` unlocks
+    standard-security-handler files with a non-empty USER password (the
+    empty password is always tried too)."""
+    return _pdf_document(raw, password)[:4]
 
 
-def _pdf_document(raw: bytes) -> tuple[list[str], str | None, bool, str,
-                                       list[str] | None]:
+def _pdf_document(raw: bytes, password: "bytes | str" = b"",
+                  ) -> tuple[list[str], str | None, bool, str,
+                             list[str] | None]:
     """(pages, error, scanned, producer, links).
 
     Modern PDFs (object/xref streams, ToUnicode CMaps — the post-2005
@@ -191,7 +195,7 @@ def _pdf_document(raw: bytes) -> tuple[list[str], str | None, bool, str,
     if any(mk in raw for mk in _MODERN_MARKERS):
         try:
             from . import pdfobj
-            objs = pdfobj.parse_document(raw)
+            objs = pdfobj.parse_document(raw, password)
             doc = pdfobj.extract_document(raw, objs=objs)
             if doc["error"] in ("pdf-password-protected",
                                 "pdf-encryption-unsupported"):

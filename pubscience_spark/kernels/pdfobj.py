@@ -301,22 +301,47 @@ def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
 
 
 class Decryptor:
-    """Per-document decryption state; ``decrypt(data, num, gen)``."""
+    """Per-document decryption state; ``decrypt(data, num, gen)``.
+
+    ``password`` is the USER password (the reference's pypdf path
+    decrypts transparently given one, ``parse_pdfs.py:112-241``); the
+    empty password is always tried as a fallback, so unprotected-but-
+    encrypted files keep working when a wrong password is supplied.
+    Owner-password-only unlock (O/OE entries) is out of scope — those
+    files fail closed as ``pdf-password-protected``."""
     __slots__ = ("key", "cfm", "v")
 
-    def __init__(self, enc: dict, file_id: bytes, objs: dict | None = None):
+    def __init__(self, enc: dict, file_id: bytes, objs: dict | None = None,
+                 password: "bytes | str" = b""):
+        import hashlib
         v = int(_resolve(enc.get("V"), objs) or 1)
         r = int(_resolve(enc.get("R"), objs) or 2)
         enc = {k: _resolve(x, objs) for k, x in enc.items()}
         self.v = v
-        if v >= 5:                                 # R6: AES-256
+        if isinstance(password, str):
+            # R<=4 keys are raw padded bytes (PDFDocEncoding ≈ latin-1);
+            # R5/R6 hash the UTF-8 form (spec says SASLprep — omitted,
+            # plain UTF-8 covers ASCII passwords exactly)
+            password = password.encode(
+                "utf-8" if v >= 5 else "latin-1", "replace")
+        cands = [password, b""] if password else [b""]
+        if v >= 5:                                 # AES-256 (R5 or R6)
             u = bytes(enc["U"])
-            if _hash_2b(b"", u[32:40]) != u[:32]:
-                raise ValueError("pdf-password-protected")
-            ikey = _hash_2b(b"", u[40:48])
-            self.key = _aes_cbc(ikey, b"\x00" * 16, bytes(enc["UE"]))[:32]
-            self.cfm = "AESV3"
-            return
+            if r == 5:
+                # legacy Acrobat 9 R5: single SHA-256, no 2.B loop
+                def hfun(pw: bytes, salt: bytes) -> bytes:
+                    return hashlib.sha256(pw + salt).digest()
+            else:                                  # R6: Algorithm 2.B
+                hfun = _hash_2b
+            for pw in cands:
+                if hfun(pw, u[32:40]) != u[:32]:
+                    continue
+                ikey = hfun(pw, u[40:48])
+                self.key = _aes_cbc(ikey, b"\x00" * 16,
+                                    bytes(enc["UE"]))[:32]
+                self.cfm = "AESV3"
+                return
+            raise ValueError("pdf-password-protected")
         self.cfm = "V2"                            # RC4 default
         if v == 4:
             cf = enc.get("CF") or {}
@@ -328,17 +353,23 @@ class Decryptor:
                     "Length" not in enc:
                 ln = int(_resolve(cfd["Length"], objs))
                 enc["Length"] = ln * 8 if ln <= 32 else ln
-        self.key = _std_file_key(enc, file_id)
-        if r >= 3:
-            # verify the empty user password via Algorithm 5 (first 16
-            # bytes of U): wrong → password-protected
-            import hashlib
-            h = hashlib.md5(_PAD + file_id).digest()
-            u = rc4(self.key, h)
-            for i in range(1, 20):
-                u = rc4(bytes(b ^ i for b in self.key), u)
-            if u[:16] != bytes(enc["U"])[:16]:
-                raise ValueError("pdf-password-protected")
+        for pw in cands:
+            key = _std_file_key(enc, file_id, pw)
+            if r >= 3:
+                # Algorithm 5 check (first 16 bytes of U); the md5 input
+                # is the fixed pad string, not the password
+                h = hashlib.md5(_PAD + file_id).digest()
+                u = rc4(key, h)
+                for i in range(1, 20):
+                    u = rc4(bytes(b ^ i for b in key), u)
+                ok = u[:16] == bytes(enc["U"])[:16]
+            else:
+                # Algorithm 4 (R2): U is RC4(key, pad)
+                ok = rc4(key, _PAD)[:32] == bytes(enc["U"])[:32]
+            if ok:
+                self.key = key
+                return
+        raise ValueError("pdf-password-protected")
 
     def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
         import hashlib
@@ -372,8 +403,9 @@ _RE_FILE_ID = re.compile(
     rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>\s*\]")
 
 
-def find_decryptor(raw: bytes,
-                   objs: dict) -> "tuple[Decryptor, int] | None":
+def find_decryptor(raw: bytes, objs: dict,
+                   password: "bytes | str" = b"",
+                   ) -> "tuple[Decryptor, int] | None":
     """Locate the /Encrypt dictionary (trailer-referenced; recognized by
     its Standard-handler fields) and the file /ID, and build a Decryptor.
     Returns ``(decryptor, encrypt_obj_num)`` or None for unencrypted
@@ -389,7 +421,7 @@ def find_decryptor(raw: bytes,
         return None
     m = _RE_FILE_ID.search(raw)
     file_id = bytes.fromhex(m.group(1).decode("ascii")) if m else b""
-    return Decryptor(enc, file_id, objs), enc_num
+    return Decryptor(enc, file_id, objs, password), enc_num
 
 
 def _decrypt_strings(objs: ObjMap, enc_num: int) -> None:
@@ -566,11 +598,15 @@ def scan_objects(raw: bytes) -> dict[int, object]:
     stream bodies never false-positive. Later duplicates of an object
     number override earlier ones — incremental-update semantics."""
     objs: ObjMap = ObjMap()
+    # streams whose /Length was an unresolved forward ref: re-sliced in a
+    # second pass against the completed map (the endstream fallback
+    # truncates compressed bodies that happen to contain those bytes)
+    pending: list[tuple[int, int, "Ref", object]] = []
     pos = 0
     while True:
         m = _RE_OBJ.search(raw, pos)
         if m is None:
-            return objs
+            break
         num, gen = int(m.group(1)), int(m.group(2))
         lex = _Lexer(raw, m.end())
         try:
@@ -583,8 +619,9 @@ def scan_objects(raw: bytes) -> dict[int, object]:
                 elif raw.startswith(b"\n", body_start):
                     body_start += 1
                 length = val.get("Length")
-                if isinstance(length, Ref):
-                    length = objs.get(length.num)   # forward refs: fall back
+                length_ref = length if isinstance(length, Ref) else None
+                if length_ref is not None:
+                    length = objs.get(length_ref.num)  # forward ref: None
                 body_end = None
                 if isinstance(length, int) and \
                         0 <= length <= len(raw) - body_start:
@@ -601,6 +638,8 @@ def scan_objects(raw: bytes) -> dict[int, object]:
                     elif raw[body_end - 1:body_end] in (b"\r", b"\n"):
                         body_end -= 1
                 val = Stream(val, raw[body_start:body_end], num, gen)
+                if length_ref is not None and not isinstance(length, int):
+                    pending.append((num, body_start, length_ref, val))
                 end = raw.find(b"endstream", body_end)
                 pos = (end + len(b"endstream")) if end >= 0 else body_end
             else:
@@ -610,15 +649,28 @@ def scan_objects(raw: bytes) -> dict[int, object]:
             objs.scan_pos[num] = m.start()
         except (ValueError, AssertionError, IndexError):
             pos = m.end()
+    for num, body_start, ref, stream in pending:
+        if objs.get(num) is not stream:   # overridden by a later update
+            continue
+        length = objs.get(ref.num)
+        if not (isinstance(length, int)
+                and 0 <= length <= len(raw) - body_start):
+            continue
+        cand = body_start + length
+        if raw[cand:cand + 16].lstrip(b"\r\n \t").startswith(b"endstream"):
+            objs[num] = Stream(stream.dict, raw[body_start:cand],
+                               num, objs.gens.get(num, 0))
+    return objs
 
 
 def parse_xref_streams(raw: bytes, objs: dict) -> dict[int, tuple]:
     """Decode every /Type /XRef stream into ``{objnum: (type, f2, f3)}``
     (type 1: f2 = byte offset; type 2: f2 = containing ObjStm number,
-    f3 = index inside it). Later streams in file order override earlier —
-    the newest incremental section wins."""
+    f3 = index inside it). Later streams in FILE order override earlier —
+    the newest incremental section wins (sorting by object number would
+    let an original xref with a higher number clobber an update's)."""
     table: dict[int, tuple] = {}
-    for num in sorted(objs):
+    for num in sorted(objs, key=lambda n: objs.scan_pos.get(n, 0)):
         v = objs[num]
         if not (isinstance(v, Stream) and v.dict.get("Type") == "XRef"):
             continue
@@ -701,7 +753,8 @@ def expand_object_streams(raw: bytes, objs: dict,
                 objs.setdefault(onum, parsed)
 
 
-def parse_document(raw: bytes) -> dict[int, object]:
+def parse_document(raw: bytes,
+                   password: "bytes | str" = b"") -> dict[int, object]:
     """Full object map: sequential scan → ObjStm expansion, with xref
     streams decoded so compressed-entry bookkeeping is honored (the scan
     already locates every object, so a corrupt xref degrades gracefully
@@ -709,7 +762,7 @@ def parse_document(raw: bytes) -> dict[int, object]:
     objs = scan_objects(raw)
     enc_num = -1
     try:
-        found = find_decryptor(raw, objs)
+        found = find_decryptor(raw, objs, password)
         if found is not None:
             objs.decryptor, enc_num = found
     except (ValueError, KeyError, TypeError) as exc:
@@ -1088,14 +1141,16 @@ def _content_text(body: bytes, fonts: dict[str, FontDecoder]) -> str:
     return "\n".join(lines)
 
 
-def extract_document(raw: bytes, objs: ObjMap | None = None) -> dict:
+def extract_document(raw: bytes, objs: ObjMap | None = None,
+                     password: "bytes | str" = b"") -> dict:
     """Structured extraction: ``{pages, error, info}``. An empty page
     list means the caller should fall back to the legacy regex path
     (except ``pdf-password-protected``, which is terminal). Pass a
     pre-built ``objs`` map to reuse one parse across extraction and
-    link harvesting (the hot extraction loop does)."""
+    link harvesting (the hot extraction loop does); ``password`` is
+    ignored in that case (the map is already decrypted)."""
     if objs is None:
-        objs = parse_document(raw)
+        objs = parse_document(raw, password)
     if objs.crypt_error:
         return {"pages": [], "error": objs.crypt_error,
                 "info": document_info(objs)}
@@ -1114,8 +1169,9 @@ def extract_document(raw: bytes, objs: ObjMap | None = None) -> dict:
     return {"pages": pages, "error": error, "info": info}
 
 
-def extract_pages(raw: bytes) -> tuple[list[str], str | None]:
-    doc = extract_document(raw)
+def extract_pages(raw: bytes, password: "bytes | str" = b"",
+                  ) -> tuple[list[str], str | None]:
+    doc = extract_document(raw, password=password)
     return doc["pages"], doc["error"]
 
 
@@ -1145,6 +1201,17 @@ def harvest_links(objs: dict) -> list[str]:
     return sorted(found)
 
 
+def _text_string(val: bytes) -> str:
+    """PDF text-string decode: UTF-16BE with BOM (the normal modern-
+    producer encoding), UTF-8 with BOM (PDF 2.0), else PDFDocEncoding
+    ≈ latin-1."""
+    if val.startswith(b"\xfe\xff"):
+        return val[2:].decode("utf-16-be", "replace")
+    if val.startswith(b"\xef\xbb\xbf"):
+        return val[3:].decode("utf-8", "replace")
+    return val.decode("latin-1", "replace")
+
+
 def document_info(objs: dict) -> dict:
     """Best-effort /Info metadata (Producer etc.) from the object map."""
     for v in objs.values():
@@ -1154,6 +1221,6 @@ def document_info(objs: dict) -> dict:
                 val = v.get(k)
                 if isinstance(val, bytes):
                     # parse_object already resolved string escapes
-                    out[k] = val.decode("latin-1", "replace")
+                    out[k] = _text_string(val)
             return out
     return {}

@@ -160,15 +160,23 @@ def kmeans_centroids(corpus: DataFrame, n_lists: int, *, n_iter: int = 5,
                        lambda x: x / F.col("__n")).alias("v")))
     for _ in range(n_iter):
         assigned = ivf_assign(unit_corpus, cents, "v")
-        stats = assigned.groupBy("list_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.avg(F.col("v").getItem(i)).alias(f"c{i}")
-              for i in range(dim)]).collect()
-        new_cents = list(cents)
-        for row in stats:
-            if row["n"] > 0:
-                new_cents[row["list_id"]] = _unit(
-                    [row[f"c{i}"] for i in range(dim)])
+        # constant-width plan at ANY dim (a per-dim avg column list hits
+        # codegen limits at real embedding dims 768-4096): posexplode to
+        # (list_id, dim_idx, value) and aggregate — map-side partial agg
+        # still combines each partition down to n_lists × dim partials
+        # before the shuffle, so shuffle volume matches the wide form
+        rows = (assigned
+                .select("list_id",
+                        F.posexplode(F.col("v")).alias("di", "x"))
+                .groupBy("list_id", "di")
+                .agg(F.avg("x").alias("c"))
+                .collect())
+        by_list: dict[int, dict[int, float]] = {}
+        for r in rows:                    # empty lists emit no rows at
+            by_list.setdefault(r["list_id"], {})[r["di"]] = r["c"]
+        new_cents = list(cents)           # all → keep their centroid
+        for li, dims in by_list.items():
+            new_cents[li] = _unit([dims[i] for i in range(dim)])
         cents = new_cents
     return cents
 

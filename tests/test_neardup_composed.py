@@ -214,3 +214,25 @@ def test_embedding_neardup_autoscaled_band_bits(spark):
     rows = auto.collect()
     for r in rows:
         assert r["cosine"] >= 0.38          # precision exact by verify
+
+
+def test_kmeans_constant_width_high_dim(spark):
+    """VERDICT r3 #5: the centroid-update agg must stay constant-width at
+    real embedding dims (768), not one avg column per dimension."""
+    import numpy as np
+    rng = np.random.RandomState(3)
+    base = rng.randn(4, 768).astype(np.float64)
+    pts = np.repeat(base, 30, axis=0) + 0.05 * rng.randn(120, 768)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_centroids(df, 4, n_iter=3)
+    assert len(cents) == 4 and all(len(c) == 768 for c in cents)
+    for c in cents:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9   # unit norm
+    # 4 well-separated blobs: most centroids align with a blob mean
+    # (md5-order init can seed two centroids in one blob, leaving one
+    # straddler — clustering quality is not what this test pins)
+    ub = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = np.array(cents) @ ub.T
+    assert (sims.max(axis=1) > 0.95).sum() >= 3

@@ -45,12 +45,13 @@ def _owner_entry(owner: bytes, n: int, r: int) -> tuple[bytes, bytes]:
     return o, okey
 
 
-def _make_rc4_encrypt(r: int, nbits: int) -> tuple[dict, bytes]:
+def _make_rc4_encrypt(r: int, nbits: int,
+                      user_pw: bytes = b"") -> tuple[dict, bytes]:
     n = nbits // 8
     o, _ = _owner_entry(b"own3r-pw", n, r)
     enc = {"Filter": "Standard", "R": r, "V": 1 if r == 2 else 2,
            "Length": nbits, "O": o, "P": -44}
-    fkey = pdfobj._std_file_key(enc, FILE_ID)
+    fkey = pdfobj._std_file_key(enc, FILE_ID, user_pw)
     if r >= 3:
         u = hashlib.md5(PAD + FILE_ID).digest()
         u = pdfobj.rc4(fkey, u)
@@ -69,13 +70,18 @@ def _make_aesv2_encrypt() -> tuple[dict, bytes]:
     return enc, fkey
 
 
-def _make_r6_encrypt() -> tuple[dict, bytes]:
+def _make_r6_encrypt(user_pw: bytes = b"", r: int = 6) -> tuple[dict, bytes]:
+    """R6 (Algorithm 2.B) or legacy R5 (single SHA-256, Acrobat 9)."""
     fkey = bytes(range(32))
     vsalt, ksalt = b"VSALT--1", b"KSALT--2"
-    u_hash = pdfobj._hash_2b(b"", vsalt)
-    ikey = pdfobj._hash_2b(b"", ksalt)
+    if r == 5:
+        u_hash = hashlib.sha256(user_pw + vsalt).digest()
+        ikey = hashlib.sha256(user_pw + ksalt).digest()
+    else:
+        u_hash = pdfobj._hash_2b(user_pw, vsalt)
+        ikey = pdfobj._hash_2b(user_pw, ksalt)
     ue = pdfobj._aes_cbc(ikey, b"\x00" * 16, fkey, encrypt=True)
-    enc = {"Filter": "Standard", "R": 6, "V": 5, "Length": 256,
+    enc = {"Filter": "Standard", "R": r, "V": 5, "Length": 256,
            "O": b"\x00" * 48, "U": u_hash + vsalt + ksalt,
            "UE": ue, "OE": b"\x00" * 32, "P": -44}
     return enc, fkey
@@ -259,3 +265,82 @@ def test_encrypted_modern_layout_objstm_cmap():
 
 
 T_PAGE = "Encrypted modern page with Identity-H text."
+
+
+# ------------------------------------- round 4: non-empty user passwords ---
+
+def _assert_extracts_with(raw: bytes, password):
+    pages, error, _, _ = pdfmini.pdf_to_pages(raw, password=password)
+    assert error is None, error
+    assert pages == ["secret article text extracted fine"]
+
+
+def test_rc4_r3_user_password_unlocks():
+    enc, fkey = _make_rc4_encrypt(3, 128, user_pw=b"s3cret")
+    raw = build_encrypted_pdf(enc, fkey, "rc4")
+    # no password → fails closed
+    pages, error, _, _ = pdfmini.pdf_to_pages(raw)
+    assert pages == [] and error == "pdf-password-protected"
+    # wrong password → fails closed (empty fallback also wrong)
+    pages, error, _, _ = pdfmini.pdf_to_pages(raw, password=b"nope")
+    assert pages == [] and error == "pdf-password-protected"
+    # right password (bytes and str forms)
+    _assert_extracts_with(raw, b"s3cret")
+    _assert_extracts_with(raw, "s3cret")
+
+
+def test_rc4_r2_user_password_unlocks():
+    enc, fkey = _make_rc4_encrypt(2, 40, user_pw=b"pw40")
+    raw = build_encrypted_pdf(enc, fkey, "rc4")
+    pages, error, _, _ = pdfmini.pdf_to_pages(raw)
+    assert pages == [] and error == "pdf-password-protected"
+    _assert_extracts_with(raw, b"pw40")
+
+
+def test_aesv2_r4_user_password_unlocks():
+    enc, fkey = _make_rc4_encrypt(4, 128, user_pw=b"aes-pw")
+    enc.update({"V": 4, "R": 4, "StmF": "StdCF", "StrF": "StdCF",
+                "CF": {"StdCF": {"CFM": "AESV2", "Length": 16}}})
+    raw = build_encrypted_pdf(enc, fkey, "aesv2")
+    pages, error, _, _ = pdfmini.pdf_to_pages(raw)
+    assert pages == [] and error == "pdf-password-protected"
+    _assert_extracts_with(raw, b"aes-pw")
+
+
+def test_aes256_r6_user_password_unlocks():
+    enc, fkey = _make_r6_encrypt(user_pw=b"utf8-pw")
+    raw = build_encrypted_pdf(enc, fkey, "aesv3")
+    pages, error, _, _ = pdfmini.pdf_to_pages(raw)
+    assert pages == [] and error == "pdf-password-protected"
+    pages, error, _, _ = pdfmini.pdf_to_pages(raw, password=b"wrong")
+    assert pages == [] and error == "pdf-password-protected"
+    _assert_extracts_with(raw, "utf8-pw")
+
+
+def test_aes256_r5_single_hash_decrypts():
+    """ADVICE r3: legacy Acrobat 9 R5 uses a single SHA-256, not the
+    R6 2.B loop — both the empty and non-empty password paths."""
+    enc, fkey = _make_r6_encrypt(r=5)
+    _assert_extracts(build_encrypted_pdf(enc, fkey, "aesv3"))
+    enc, fkey = _make_r6_encrypt(user_pw=b"r5pw", r=5)
+    raw = build_encrypted_pdf(enc, fkey, "aesv3")
+    pages, error, _, _ = pdfmini.pdf_to_pages(raw)
+    assert pages == [] and error == "pdf-password-protected"
+    _assert_extracts_with(raw, b"r5pw")
+
+
+def test_empty_password_still_tried_with_wrong_supplied():
+    """A wrong supplied password must not break freely-readable files:
+    the empty password is always tried as fallback."""
+    enc, fkey = _make_rc4_encrypt(3, 128)
+    raw = build_encrypted_pdf(enc, fkey, "rc4")
+    _assert_extracts_with(raw, b"irrelevant-wrong-password")
+
+
+def test_r2_bad_u_fails_closed():
+    """R2 now validates U (Algorithm 4) instead of decrypting garbage."""
+    enc, fkey = _make_rc4_encrypt(2, 40)
+    enc["U"] = b"\xff" * 32
+    raw = build_encrypted_pdf(enc, fkey, "rc4")
+    pages, error, _, _ = pdfmini.pdf_to_pages(raw)
+    assert pages == [] and error == "pdf-password-protected"

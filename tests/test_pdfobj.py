@@ -491,3 +491,80 @@ def test_pdf_parser_total_on_garbage_hypothesis():
         assert len(rec["sha256"]) == 64
         assert rec["links"] is None or isinstance(rec["links"], list)
     fuzz()
+
+
+# ----------------------------------------------- round 4: ADVICE fixes ----
+
+def test_forward_length_ref_second_pass():
+    """ADVICE r3: /Length as an indirect ref to an object defined LATER
+    in the file (the common real-writer layout) must be resolved in a
+    second pass — the endstream fallback would truncate a body that
+    contains those bytes."""
+    body = b"BT (before endstream after) Tj ET"
+    raw = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+           b"endobj\n"
+           b"4 0 obj\n<< /Length 9 0 R >>\nstream\n" + body
+           + b"\nendstream\nendobj\n"
+           b"9 0 obj\n" + str(len(body)).encode() + b"\nendobj\n"
+           b"%%EOF\n")
+    objs = pdfobj.scan_objects(raw)
+    assert objs[4].raw == body          # full body, not truncated
+    pages, err = pdfobj.extract_pages(raw)
+    assert err is None and pages == ["before endstream after"]
+
+
+def test_forward_length_ref_unresolvable_keeps_fallback():
+    """If the Length ref never resolves, the endstream-search fallback
+    result stands (graceful degradation, no crash)."""
+    body = b"BT (plain text) Tj ET"
+    raw = (b"%PDF-1.4\n"
+           b"4 0 obj\n<< /Length 77 0 R >>\nstream\n" + body
+           + b"\nendstream\nendobj\n%%EOF\n")
+    objs = pdfobj.scan_objects(raw)
+    assert objs[4].raw == body
+
+
+def test_xref_streams_apply_in_file_order():
+    """ADVICE r3: an incremental-update xref stream with a LOWER object
+    number than the original's must still win (file order, not object-
+    number order)."""
+    import zlib as _z
+
+    def xref_obj(num: int, entries: dict[int, tuple]) -> bytes:
+        rows = b"".join(
+            bytes([t]) + f2.to_bytes(4, "big") + bytes([f3])
+            for t, f2, f3 in entries.values())
+        data = _z.compress(rows)
+        idx = " ".join(f"{k} 1" for k in entries)
+        return (f"{num} 0 obj\n<< /Type /XRef /W [1 4 1] "
+                f"/Index [{idx}] /Size 100 /Filter /FlateDecode "
+                f"/Length {len(data)} >>\nstream\n").encode() \
+            + data + b"\nendstream\nendobj\n"
+
+    # original section: xref is object 9 (early in file), says obj 3 @ 111
+    # update section: xref is object 2 (later in file), says obj 3 @ 222
+    raw = (b"%PDF-1.5\n"
+           + xref_obj(9, {3: (1, 111, 0)})
+           + xref_obj(2, {3: (1, 222, 0)})
+           + b"%%EOF\n")
+    objs = pdfobj.scan_objects(raw)
+    table = pdfobj.parse_xref_streams(raw, objs)
+    assert table[3] == (1, 222, 0)
+
+
+def test_info_text_string_boms():
+    """ADVICE r3: /Info strings with UTF-16BE (and UTF-8) BOMs decode
+    properly — modern producers write UTF-16BE."""
+    assert pdfobj._text_string(
+        b"\xfe\xff\x00L\x00a\x00T\x00e\x00X") == "LaTeX"
+    assert pdfobj._text_string(b"\xef\xbb\xbfp\xc3\xa9df") == "pédf"
+    assert pdfobj._text_string(b"plain latin-1 \xe9") == "plain latin-1 é"
+    producer = "Scänner Pro".encode("utf-16-be")
+    raw = (b"%PDF-1.6\n"
+           b"7 0 obj\n<< /Producer (\xfe\xff" + producer + b") >>\nendobj\n"
+           b"%%EOF\n")
+    objs = pdfobj.scan_objects(raw)
+    assert pdfobj.document_info(objs)["Producer"] == "Scänner Pro"

@@ -173,3 +173,69 @@ def test_ivfpq_residual_rejects_foreign_codebook(spark):
     cb = PQ.train_pq(emb, dim=dim, m=4, n_train=60, n_iter=2)
     with pytest.raises(ValueError):
         PQ.ivfpq_topk(emb, emb.limit(2), cb, residual=True)
+
+
+def test_local_topk_keep_matches_bruteforce():
+    """Vectorized per-query batch prune == per-group sort truncation."""
+    rng = np.random.RandomState(11)
+    qi = rng.randint(0, 5, size=200)
+    scores = rng.randn(200)
+    for kk in (1, 3, 7, 500):
+        keep = PQ._local_topk_keep(qi, scores, kk)
+        got = sorted((int(qi[i]), float(scores[i])) for i in keep)
+        want = []
+        for q in np.unique(qi):
+            vals = sorted(scores[qi == q], reverse=True)[:kk]
+            want.extend((int(q), float(v)) for v in vals)
+        assert got == sorted(want)
+
+
+def test_ivfpq_batch_prune_preserves_results(spark):
+    """One-partition corpus = one Arrow batch: the batch-local prune is
+    maximally aggressive yet results still equal plain PQ (probe-all)."""
+    emb = _emb(spark, 150).coalesce(1)
+    dim = len(emb.select("embedding").first()[0])
+    cb = PQ.train_pq(emb, dim=dim, m=8, n_train=150, n_iter=4)
+    q = emb.where(F.col("vec_id") < 4)
+    full = sorted(map(tuple, PQ.ivfpq_topk(
+        emb, q, cb, k=6, n_lists=4, n_probe=4).collect()))
+    plain = sorted(map(tuple, PQ.pq_topk(
+        PQ.encode_pq(emb, cb), q, cb, k=6).collect()))
+    assert full == plain
+    counts = [r[3] for r in full]
+    assert max(counts) == 6                       # full k survives prune
+
+
+def test_pq_topk_join_matches_collect_path(spark):
+    """Join-shaped (chunked, broadcast-table) query path is result-
+    identical to the collect-based pq_topk — multiple chunks forced."""
+    emb = _emb(spark, 200)
+    dim = len(emb.select("embedding").first()[0])
+    cb = PQ.train_pq(emb, dim=dim, m=8, n_train=200, n_iter=4)
+    codes = PQ.encode_pq(emb, cb)
+    q = emb.where(F.col("vec_id") < 11)           # 11 queries, 4 chunks
+    a = sorted(map(tuple, PQ.pq_topk(codes, q, cb, k=5).collect()))
+    b = sorted(map(tuple, PQ.pq_topk_join(codes, q, cb, k=5,
+                                          chunk_size=3).collect()))
+    assert a == b and len(a) == 11 * 5
+    # empty query set
+    assert PQ.pq_topk_join(codes, emb.where(F.col("vec_id") < 0),
+                           cb, k=3).count() == 0
+
+
+def test_pq_dim_mismatch_raises_clearly(spark):
+    """ADVICE r3: a codebook applied to wrong-dim vectors must fail with
+    a named ValueError, not a silent truncation or numpy shape error."""
+    emb = _emb(spark, 60)
+    cb16 = PQ.train_pq(
+        emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
+        dim=16, m=4, n_train=60, n_iter=2)
+    with pytest.raises(Exception, match="does not match codebook"):
+        PQ.encode_pq(emb, cb16).count()           # corpus is 64-dim
+    codes16 = PQ.encode_pq(
+        emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
+        cb16)
+    with pytest.raises(ValueError, match="does not match codebook"):
+        PQ.pq_topk(codes16, emb.limit(2), cb16, k=3)
+    with pytest.raises(ValueError, match="does not match codebook"):
+        PQ.ivfpq_topk(emb, emb.limit(2), cb16, k=3)
