@@ -285,6 +285,25 @@ def _std_file_key(enc: dict, file_id: bytes, password: bytes = b"") -> bytes:
     return key[:n]
 
 
+def _owner_to_user_pw(enc: dict, owner_pw: bytes, r: int) -> bytes:
+    """Algorithm 7 (R2-R4): recover the padded user password from /O
+    with the owner key. Returns 32 padded bytes; a wrong owner password
+    yields garbage that simply fails the subsequent U validation."""
+    import hashlib
+    n = int(enc.get("Length", 40)) // 8 if int(enc.get("V", 1)) >= 2 else 5
+    h = hashlib.md5((owner_pw + _PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:n]
+    o = bytes(enc["O"])[:32]
+    if r == 2:
+        return rc4(okey, o)
+    for i in range(19, -1, -1):
+        o = rc4(bytes(b ^ i for b in okey), o)
+    return o
+
+
 def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
     """R6 Algorithm 2.B iterated SHA-2 hash."""
     import hashlib
@@ -303,12 +322,13 @@ def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
 class Decryptor:
     """Per-document decryption state; ``decrypt(data, num, gen)``.
 
-    ``password`` is the USER password (the reference's pypdf path
-    decrypts transparently given one, ``parse_pdfs.py:112-241``); the
-    empty password is always tried as a fallback, so unprotected-but-
-    encrypted files keep working when a wrong password is supplied.
-    Owner-password-only unlock (O/OE entries) is out of scope — those
-    files fail closed as ``pdf-password-protected``."""
+    ``password`` is tried as the USER password, then as the OWNER
+    password (R2-R4: Algorithm 7 recovers the padded user password from
+    /O; R5/R6: /O validation + /OE unwrap), then the empty user password
+    as a final fallback — so unprotected-but-encrypted files keep
+    working when a wrong password is supplied (the reference's pypdf
+    path decrypts transparently the same way,
+    ``parse_pdfs.py:112-241``)."""
     __slots__ = ("key", "cfm", "v")
 
     def __init__(self, enc: dict, file_id: bytes, objs: dict | None = None,
@@ -324,21 +344,31 @@ class Decryptor:
             # plain UTF-8 covers ASCII passwords exactly)
             password = password.encode(
                 "utf-8" if v >= 5 else "latin-1", "replace")
-        cands = [password, b""] if password else [b""]
         if v >= 5:                                 # AES-256 (R5 or R6)
-            u = bytes(enc["U"])
+            u, o = bytes(enc["U"]), bytes(enc.get("O") or b"")
             if r == 5:
                 # legacy Acrobat 9 R5: single SHA-256, no 2.B loop
-                def hfun(pw: bytes, salt: bytes) -> bytes:
-                    return hashlib.sha256(pw + salt).digest()
+                def hfun(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+                    return hashlib.sha256(pw + salt + udata).digest()
             else:                                  # R6: Algorithm 2.B
                 hfun = _hash_2b
-            for pw in cands:
-                if hfun(pw, u[32:40]) != u[:32]:
-                    continue
-                ikey = hfun(pw, u[40:48])
-                self.key = _aes_cbc(ikey, b"\x00" * 16,
-                                    bytes(enc["UE"]))[:32]
+            attempts = [(password, False)] if password else []
+            if password and len(o) >= 48 and enc.get("OE") is not None:
+                attempts.append((password, True))  # as owner password
+            attempts.append((b"", False))
+            for pw, as_owner in attempts:
+                if as_owner:
+                    # owner hashes salt from /O and mix in U[0:48]
+                    if hfun(pw, o[32:40], u[:48]) != o[:32]:
+                        continue
+                    ikey = hfun(pw, o[40:48], u[:48])
+                    wrapped = bytes(enc["OE"])
+                else:
+                    if hfun(pw, u[32:40]) != u[:32]:
+                        continue
+                    ikey = hfun(pw, u[40:48])
+                    wrapped = bytes(enc["UE"])
+                self.key = _aes_cbc(ikey, b"\x00" * 16, wrapped)[:32]
                 self.cfm = "AESV3"
                 return
             raise ValueError("pdf-password-protected")
@@ -353,6 +383,13 @@ class Decryptor:
                     "Length" not in enc:
                 ln = int(_resolve(cfd["Length"], objs))
                 enc["Length"] = ln * 8 if ln <= 32 else ln
+        cands = [password] if password else []
+        if password and enc.get("O") is not None:
+            # Algorithm 7: treat the password as the OWNER password —
+            # RC4-decrypting /O with the owner key recovers the PADDED
+            # user password, which then validates via the normal U check
+            cands.append(_owner_to_user_pw(enc, password, r))
+        cands.append(b"")
         for pw in cands:
             key = _std_file_key(enc, file_id, pw)
             if r >= 3:

@@ -166,25 +166,31 @@ FROM documents GROUP BY source
 
 
 def q_group_concat(spark, sf_dir):
-    """A5: order-pinned per-user event-type concat
-    (sandbox/stats_testing.ipynb cell 10)."""
+    """A5 + A6: order-pinned per-user event-type concat
+    (sandbox/stats_testing.ipynb cell 10) with the group-size count
+    (A6) folded in — one battery slot covers both (round-4 merge that
+    freed the slot for ivfpq_topk under the driver's 50-entry cap)."""
     e = _events(spark, sf_dir)
     packed = F.array_sort(F.collect_list(
         F.struct(F.col("ts").alias("o1"), F.col("event_id").alias("o2"),
                  F.col("event_type").alias("t"))))
     return (e.groupBy("user_id")
             .agg(F.array_join(F.transform(packed, lambda s: s["t"]), "|")
-                 .alias("concat_types")))
+                 .alias("concat_types"),
+                 F.count(F.lit(1)).alias("n_events")))
 
 
 SQL_GROUP_CONCAT = """
-SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS concat_types
+SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS concat_types,
+       CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY user_id
 """
 
 
 def q_group_sizes(spark, sf_dir):
-    """A6: groupby-size histogram."""
+    """A6: groupby-size histogram. Not a battery entry since round 4 —
+    the 50-slot cap; the A6 semantics ride along as ``n_events`` in
+    ``group_concat`` (oracle-checked there)."""
     return _events(spark, sf_dir).groupBy("event_type") \
         .agg(F.count(F.lit(1)).alias("n"))
 
@@ -658,6 +664,19 @@ def q_ivf_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 10)
     return (sim_ops.ivf_topk(emb, queries, n_lists=8, n_probe=8, k=5)
+            .withColumn("rank", F.col("rank").cast("long")))
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (the 10^12-vector tier: m-byte codes + ADC ranking)
+    in probe-all configuration — pytest pins probe-all ≡ plain PQ and
+    recall vs brute force; rows-only here (PQ quantization is not
+    SQL-expressible). Row count is stable: k rows per query."""
+    from .operators import pq as pq_ops
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 8)
+    cb = pq_ops.train_pq(emb, dim=64, m=8, n_train=2000, n_iter=6)
+    return (pq_ops.ivfpq_topk(emb, queries, cb, k=5, n_lists=8, n_probe=8)
             .withColumn("rank", F.col("rank").cast("long")))
 
 
@@ -1216,8 +1235,7 @@ QUERIES = {
     "corpus_stats": q_corpus_stats,
     "vocab_stats": q_vocab_stats,
     "dup_counts": q_dup_counts,
-    "group_concat": q_group_concat,
-    "group_sizes": q_group_sizes,
+    "group_concat": q_group_concat,   # A5+A6 merged (round 4)
     "length_gate": q_length_gate,
     "term_filter": q_term_filter,
     "lang_gate": q_lang_gate,
@@ -1239,6 +1257,7 @@ QUERIES = {
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "embedding_neardup": q_embedding_neardup,
     "ivf_topk": q_ivf_topk,
+    "ivfpq_topk": q_ivfpq_topk,
     "identify_scored": q_identify_scored,
     "session_windows": q_session_windows,
     "shipping_priority": q_shipping_priority,
@@ -1274,7 +1293,6 @@ ORACLES = {
     "vocab_stats": SQL_VOCAB_STATS,
     "dup_counts": SQL_DUP_COUNTS,
     "group_concat": SQL_GROUP_CONCAT,
-    "group_sizes": SQL_GROUP_SIZES,
     "length_gate": SQL_LENGTH_GATE,
     "term_filter": SQL_TERM_FILTER,
     "lang_gate": SQL_LANG_GATE,

@@ -32,13 +32,14 @@ def test_rc4_known_vector():
 
 # --------------------------------------------------- fixture encryptors ---
 
-def _owner_entry(owner: bytes, n: int, r: int) -> tuple[bytes, bytes]:
+def _owner_entry(owner: bytes, n: int, r: int,
+                 user_pw: bytes = b"") -> tuple[bytes, bytes]:
     h = hashlib.md5((owner + PAD)[:32]).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h).digest()
     okey = h[:n]
-    o = pdfobj.rc4(okey, PAD[:32])          # padded EMPTY user password
+    o = pdfobj.rc4(okey, (user_pw + PAD)[:32])   # padded user password
     if r >= 3:
         for i in range(1, 20):
             o = pdfobj.rc4(bytes(b ^ i for b in okey), o)
@@ -48,7 +49,7 @@ def _owner_entry(owner: bytes, n: int, r: int) -> tuple[bytes, bytes]:
 def _make_rc4_encrypt(r: int, nbits: int,
                       user_pw: bytes = b"") -> tuple[dict, bytes]:
     n = nbits // 8
-    o, _ = _owner_entry(b"own3r-pw", n, r)
+    o, _ = _owner_entry(b"own3r-pw", n, r, user_pw)
     enc = {"Filter": "Standard", "R": r, "V": 1 if r == 2 else 2,
            "Length": nbits, "O": o, "P": -44}
     fkey = pdfobj._std_file_key(enc, FILE_ID, user_pw)
@@ -81,9 +82,19 @@ def _make_r6_encrypt(user_pw: bytes = b"", r: int = 6) -> tuple[dict, bytes]:
         u_hash = pdfobj._hash_2b(user_pw, vsalt)
         ikey = pdfobj._hash_2b(user_pw, ksalt)
     ue = pdfobj._aes_cbc(ikey, b"\x00" * 16, fkey, encrypt=True)
+    u = u_hash + vsalt + ksalt
+    ovsalt, oksalt = b"OVSALT-1", b"OKSALT-2"
+    opw = b"own3r-pw"
+    if r == 5:
+        o_hash = hashlib.sha256(opw + ovsalt + u[:48]).digest()
+        oikey = hashlib.sha256(opw + oksalt + u[:48]).digest()
+    else:
+        o_hash = pdfobj._hash_2b(opw, ovsalt, u[:48])
+        oikey = pdfobj._hash_2b(opw, oksalt, u[:48])
+    oe = pdfobj._aes_cbc(oikey, b"\x00" * 16, fkey, encrypt=True)
     enc = {"Filter": "Standard", "R": r, "V": 5, "Length": 256,
-           "O": b"\x00" * 48, "U": u_hash + vsalt + ksalt,
-           "UE": ue, "OE": b"\x00" * 32, "P": -44}
+           "O": o_hash + ovsalt + oksalt, "U": u,
+           "UE": ue, "OE": oe, "P": -44}
     return enc, fkey
 
 
@@ -344,3 +355,36 @@ def test_r2_bad_u_fails_closed():
     raw = build_encrypted_pdf(enc, fkey, "rc4")
     pages, error, _, _ = pdfmini.pdf_to_pages(raw)
     assert pages == [] and error == "pdf-password-protected"
+
+
+def test_rc4_r3_owner_password_unlocks():
+    """Algorithm 7: the owner password recovers the padded user password
+    from /O and unlocks a file whose user password is unknown."""
+    enc, fkey = _make_rc4_encrypt(3, 128, user_pw=b"unknown-user")
+    raw = build_encrypted_pdf(enc, fkey, "rc4")
+    pages, error, _, _ = pdfmini.pdf_to_pages(raw)
+    assert pages == [] and error == "pdf-password-protected"
+    _assert_extracts_with(raw, b"own3r-pw")       # owner path
+    _assert_extracts_with(raw, b"unknown-user")   # user path still works
+
+
+def test_rc4_r2_owner_password_unlocks():
+    enc, fkey = _make_rc4_encrypt(2, 40, user_pw=b"u2")
+    raw = build_encrypted_pdf(enc, fkey, "rc4")
+    _assert_extracts_with(raw, b"own3r-pw")
+
+
+def test_aes256_r6_owner_password_unlocks():
+    """R6 owner unlock: /O validation (udata = U[0:48]) + /OE unwrap."""
+    enc, fkey = _make_r6_encrypt(user_pw=b"hidden")
+    raw = build_encrypted_pdf(enc, fkey, "aesv3")
+    pages, error, _, _ = pdfmini.pdf_to_pages(raw)
+    assert pages == [] and error == "pdf-password-protected"
+    _assert_extracts_with(raw, b"own3r-pw")
+    _assert_extracts_with(raw, b"hidden")
+
+
+def test_aes256_r5_owner_password_unlocks():
+    enc, fkey = _make_r6_encrypt(user_pw=b"hidden5", r=5)
+    raw = build_encrypted_pdf(enc, fkey, "aesv3")
+    _assert_extracts_with(raw, b"own3r-pw")

@@ -227,3 +227,36 @@ def test_write_extracted_catalog_table_dispatch(spark):
         assert spark.table(tbl).count() == 10
     finally:
         spark.sql("DROP TABLE IF EXISTS default.t_sink_dispatch")
+
+
+def test_run_incremental_delta_only_and_idempotent(spark, tmp_path):
+    """VERDICT r3 #8: two arrivals — the second run processes ONLY the
+    delta (its new lineage batches account for exactly the new rows);
+    a third run with no new input is a no-op (lineage idempotent)."""
+    from pubscience_spark.datagen.pages import write_pages_parquet
+    from pubscience_spark.streaming.extract_stream import run_incremental
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    n1 = write_pages_parquet(str(in_dir / "a.parquet"), 30, seed=11)
+    r1 = run_incremental(spark, str(in_dir), out_dir, n_buckets=4)
+    assert r1["rows_written"] == n1 and r1["total_rows"] == n1
+    assert len(r1["new_batches"]) >= 1
+
+    n2 = write_pages_parquet(str(in_dir / "b.parquet"), 17, seed=12)
+    r2 = run_incremental(spark, str(in_dir), out_dir, n_buckets=4)
+    # delta only: the new batches hold exactly the new file's rows
+    assert r2["rows_written"] == n2, r2
+    assert r2["total_rows"] == n1 + n2
+    assert set(r2["new_batches"]).isdisjoint(set(r1["new_batches"]))
+
+    # no new input → no new batches, lineage unchanged
+    r3 = run_incremental(spark, str(in_dir), out_dir, n_buckets=4)
+    assert r3["rows_written"] == 0 and r3["new_batches"] == []
+    assert r3["total_rows"] == n1 + n2
+    # extracted rows match lineage totals exactly once per url
+    ext = spark.read.parquet(r3["extracted_path"])
+    assert ext.count() == n1 + n2
+    assert ext.select("url").distinct().count() \
+        == spark.read.parquet(str(in_dir)).select("url").distinct().count()
