@@ -111,6 +111,17 @@ def main() -> None:
         "(Spark CSE skips conditional branches; measured 15×).",
         explain_str(Q.q_langid(spark, SF))))
 
+    sections.append((
+        "IVF-PQ ANN (ivfpq_topk, probe-all battery config)",
+        "The inverted-list probe is a BroadcastHashJoin on list_id (the "
+        "probe frame is (query_id, list_id) — tiny); codes flow through "
+        "ONE MapInPandas that scores via ADC tables and emits only each "
+        "batch's per-query top-(k+1) (round-4 prune), so the single "
+        "window shuffle ranks ~k·batches candidates, not whole probed "
+        "lists. Vectors never cross an Exchange — only (id, list_id, "
+        "m-byte codes) rows do.",
+        explain_str(Q.q_ivfpq_topk(spark, SF))))
+
     # 7. text line scan without per-file straggler
     import tempfile
     tmp = tempfile.mkdtemp()
