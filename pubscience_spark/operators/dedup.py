@@ -358,3 +358,82 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     return (pairs.withColumn("jaccard",
                              _jaccard_pair_udf(F.col("t_a"), F.col("t_b")))
             .select("id_a", "id_b", "jaccard"))
+
+
+# --------------------------------------------------------------------------
+# paragraph-level corpus dedup (C4 / RefinedWeb / Dolma recipe)
+# --------------------------------------------------------------------------
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", *,
+                    sep: str = "\n\n", min_chars: int = 30,
+                    normalize: bool = True,
+                    out_col: str | None = None) -> DataFrame:
+    """Corpus-wide paragraph dedup: any paragraph whose (normalized)
+    content already appeared earlier keeps only its FIRST occurrence
+    (ordered by ``(id_col, paragraph index)``); every document is then
+    reassembled from its surviving paragraphs in original order. The
+    C4/RefinedWeb/Dolma line-level recipe — it kills boilerplate that
+    repeats across pages (cookie banners, nav footers, license blocks)
+    which document-level dedup cannot see.
+
+    Paragraphs shorter than ``min_chars`` are exempt (always kept):
+    short connectives ("Introduction", "1.") legitimately repeat and
+    deduping them mangles documents. ``normalize=True`` keys on the
+    lowercased whitespace-collapsed form (C4 practice) while emitting
+    the ORIGINAL paragraph text.
+
+    Scale shape (all native, no Python): posexplode → xxhash64 keys →
+    per-key ``min(struct(doc, idx))`` winner aggregation (map-side
+    combine, hot-key safe — the viral-footer key collapses to one row
+    per partition before the shuffle) → equi-join winners back on the
+    hash (slim build side) → groupBy doc + ``array_sort(collect_list)``
+    reassembly. Two shuffles of paragraph-sized rows total; the winner
+    frame that joins against them is (hash, winner-struct) slim.
+
+    Returns ``id_col`` plus the deduped text (``out_col``, default
+    ``text_col``) and ``n_paras_kept`` / ``n_paras_dropped`` counters.
+    """
+    out_col = out_col or text_col
+    paras = (df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep)))
+        .alias("__idx", "__para")))
+    norm = F.lower(F.regexp_replace(F.trim(F.col("__para")),
+                                    r"\s+", " ")) if normalize \
+        else F.col("__para")
+    paras = paras.withColumn(
+        "__key",
+        F.when(F.length(F.trim(F.col("__para"))) < min_chars, F.lit(None))
+        .otherwise(F.xxhash64(norm)))
+    # exempt (short) paragraphs bypass the join entirely — joining them
+    # with a NULL key would funnel every short paragraph in the corpus
+    # into the single hash(NULL) partition (skew trap)
+    keyed = paras.where(F.col("__key").isNotNull())
+    exempt = paras.where(F.col("__key").isNull())
+    winners = (keyed.groupBy("__key")
+               .agg(F.min(F.struct(F.col("__doc").alias("d"),
+                                   F.col("__idx").alias("i")))
+                    .alias("__w")))
+    kept = (keyed.join(winners, "__key")
+            .where((F.col("__w.d") == F.col("__doc"))
+                   & (F.col("__w.i") == F.col("__idx")))
+            .drop("__w")
+            .unionByName(exempt))
+    packed = F.array_sort(F.collect_list(
+        F.struct(F.col("__idx").alias("i"), F.col("__para").alias("p"))))
+    n_in = F.count(F.lit(1))
+    return (kept.groupBy(F.col("__doc").alias(id_col))
+            .agg(F.array_join(F.transform(packed, lambda s: s["p"]),
+                              sep).alias(out_col),
+                 n_in.cast("long").alias("n_paras_kept"))
+            .join(df.select(F.col(id_col),
+                            (F.size(F.split(F.col(text_col), F.lit(sep))))
+                            .cast("long").alias("__n_in")),
+                  id_col, "right")
+            .withColumn("n_paras_kept",
+                        F.coalesce("n_paras_kept", F.lit(0)))
+            .withColumn("n_paras_dropped",
+                        F.col("__n_in") - F.col("n_paras_kept"))
+            .withColumn(out_col, F.coalesce(out_col, F.lit("")))
+            .drop("__n_in"))

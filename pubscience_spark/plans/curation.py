@@ -73,6 +73,8 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
                   max_word_len: float = 12.0,
                   min_stop_ratio: float = 0.01,
                   gopher_max: dict | None = None,
+                  para_dedup: bool = False,
+                  para_min_chars: int = 30,
                   decontam_eval: DataFrame | None = None,
                   decontam_n: int = 13,
                   split_weights: tuple = (.9, .05, .05)) -> dict:
@@ -84,6 +86,11 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     :data:`GOPHER_DEFAULT_MAX` for the published values). Still one
     aggregation pass — the signals are native expressions, so the gate
     is just another boolean flag.
+    ``para_dedup`` (opt-in) runs corpus-wide paragraph-level dedup (the
+    C4/RefinedWeb recipe, :func:`operators.dedup.paragraph_dedup`) over
+    the doc-dedup survivors: cross-page boilerplate paragraphs keep one
+    occurrence, documents emptied entirely are dropped. Runs BEFORE
+    decontamination so eval n-grams are checked against the final text.
     ``decontam_eval`` (opt-in) drops docs sharing any ``decontam_n``-gram
     with the given evaluation corpus (id/text columns as named here)."""
     # ---- stage flags (cheap predicates; one aggregation pass) ----------
@@ -142,6 +149,22 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     # it), but a near-dup-heavy corpus at 10^12 docs can produce a drop
     # set too large to ship to every executor — let the planner decide
     kept = exact.join(drop_ids, id_col, "left_anti")
+    n_paras_dropped, n_para_emptied = 0, 0
+    pd_out = None
+    if para_dedup:
+        from ..operators.dedup import paragraph_dedup as _para_dedup
+        pd_out = _para_dedup(kept.select(id_col, text_col), id_col,
+                             text_col, min_chars=para_min_chars).persist()
+        stats = pd_out.agg(
+            F.coalesce(F.sum("n_paras_dropped"), F.lit(0))
+            .cast("long").alias("pd"),
+            F.coalesce(F.sum(F.when(F.length(F.trim(F.col(text_col)))
+                                    == 0, 1).otherwise(0)), F.lit(0))
+            .cast("long").alias("emptied")).collect()[0]
+        n_paras_dropped, n_para_emptied = stats["pd"], stats["emptied"]
+        kept = (kept.drop(text_col)
+                .join(pd_out.select(id_col, text_col), id_col)
+                .where(F.length(F.trim(F.col(text_col))) > 0))
     n_contaminated = 0
     hit_ids = None
     if decontam_eval is not None:
@@ -191,6 +214,8 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
         split_counts = {}
     n_written = sum(split_counts.values())
     exact.unpersist()
+    if pd_out is not None:
+        pd_out.unpersist()
     if hit_ids is not None:
         hit_ids.unpersist()
     manifest = {
@@ -200,14 +225,19 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
         "after_quality_gate": funnel_row["quality_ok"],
         "after_repetition_gate": funnel_row["repetition_ok"],
         "decontaminated_dropped": n_contaminated,
+        "paragraph_dedup": ({"paras_dropped": n_paras_dropped,
+                             "docs_emptied": n_para_emptied}
+                            if para_dedup else None),
         "written": n_written,
         "exact_and_neardup_dropped":
-            funnel_row["repetition_ok"] - n_contaminated - n_written,
+            funnel_row["repetition_ok"] - n_contaminated - n_written
+            - n_para_emptied,
         "splits": split_counts,
         "params": {"min_chars": min_chars, "min_words": min_words,
                    "lang_keep": lang_keep,
                    "neardup_threshold": neardup_threshold,
                    "gopher_max": gopher_max,
+                   "para_dedup": para_dedup,
                    "decontam_n": decontam_n if decontam_eval is not None
                    else None,
                    "split_weights": list(split_weights)},

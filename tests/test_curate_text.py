@@ -179,3 +179,32 @@ def test_curation_funnel_with_gopher_and_decontam(spark, tmp_path):
                        neardup_threshold=0.995)
     assert m2["after_repetition_gate"] == m2["after_quality_gate"]
     assert m2["decontaminated_dropped"] == 0
+
+
+def test_curation_funnel_paragraph_dedup_stage(spark, tmp_path):
+    """Opt-in C4-style paragraph dedup inside curate_corpus: shared
+    boilerplate paragraphs keep one occurrence, fully-boilerplate docs
+    drop out, manifest counters account for both."""
+    import os
+    from pubscience_spark.plans.curation import curate_corpus
+    footer = ("Subscribe to our newsletter for the latest updates and "
+              "exclusive offers delivered weekly to your inbox today.")
+    body = ("Document %d carries its own distinctive body paragraph with "
+            "sufficient words and characters to clear every quality and "
+            "length gate applied by the funnel stages in this test run.")
+    rows = [(i, (body % i) + "\n\n" + footer, "en") for i in range(1, 9)]
+    rows.append((9, footer, "en"))            # pure boilerplate doc
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    m = curate_corpus(spark, docs, os.path.join(str(tmp_path), "pd"),
+                      min_chars=50, min_words=10, para_dedup=True,
+                      neardup_threshold=0.99)
+    assert m["paragraph_dedup"]["paras_dropped"] == 8   # 7 footers + doc 9's
+    assert m["paragraph_dedup"]["docs_emptied"] == 1
+    out = spark.read.parquet(m["corpus_path"])
+    texts = [r["text"] for r in out.collect()]
+    assert sum(t.count("Subscribe to our newsletter") for t in texts) == 1
+    assert out.count() == 8                    # doc 9 gone
+    # stage off -> manifest key None, footer survives everywhere
+    m2 = curate_corpus(spark, docs, os.path.join(str(tmp_path), "pd2"),
+                       min_chars=50, min_words=10, neardup_threshold=0.99)
+    assert m2["paragraph_dedup"] is None

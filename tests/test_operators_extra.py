@@ -172,3 +172,72 @@ def test_salted_join_spreads_identical_duplicate_rows(spark):
                             F2.spark_partition_id()), F2.lit(16)))
     n_buckets = salted.select("__salt").distinct().count()
     assert n_buckets > 4  # spread across many buckets, not one
+
+
+# ------------------------------ paragraph-level dedup (C4 recipe, r4) ----
+
+def _para_dedup_brute(docs, sep="\n\n", min_chars=30, normalize=True):
+    """Reference implementation: first occurrence across (doc_id, idx)."""
+    seen = set()
+    out = {}
+    for doc_id in sorted(docs):
+        paras = docs[doc_id].split(sep)
+        kept = []
+        for p in paras:
+            if len(p.strip()) < min_chars:
+                kept.append(p)
+                continue
+            key = " ".join(p.strip().lower().split()) if normalize else p
+            if key in seen:
+                continue
+            seen.add(key)
+            kept.append(p)
+        out[doc_id] = sep.join(kept)
+    return out
+
+
+def test_paragraph_dedup_equals_bruteforce(spark):
+    from pubscience_spark.operators.dedup import paragraph_dedup
+    footer = "This website uses cookies to improve your experience."
+    docs = {
+        1: "A unique opening paragraph with enough length here.\n\n"
+           + footer + "\n\nShort.\n\nAnother distinct body paragraph "
+                      "with plenty of characters.",
+        2: footer + "\n\nShort.\n\nA second document's own long "
+                    "paragraph that is not repeated.",
+        3: "THIS WEBSITE USES COOKIES   to improve your experience.\n\n"
+           "Final doc text, long enough to be a dedup key candidate.",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in paragraph_dedup(df, min_chars=30).collect()}
+    assert got == _para_dedup_brute(docs)
+    # the normalized footer variant in doc 3 was dropped too
+    assert "COOKIES" not in got[3]
+    # short paragraphs survive in every doc
+    assert got[1].count("Short.") == 1 and "Short." in got[2]
+
+
+def test_paragraph_dedup_counters_and_empty_doc(spark):
+    from pubscience_spark.operators.dedup import paragraph_dedup
+    long_p = "Repeated paragraph long enough to key on, clearly."
+    df = spark.createDataFrame(
+        [(1, long_p), (2, long_p), (3, long_p + "\n\n" + long_p)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["text"] == long_p
+    assert out[1]["n_paras_kept"] == 1 and out[1]["n_paras_dropped"] == 0
+    # docs 2 and 3 lose everything -> empty text, counters add up
+    assert out[2]["text"] == "" and out[2]["n_paras_dropped"] == 1
+    assert out[3]["text"] == "" and out[3]["n_paras_dropped"] == 2
+    n = paragraph_dedup(df).count()
+    assert n == 3                               # every doc row survives
+
+
+def test_paragraph_dedup_plan_is_native(spark):
+    """No Python stages: explode/hash/agg/join/reassemble are all JVM."""
+    from pubscience_spark.operators.dedup import paragraph_dedup
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = paragraph_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan

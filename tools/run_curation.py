@@ -27,6 +27,8 @@ def main() -> int:
     ap.add_argument("--threshold", type=float, default=0.85)
     ap.add_argument("--min-chars", type=int, default=100)
     ap.add_argument("--min-words", type=int, default=20)
+    ap.add_argument("--para-dedup", action="store_true",
+                    help="C4-style corpus-wide paragraph dedup stage")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -39,7 +41,7 @@ def main() -> int:
             spark, spark.read.parquet(args.docs), args.out_dir,
             lang_keep=args.lang, use_detector=args.detector,
             neardup_threshold=args.threshold, min_chars=args.min_chars,
-            min_words=args.min_words)
+            min_words=args.min_words, para_dedup=args.para_dedup)
     finally:
         spark.stop()
     print(json.dumps(manifest))
