@@ -1,13 +1,14 @@
 """Pure-stdlib media decoders + feature kernels (multimodal tier).
 
-The container has no Pillow/soundfile/ffmpeg, but several formats need no
-codec library at all — PNG is zlib (stdlib) + per-scanline filters, BMP and
-PGM/PPM are raw pixels, WAV is framed PCM. These decoders make the
-multimodal operators REAL for those formats (numpy-vectorized filter
-reconstruction and features); compressed formats the stdlib cannot express
-(JPEG, MP3, H.264, …) surface as an ``unsupported-format`` error column,
-never a task failure. Swap in Pillow/soundfile on a production cluster for
-the long tail; the Spark plan and schemas do not change.
+The container has no Pillow/soundfile/ffmpeg, but the formats that matter
+need no codec library — PNG is zlib (stdlib) + per-scanline filters, BMP
+and PGM/PPM are raw pixels, WAV is framed PCM, and baseline JPEG (the
+dominant web format) is implemented from the public T.81 spec in
+:mod:`.jpeg` (markers → Huffman entropy decode → vectorized IDCT →
+chroma upsample). Remaining compressed formats (progressive JPEG, MP3,
+H.264, …) surface as an ``unsupported-format``/named error column, never
+a task failure. Swap in Pillow/soundfile on a production cluster for the
+long tail; the Spark plan and schemas do not change.
 
 All features are deterministic functions of the pixel/sample data, so the
 operators stay oracle/fixture-checkable.
@@ -178,6 +179,9 @@ def decode_image(raw: bytes) -> np.ndarray:
         return decode_bmp(raw)
     if raw[:2] in (b"P5", b"P6"):
         return decode_pnm(raw)
+    if raw[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(raw)
     raise UnsupportedFormat("unsupported-format: "
                             + (raw[:4].hex() if raw else "empty"))
 

@@ -376,11 +376,20 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
             codebook = train_pq(corpus, dim=dim, m=m, n_train=n_train,
                                 n_iter=pq_iter, id_col=id_col,
                                 vec_col=vec_col)
-        from .similarity import ivf_assign
+        # literal-expression assignment embeds n_lists×dim constants in
+        # the plan — fine for tens of lists, codegen-hostile for the
+        # thousands a 10^12-doc IVF wants; switch to the broadcast-join
+        # assigner there (same tie-break, equivalence-tested)
         coded = encode_pq(corpus, codebook, id_col, vec_col)
-        lists = ivf_assign(corpus.select(F.col(id_col), F.col(vec_col)),
-                           cents, vec_col) \
-            .select(F.col(id_col).cast("long").alias("id"), "list_id")
+        slim_corpus = corpus.select(F.col(id_col), F.col(vec_col))
+        if n_lists > 64:
+            from .similarity import ivf_assign_join
+            assigned = ivf_assign_join(slim_corpus, cents, vec_col, id_col)
+        else:
+            from .similarity import ivf_assign
+            assigned = ivf_assign(slim_corpus, cents, vec_col)
+        lists = assigned.select(F.col(id_col).cast("long").alias("id"),
+                                "list_id")
         coded = coded.join(lists, "id")
 
     q_rows = queries.select(F.col(id_col).cast("long").alias("qid"),

@@ -675,8 +675,12 @@ def q_ivfpq_topk(spark, sf_dir):
     from .operators import pq as pq_ops
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 8)
-    cb = pq_ops.train_pq(emb, dim=64, m=8, n_train=2000, n_iter=6)
-    return (pq_ops.ivfpq_topk(emb, queries, cb, k=5, n_lists=8, n_probe=8)
+    cb = pq_ops.train_pq(emb, dim=64, m=8, n_train=1000, n_iter=6)
+    # kmeans_iter=1: probe-all scores every list, so coarse-centroid
+    # quality cannot change results — extra Lloyd rounds here are pure
+    # battery wall-time (each is 2 Spark jobs)
+    return (pq_ops.ivfpq_topk(emb, queries, cb, k=5, n_lists=8, n_probe=8,
+                              kmeans_iter=1)
             .withColumn("rank", F.col("rank").cast("long")))
 
 

@@ -1,0 +1,133 @@
+"""Baseline JPEG codec (kernels/jpeg): round-trip PSNR across quality /
+subsampling / restart configurations, structural marker checks, error
+paths, and the media-dispatch integration.
+
+The encoder exists for tests/datagen; PSNR is measured against the
+ORIGINAL pixels, so an encoder bug cannot silently cancel a decoder bug
+except in shared constant tables (zigzag/DCT are generated, not
+transcribed — noted in the module docstring)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pubscience_spark.kernels import jpeg, media
+
+
+def _test_image(h=40, w=56, seed=7):
+    rng = np.random.RandomState(seed)
+    x = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+    y = np.linspace(0, 255, h)[:, None] * np.ones((1, w))
+    img = np.stack([x, y, (x + y) / 2], axis=2)
+    return np.clip(img + rng.randn(h, w, 3) * 3, 0, 255).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = float(np.mean((a.astype(float) - b.astype(float)) ** 2))
+    return 99.0 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+
+
+def test_roundtrip_color_quality_ladder():
+    img = _test_image()
+    prev = 100.0
+    for q, floor in ((95, 38), (75, 36), (50, 34)):
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q))
+        assert dec.shape == img.shape
+        p = _psnr(dec, img)
+        assert p >= floor, (q, p)
+        assert p <= prev + 1.0          # quality knob is monotone-ish
+        prev = p
+
+
+def test_roundtrip_420_subsampling():
+    img = _test_image()
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90,
+                                            subsample=True))
+    assert dec.shape == img.shape
+    assert _psnr(dec, img) >= 35
+
+
+def test_roundtrip_grayscale_and_odd_sizes():
+    g = _test_image()[:, :, :1]
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=95))
+    assert dec.shape == g.shape and _psnr(dec, g) >= 40
+    odd = _test_image()[:37, :41]
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(odd, quality=85,
+                                            subsample=True))
+    assert dec.shape == odd.shape and _psnr(dec, odd) >= 33
+
+
+def test_restart_markers_resync():
+    img = _test_image(48, 48)
+    raw = jpeg.encode_jpeg(img, quality=90, restart_interval=2)
+    assert any(bytes([0xFF, 0xD0 + i]) in raw for i in range(8))
+    assert b"\xff\xdd" in raw                       # DRI segment
+    dec = jpeg.decode_jpeg(raw)
+    assert _psnr(dec, img) >= 37
+    # same image without restarts decodes to the same quality
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    assert abs(_psnr(dec, img) - _psnr(plain, img)) < 1.0
+
+
+def test_constant_and_single_frequency_blocks():
+    const = np.full((16, 16, 1), 100, dtype=np.uint8)
+    assert np.array_equal(
+        np.unique(jpeg.decode_jpeg(jpeg.encode_jpeg(const, 95))), [100])
+    n = np.arange(8)
+    blk = np.clip(128 + 80 * np.cos((2 * n[None, :] + 1) * np.pi / 16),
+                  0, 255).astype(np.uint8)[:, :, None]
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(blk, quality=95))
+    assert np.max(np.abs(dec.astype(int) - blk.astype(int))) <= 2
+
+
+def test_marker_structure():
+    raw = jpeg.encode_jpeg(_test_image(), quality=80)
+    assert raw[:2] == b"\xff\xd8" and raw[-2:] == b"\xff\xd9"
+    assert b"\xff\xdb" in raw and b"\xff\xc0" in raw
+    assert b"\xff\xc4" in raw and b"\xff\xda" in raw
+
+
+def test_error_paths():
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode_jpeg(b"not a jpeg at all")
+    # progressive SOF2 -> named error
+    raw = bytearray(jpeg.encode_jpeg(_test_image(16, 16), quality=80))
+    i = raw.find(b"\xff\xc0")
+    raw[i + 1] = 0xC2
+    with pytest.raises(jpeg.JpegError, match="progressive"):
+        jpeg.decode_jpeg(bytes(raw))
+    # truncated entropy stream
+    good = jpeg.encode_jpeg(_test_image(32, 32), quality=80)
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode_jpeg(good[:len(good) // 2])
+
+
+def test_media_dispatch_decodes_jpeg():
+    img = _test_image(24, 24)
+    arr = media.decode_image(jpeg.encode_jpeg(img, quality=90))
+    assert arr.shape == img.shape and arr.dtype == np.uint8
+    assert _psnr(arr, img) >= 35
+    feats = media.image_feature_vec(arr)
+    assert len(feats) > 0 and all(np.isfinite(feats))
+
+
+def test_image_features_operator_on_jpeg(spark):
+    """JPEG binaries flow through the Spark multimodal operator with
+    real decode — features populated, error column NULL; progressive
+    JPEG lands in the error column, never a task failure."""
+    from pubscience_spark.operators.multimodal import image_features
+    img = _test_image(24, 24)
+    good = jpeg.encode_jpeg(img, quality=90)
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    df = spark.createDataFrame(
+        [("u1", bytearray(good)), ("u2", bytearray(bytes(prog)))],
+        "url string, media binary")
+    rows = {r["url"]: r for r in
+            image_features(df, "media", fake=False).collect()}
+    assert rows["u1"]["error"] is None
+    assert rows["u1"]["width"] == 24 and rows["u1"]["height"] == 24
+    assert rows["u1"]["feature"] and all(np.isfinite(rows["u1"]["feature"]))
+    assert rows["u2"]["error"] and "progressive" in rows["u2"]["error"]

@@ -118,8 +118,14 @@ def test_pnm():
 def test_decode_image_dispatch_and_unsupported():
     arr = _gradient(4, 4, 3)
     assert (media.decode_image(media.encode_png(arr)) == arr).all()
-    with pytest.raises(media.UnsupportedFormat):
+    # JPEG decodes for real since round 4 — corrupt jpeg bytes raise a
+    # jpeg-named error (still ValueError family -> error column)
+    from pubscience_spark.kernels.jpeg import JpegError, encode_jpeg
+    with pytest.raises(JpegError):
         media.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    assert media.decode_image(encode_jpeg(arr, 95)).shape == arr.shape
+    with pytest.raises(media.UnsupportedFormat):
+        media.decode_image(b"GIF89a not supported")
 
 
 def test_resize_nearest():
@@ -158,7 +164,7 @@ def test_image_features_real_path_spark(spark):
     assert (ok["width"], ok["height"]) == (9, 6) and ok["error"] is None
     assert ok["feature"] == [pytest.approx(v, abs=1e-5) for v in
                              media.image_feature_vec(arr)]
-    assert "unsupported-format" in out["u_jpeg"]["error"]
+    assert "jpeg" in out["u_jpeg"]["error"]      # corrupt jpeg named
     assert out["u_empty"]["error"] is not None
 
 

@@ -239,3 +239,19 @@ def test_pq_dim_mismatch_raises_clearly(spark):
         PQ.pq_topk(codes16, emb.limit(2), cb16, k=3)
     with pytest.raises(ValueError, match="does not match codebook"):
         PQ.ivfpq_topk(emb, emb.limit(2), cb16, k=3)
+
+
+def test_ivfpq_large_nlists_join_assigner(spark):
+    """n_lists > 64 routes coarse assignment through the broadcast-join
+    assigner (no giant literal tree); probe-all still equals plain PQ,
+    so the swap cannot change results."""
+    emb = _emb(spark, 250)
+    dim = len(emb.select("embedding").first()[0])
+    cb = PQ.train_pq(emb, dim=dim, m=8, n_train=250, n_iter=4)
+    q = emb.where(F.col("vec_id") < 4)
+    full = {(r["query_id"], r["neighbor_id"]) for r in
+            PQ.ivfpq_topk(emb, q, cb, k=6, n_lists=65, n_probe=65,
+                          kmeans_iter=1).collect()}
+    plain = {(r["query_id"], r["neighbor_id"]) for r in
+             PQ.pq_topk(PQ.encode_pq(emb, cb), q, cb, k=6).collect()}
+    assert full == plain
