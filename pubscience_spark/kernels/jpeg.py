@@ -184,7 +184,11 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     etc. — the operators' error-column contract)."""
     try:
         return _decode(raw)
-    except (IndexError, KeyError, struct.error) as exc:
+    except JpegError:
+        raise
+    except (IndexError, KeyError, ValueError, struct.error) as exc:
+        # ValueError covers numpy frombuffer/broadcast errors from
+        # truncated DQT/DHT segments (JpegError re-raised above first)
         raise JpegError(f"jpeg-corrupt: {type(exc).__name__}") from exc
 
 

@@ -59,11 +59,15 @@ def _check_dim(x: np.ndarray, codebook: "PQCodebook", who: str) -> None:
 
 
 def _local_topk_keep(qi: np.ndarray, scores: np.ndarray,
-                     kk: int) -> np.ndarray:
+                     kk: int, ids: np.ndarray) -> np.ndarray:
     """Indices of each query's top-``kk`` rows within one batch of
     (query, score) candidate rows — vectorized lexsort, no Python loop.
-    Queries with fewer than kk rows keep them all."""
-    order = np.lexsort((-scores, qi))
+    Queries with fewer than kk rows keep them all. Ties break on
+    ascending ``ids``, matching the global window's
+    (score desc, neighbor_id asc) order exactly — otherwise equal-score
+    candidates (identical PQ codes are common on near-dup corpora)
+    would survive the prune batch-order-dependently."""
+    order = np.lexsort((ids, -scores, qi))
     qs = qi[order]
     starts = np.r_[0, np.flatnonzero(qs[1:] != qs[:-1]) + 1]
     sizes = np.diff(np.r_[starts, len(qs)])
@@ -132,10 +136,7 @@ def encode_pq(corpus: DataFrame, codebook: PQCodebook,
         for b in it:
             x = _unit_rows(np.stack(
                 b["v"].map(lambda v: np.asarray(v, dtype=np.float32))))
-            if x.shape[1] != m * dsub:
-                raise ValueError(
-                    f"encode_pq: vector dim {x.shape[1]} does not match "
-                    f"codebook m*dsub = {m}*{dsub} = {m * dsub}")
+            _check_dim(x, codebook, "encode_pq")
             codes = np.empty((len(x), m), dtype=np.uint8)
             for j in range(m):
                 sub = x[:, j * dsub:(j + 1) * dsub]
@@ -163,8 +164,10 @@ def _empty_topk(spark) -> DataFrame:
 
 def _adc_candidates(codes_df: DataFrame, q_ids: np.ndarray,
                     qx: np.ndarray, codebook: PQCodebook,
-                    k: int) -> DataFrame:
-    """Batch-local ADC top-(k+1) candidates for one (bounded) query set.
+                    k: int) -> "tuple[DataFrame, object]":
+    """Batch-local ADC top-(k+1) candidates for one (bounded) query set;
+    returns ``(candidates_df, broadcast)`` so chunked callers can
+    ``destroy()`` the broadcast once the chunk is materialized.
 
     The (nq, m, 256) lookup tables ship via a Spark broadcast variable
     (torrent-distributed once per executor) rather than task-closure
@@ -189,20 +192,23 @@ def _adc_candidates(codes_df: DataFrame, q_ids: np.ndarray,
                               codes[:, :]].sum(axis=2)
             # k+1: the query's own vector may sit in this batch and is
             # filtered AFTER pruning — k alone would waste a slot on it
-            # and lose the true k-th neighbor (round-3 review)
+            # and lose the true k-th neighbor (round-3 review). Ties
+            # break on ascending id like the global window, so the
+            # prune is batch-order independent (round-4 review).
             kk = min(k + 1, scores.shape[1])
-            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
             out_q, out_n, out_s = [], [], []
             for qi in range(len(b_ids)):
+                sel = np.lexsort((ids, -scores[qi]))[:kk]
                 out_q.extend([b_ids[qi]] * kk)
-                out_n.extend(ids[top[qi]])
-                out_s.extend(scores[qi, top[qi]])
+                out_n.extend(ids[sel])
+                out_s.extend(scores[qi, sel])
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
                                 "score": np.asarray(out_s,
                                                     dtype=np.float64)})
 
-    return codes_df.mapInPandas(_batches, schema=_TOPK_SCHEMA) \
+    cands = codes_df.mapInPandas(_batches, schema=_TOPK_SCHEMA) \
         .where(F.col("query_id") != F.col("neighbor_id"))
+    return cands, bc
 
 
 def _rank_topk(cands: DataFrame, k: int) -> DataFrame:
@@ -228,22 +234,25 @@ def pq_topk(codes_df: DataFrame, queries: DataFrame,
         return _empty_topk(codes_df.sparkSession)
     q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     qx = _unit_rows(np.array([r["qv"] for r in q_rows], dtype=np.float32))
-    return _rank_topk(_adc_candidates(codes_df, q_ids, qx, codebook, k), k)
+    cands, _bc = _adc_candidates(codes_df, q_ids, qx, codebook, k)
+    return _rank_topk(cands, k)       # _bc freed by GC after the action
 
 
 def pq_topk_join(codes_df: DataFrame, queries: DataFrame,
                  codebook: PQCodebook, k: int = 10,
-                 chunk_size: int = 4096,
+                 chunk_size: int = 1024,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """``pq_topk`` for UNBOUNDED query sets: the query DataFrame is never
-    collected whole. Queries are hash-chunked (md5 — deterministic under
-    any partitioning), each chunk's ADC tables are built and
-    torrent-broadcast in turn, and every chunk contributes one
-    batch-pruned candidate pass over the codes; a single global window
-    ranks the union. Driver memory is bounded by one chunk
-    (``chunk_size`` × m × 256 floats, ~8 MB at the defaults) regardless
-    of total query count. Results are identical to :func:`pq_topk` —
+    collected whole. Queries are hash-chunked (xxhash64 —
+    deterministic under any partitioning); each chunk's ADC tables are
+    built, torrent-broadcast, its batch-pruned candidate pass over the
+    codes is MATERIALIZED (eager ``localCheckpoint`` — slim ~k rows per
+    (query, batch)), and the broadcast is destroyed before the next
+    chunk starts — so live table memory is bounded by ONE chunk
+    (chunk_size × m × 256 float32 ≈ 8 MB at the defaults) regardless of
+    total query count. A single global window ranks the union of the
+    checkpointed candidates. Results are identical to :func:`pq_topk` —
     the per-batch prune is per-query, so chunking cannot change which
     candidates survive."""
     slim = queries.select(F.col(id_col).cast("long").alias("qid"),
@@ -263,7 +272,9 @@ def pq_topk_join(codes_df: DataFrame, queries: DataFrame,
         q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
         qx = _unit_rows(np.array([r["qv"] for r in q_rows],
                                  dtype=np.float32))
-        parts.append(_adc_candidates(codes_df, q_ids, qx, codebook, k))
+        cands, bc = _adc_candidates(codes_df, q_ids, qx, codebook, k)
+        parts.append(cands.localCheckpoint(eager=True))
+        bc.destroy()
     cands = parts[0]
     for p in parts[1:]:
         cands = cands.unionByName(p)
@@ -431,7 +442,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
             # that window shuffle is otherwise the bottleneck
             q_np = b["query_id"].to_numpy()
             n_np = b["id"].to_numpy()
-            keep = _local_topk_keep(qi, per_row, k + 1)
+            keep = _local_topk_keep(qi, per_row, k + 1, n_np)
             yield pd.DataFrame(
                 {"query_id": q_np[keep].astype("int64"),
                  "neighbor_id": n_np[keep].astype("int64"),

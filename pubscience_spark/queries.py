@@ -190,12 +190,10 @@ FROM events GROUP BY user_id
 def q_group_sizes(spark, sf_dir):
     """A6: groupby-size histogram. Not a battery entry since round 4 —
     the 50-slot cap; the A6 semantics ride along as ``n_events`` in
-    ``group_concat`` (oracle-checked there)."""
+    ``group_concat`` (oracle-checked there; the standalone oracle was
+    ``SELECT event_type, count(*) AS n FROM events GROUP BY 1``)."""
     return _events(spark, sf_dir).groupBy("event_type") \
         .agg(F.count(F.lit(1)).alias("n"))
-
-
-SQL_GROUP_SIZES = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
 
 
 # --------------------------------------------------------------------------

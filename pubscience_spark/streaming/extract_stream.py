@@ -120,7 +120,14 @@ def run_incremental(spark: SparkSession, input_dir: str, out_dir: str,
     t0 = _time.perf_counter()
     q = stream_extraction(spark, input_dir, out_dir, n_buckets=n_buckets,
                           available_now=True)
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        # catch-up exceeded the timeout: stop the query (don't leak it)
+        # and fail loudly — metrics read mid-commit would undercount
+        q.stop()
+        raise TimeoutError(
+            f"run_incremental: catch-up exceeded {timeout_s}s; query "
+            "stopped, lineage consistent at the last committed batch")
     wall = _time.perf_counter() - t0
     after = _lineage_batches(spark, os.path.join(out_dir, "lineage"))
     new_batches = {b: n for b, n in after.items() if b not in before}

@@ -176,18 +176,32 @@ def test_ivfpq_residual_rejects_foreign_codebook(spark):
 
 
 def test_local_topk_keep_matches_bruteforce():
-    """Vectorized per-query batch prune == per-group sort truncation."""
+    """Vectorized per-query batch prune == per-group sort truncation,
+    ties broken by ascending id (round-4 review: equal ADC scores are
+    common on near-dup corpora; an arbitrary tie pick makes the prune
+    batch-order dependent)."""
     rng = np.random.RandomState(11)
     qi = rng.randint(0, 5, size=200)
-    scores = rng.randn(200)
+    scores = rng.randint(0, 6, size=200).astype(float)   # many ties
+    ids = rng.permutation(200).astype(np.int64)
     for kk in (1, 3, 7, 500):
-        keep = PQ._local_topk_keep(qi, scores, kk)
-        got = sorted((int(qi[i]), float(scores[i])) for i in keep)
+        keep = PQ._local_topk_keep(qi, scores, kk, ids)
+        got = sorted((int(qi[i]), float(scores[i]), int(ids[i]))
+                     for i in keep)
         want = []
         for q in np.unique(qi):
-            vals = sorted(scores[qi == q], reverse=True)[:kk]
-            want.extend((int(q), float(v)) for v in vals)
+            mask = qi == q
+            rows = sorted(zip(-scores[mask], ids[mask]))[:kk]
+            want.extend((int(q), float(-ns), int(i)) for ns, i in rows)
         assert got == sorted(want)
+    # shuffling batch row order must not change which rows survive
+    perm = rng.permutation(200)
+    keep2 = PQ._local_topk_keep(qi[perm], scores[perm], 3, ids[perm])
+    a = sorted((int(qi[i]), float(scores[i]), int(ids[i]))
+               for i in PQ._local_topk_keep(qi, scores, 3, ids))
+    b = sorted((int(qi[perm][i]), float(scores[perm][i]),
+                int(ids[perm][i])) for i in keep2)
+    assert a == b
 
 
 def test_ivfpq_batch_prune_preserves_results(spark):
@@ -255,3 +269,24 @@ def test_ivfpq_large_nlists_join_assigner(spark):
     plain = {(r["query_id"], r["neighbor_id"]) for r in
              PQ.pq_topk(PQ.encode_pq(emb, cb), q, cb, k=6).collect()}
     assert full == plain
+
+
+def test_pq_prune_deterministic_under_ties(spark):
+    """Identical vectors → identical codes → equal ADC scores: the
+    surviving top-k must be the smallest neighbor ids, independent of
+    partitioning, for both pq_topk and ivfpq_topk."""
+    v = [float(i % 7) for i in range(16)]
+    rows = [(i, v) for i in range(40)]          # 40 identical vectors
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = PQ.train_pq(df, dim=16, m=4, n_train=40, n_iter=2)
+    q = df.where(F.col("vec_id") == 0)
+    for parts in (1, 7):
+        codes = PQ.encode_pq(df.repartition(parts), cb)
+        got = [r["neighbor_id"] for r in
+               PQ.pq_topk(codes, q, cb, k=5).orderBy("rank").collect()]
+        assert got == [1, 2, 3, 4, 5], (parts, got)
+        got2 = [r["neighbor_id"] for r in
+                PQ.ivfpq_topk(df.repartition(parts), q, cb, k=5,
+                              n_lists=4, n_probe=4, kmeans_iter=1)
+                .orderBy("rank").collect()]
+        assert got2 == [1, 2, 3, 4, 5], (parts, got2)
