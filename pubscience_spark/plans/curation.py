@@ -69,6 +69,7 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
                   use_detector: bool = False,
                   neardup_threshold: float = 0.85,
                   neardup_bands: int = 32,
+                  neardup_mode: str = "pairs",
                   min_alpha_ratio: float = 0.6,
                   max_word_len: float = 12.0,
                   min_stop_ratio: float = 0.01,
@@ -86,6 +87,13 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     :data:`GOPHER_DEFAULT_MAX` for the published values). Still one
     aggregation pass — the signals are native expressions, so the gate
     is just another boolean flag.
+    ``neardup_mode``: ``"pairs"`` (default) drops the higher id of every
+    verified near-dup pair; ``"cluster"`` computes transitive CLUSTERS
+    over the pair graph (large-star/small-star connected components,
+    :mod:`operators.components`) and keeps exactly the min-id
+    representative per cluster — the standard fuzzy-dedup semantics
+    when similarity chains span templates (a~c, b~c: "pairs" keeps a
+    AND b, "cluster" keeps only a).
     ``para_dedup`` (opt-in) runs corpus-wide paragraph-level dedup (the
     C4/RefinedWeb recipe, :func:`operators.dedup.paragraph_dedup`) over
     the doc-dedup survivors: cross-page boilerplate paragraphs keep one
@@ -144,7 +152,16 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     pairs = dedup_ops.minhash_neardup(exact, id_col, text_col,
                                       threshold=neardup_threshold,
                                       bands=neardup_bands)
-    drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if neardup_mode == "cluster":
+        from ..operators.components import connected_components
+        comps = connected_components(pairs, "id_a", "id_b")
+        drop_ids = (comps.where(F.col("node") != F.col("component"))
+                    .select(F.col("node").alias(id_col)))
+    elif neardup_mode == "pairs":
+        drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        raise ValueError(f"neardup_mode {neardup_mode!r}: "
+                         "expected 'pairs' or 'cluster'")
     # no broadcast hint: the drop set is usually tiny (AQE will broadcast
     # it), but a near-dup-heavy corpus at 10^12 docs can produce a drop
     # set too large to ship to every executor — let the planner decide
@@ -236,6 +253,7 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
         "params": {"min_chars": min_chars, "min_words": min_words,
                    "lang_keep": lang_keep,
                    "neardup_threshold": neardup_threshold,
+                   "neardup_mode": neardup_mode,
                    "gopher_max": gopher_max,
                    "para_dedup": para_dedup,
                    "decontam_n": decontam_n if decontam_eval is not None

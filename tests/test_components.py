@@ -90,3 +90,39 @@ def test_connected_components_deterministic(spark):
     a = sorted(map(tuple, C.connected_components(df).collect()))
     b = sorted(map(tuple, C.connected_components(df).collect()))
     assert a == b == [(1, 1), (2, 1), (3, 1), (5, 1), (10, 10), (11, 10)]
+
+
+def test_curation_cluster_mode_vs_pairs(spark, tmp_path):
+    """neardup_mode='cluster' keeps one representative per transitive
+    cluster where 'pairs' can keep several (a~c, b~c chain)."""
+    import os
+    from pubscience_spark.plans.curation import curate_corpus
+    base = ("the corpus and curation pipeline in spark with a shuffle "
+            "of partition and broadcast to window for aggregate join "
+            "on quality token filter sample ").split()
+    c_txt = " ".join(base * 5)
+    a_txt = c_txt + " alpha drift ending"
+    b_txt = c_txt + " gamma other closing"         # a~c, b~c; a vs b farther
+    d_txt = ("a completely unrelated document concerning pdf xref "
+             "streams and object models with plenty of words to pass "
+             "the gates and quality filters in this funnel test")
+    rows = [(1, a_txt, "en"), (2, b_txt, "en"), (3, c_txt, "en"),
+            (4, d_txt, "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kwargs = dict(min_chars=50, min_words=10, neardup_threshold=0.8,
+                  neardup_bands=64)
+    mp = curate_corpus(spark, docs, os.path.join(str(tmp_path), "p"),
+                       neardup_mode="pairs", **kwargs)
+    mc = curate_corpus(spark, docs, os.path.join(str(tmp_path), "c"),
+                       neardup_mode="cluster", **kwargs)
+    ids_p = {r["doc_id"] for r in
+             spark.read.parquet(mp["corpus_path"]).collect()}
+    ids_c = {r["doc_id"] for r in
+             spark.read.parquet(mc["corpus_path"]).collect()}
+    assert ids_c == {1, 4}                  # one rep per cluster + singleton
+    assert ids_c <= ids_p and 4 in ids_p    # pairs keeps at least as many
+    assert mc["params"]["neardup_mode"] == "cluster"
+    import pytest
+    with pytest.raises(ValueError, match="neardup_mode"):
+        curate_corpus(spark, docs, os.path.join(str(tmp_path), "x"),
+                      neardup_mode="bogus", **kwargs)
