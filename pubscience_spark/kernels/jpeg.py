@@ -151,6 +151,50 @@ def _extend(v: int, s: int) -> int:
 
 # -------------------------------------------------------------- decoder --
 
+def _exif_orientation(seg: bytes) -> int:
+    """Orientation (1-8) from an APP1 Exif payload; 1 when absent or
+    unparseable. Honoring it matters: phone cameras store portrait
+    shots rotated with orientation=6/8 — browsers auto-apply it."""
+    if not seg.startswith(b"Exif\x00\x00"):
+        return 1
+    t = seg[6:]
+    if t[:2] == b"II":
+        endian = "<"
+    elif t[:2] == b"MM":
+        endian = ">"
+    else:
+        return 1
+    try:
+        ifd0 = struct.unpack(endian + "I", t[4:8])[0]
+        n = struct.unpack(endian + "H", t[ifd0:ifd0 + 2])[0]
+        for k in range(n):
+            e = t[ifd0 + 2 + 12 * k: ifd0 + 14 + 12 * k]
+            tag, typ = struct.unpack(endian + "HH", e[:4])
+            if tag == 0x0112 and typ == 3:
+                val = struct.unpack(endian + "H", e[8:10])[0]
+                return val if 1 <= val <= 8 else 1
+    except (struct.error, IndexError):
+        return 1
+    return 1
+
+
+def _apply_orientation(img: np.ndarray, o: int) -> np.ndarray:
+    if o == 2:
+        return img[:, ::-1]
+    if o == 3:
+        return img[::-1, ::-1]
+    if o == 4:
+        return img[::-1]
+    if o == 5:
+        return np.transpose(img, (1, 0, 2))
+    if o == 6:
+        return np.rot90(img, -1)                  # 90° clockwise
+    if o == 7:
+        return np.transpose(img, (1, 0, 2))[::-1, ::-1]
+    if o == 8:
+        return np.rot90(img, 1)                   # 90° counter-clockwise
+    return img
+
 def _unstuff(scan: bytes) -> tuple[bytes, list[int]]:
     """Strip 0xFF00 stuffing; record restart-marker positions (offsets
     into the UNSTUFFED stream). Stops at any non-RST marker."""
@@ -178,12 +222,13 @@ def _unstuff(scan: bytes) -> tuple[bytes, list[int]]:
     return bytes(out), restarts
 
 
-def decode_jpeg(raw: bytes) -> np.ndarray:
+def decode_jpeg(raw: bytes, apply_orientation: bool = True) -> np.ndarray:
     """(H, W, C) uint8 — C=3 RGB for YCbCr files, C=1 for grayscale.
+    EXIF orientation is applied by default (the browser behavior).
     Truncated/corrupt input raises :class:`JpegError` (never IndexError
     etc. — the operators' error-column contract)."""
     try:
-        return _decode(raw)
+        return _decode(raw, apply_orientation)
     except JpegError:
         raise
     except (IndexError, KeyError, ValueError, struct.error) as exc:
@@ -192,9 +237,10 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
         raise JpegError(f"jpeg-corrupt: {type(exc).__name__}") from exc
 
 
-def _decode(raw: bytes) -> np.ndarray:
+def _decode(raw: bytes, apply_orientation: bool = True) -> np.ndarray:
     if raw[:2] != b"\xff\xd8":
         raise JpegError("not-a-jpeg")
+    orientation = 1
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
@@ -214,7 +260,9 @@ def _decode(raw: bytes) -> np.ndarray:
             break
         seglen = struct.unpack(">H", raw[i + 2:i + 4])[0]
         seg = raw[i + 4:i + 2 + seglen]
-        if marker == 0xDB:                         # DQT
+        if marker == 0xE1:                         # APP1 (Exif)
+            orientation = _exif_orientation(seg)
+        elif marker == 0xDB:                       # DQT
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 15
@@ -347,16 +395,19 @@ def _decode(raw: bytes) -> np.ndarray:
 
     ids = [c[0] for c in comps]
     if len(ids) == 1:
-        y = np.clip(out_planes[ids[0]], 0, 255)
-        return y.astype(np.uint8)[:, :, None]
-    if len(ids) != 3:
+        out = np.clip(out_planes[ids[0]], 0, 255).astype(np.uint8)[:, :, None]
+    elif len(ids) != 3:
         raise JpegError(f"jpeg-{len(ids)}-component-unsupported")
-    y, cb, cr = (out_planes[i] for i in ids)
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    else:
+        y, cb, cr = (out_planes[i] for i in ids)
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+        out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    if apply_orientation and orientation != 1:
+        out = np.ascontiguousarray(_apply_orientation(out, orientation))
+    return out
 
 
 # -------------------------------------------------------------- encoder --

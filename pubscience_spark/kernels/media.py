@@ -182,6 +182,9 @@ def decode_image(raw: bytes) -> np.ndarray:
     if raw[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
         return decode_jpeg(raw)
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+        return decode_gif(raw)
     raise UnsupportedFormat("unsupported-format: "
                             + (raw[:4].hex() if raw else "empty"))
 

@@ -131,3 +131,44 @@ def test_image_features_operator_on_jpeg(spark):
     assert rows["u1"]["width"] == 24 and rows["u1"]["height"] == 24
     assert rows["u1"]["feature"] and all(np.isfinite(rows["u1"]["feature"]))
     assert rows["u2"]["error"] and "progressive" in rows["u2"]["error"]
+
+
+def _with_exif(raw: bytes, orientation: int) -> bytes:
+    """Splice an APP1 Exif segment (little-endian TIFF, orientation
+    tag) right after SOI."""
+    import struct as st
+    tiff = (b"II" + st.pack("<H", 42) + st.pack("<I", 8)
+            + st.pack("<H", 1)
+            + st.pack("<HHI", 0x0112, 3, 1) + st.pack("<HH", orientation, 0)
+            + st.pack("<I", 0))
+    payload = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + st.pack(">H", len(payload) + 2) + payload
+    return raw[:2] + seg + raw[2:]
+
+
+def test_exif_orientation_applied():
+    """Phone-camera portrait files carry orientation 6/8 — the decoder
+    applies the transform like browsers do (opt-out available)."""
+    img = _test_image(24, 32)                    # landscape 24x32
+    raw = jpeg.encode_jpeg(img, quality=95)
+    base = jpeg.decode_jpeg(raw)
+    for o, want in ((1, base),
+                    (2, base[:, ::-1]),
+                    (3, base[::-1, ::-1]),
+                    (4, base[::-1]),
+                    (5, np.transpose(base, (1, 0, 2))),
+                    (6, np.rot90(base, -1)),
+                    (7, np.transpose(base, (1, 0, 2))[::-1, ::-1]),
+                    (8, np.rot90(base, 1))):
+        got = jpeg.decode_jpeg(_with_exif(raw, o))
+        assert got.shape == want.shape, o
+        assert np.array_equal(got, want), o
+    # rotated file still close to the rotated original pixels
+    got6 = jpeg.decode_jpeg(_with_exif(raw, 6))
+    assert _psnr(got6, np.rot90(img, -1)) >= 38
+    # opt-out returns raw sensor layout
+    raw_only = jpeg.decode_jpeg(_with_exif(raw, 6), apply_orientation=False)
+    assert np.array_equal(raw_only, base)
+    # garbage exif is ignored, not fatal
+    bad = raw[:2] + b"\xff\xe1\x00\x08Exif\x00\x00" + raw[2:]
+    assert np.array_equal(jpeg.decode_jpeg(bad), base)

@@ -124,8 +124,12 @@ def test_decode_image_dispatch_and_unsupported():
     with pytest.raises(JpegError):
         media.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
     assert media.decode_image(encode_jpeg(arr, 95)).shape == arr.shape
+    from pubscience_spark.kernels.gif import GifError, encode_gif
+    with pytest.raises(GifError):
+        media.decode_image(b"GIF89a corrupt body")
+    assert media.decode_image(encode_gif(arr)).shape == arr.shape
     with pytest.raises(media.UnsupportedFormat):
-        media.decode_image(b"GIF89a not supported")
+        media.decode_image(b"RIFF....WEBP not supported")
 
 
 def test_resize_nearest():
