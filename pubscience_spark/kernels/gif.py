@@ -104,7 +104,9 @@ def decode_gif(raw: bytes) -> np.ndarray:
 def _decode(raw: bytes) -> np.ndarray:
     if raw[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifError("not-a-gif")
-    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", raw[6:13])
+    sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", raw[6:13])
+    if not (sw and sh):
+        raise GifError("gif-zero-dims")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -121,8 +123,8 @@ def _decode(raw: bytes) -> np.ndarray:
             pos += 2
             if label == 0xF9 and raw[pos] >= 4:    # GCE
                 packed = raw[pos + 1]
-                if packed & 1:
-                    transparent = raw[pos + 4]
+                # a newer GCE supersedes: flag off must CLEAR the index
+                transparent = raw[pos + 4] if packed & 1 else None
             while raw[pos]:                        # skip sub-blocks
                 pos += raw[pos] + 1
             pos += 1
@@ -130,6 +132,8 @@ def _decode(raw: bytes) -> np.ndarray:
         if b != 0x2C:
             raise GifError(f"gif-unknown-block-{b:02x}")
         left, top, w, h, iflags = struct.unpack("<HHHHB", raw[pos + 1:pos + 10])
+        if not (w and h):
+            raise GifError("gif-zero-dims")
         pos += 10
         table = gct
         if iflags & 0x80:                          # local color table
@@ -158,8 +162,25 @@ def _decode(raw: bytes) -> np.ndarray:
         if (idx >= len(table)).any():
             raise GifError("gif-index-out-of-palette")
         rgb = table[idx]
+        alpha = None
         if transparent is not None:
             alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+        if (left, top) != (0, 0) or (w, h) != (sw, sh):
+            # composite onto the logical screen (what every viewer
+            # reports as the image): background color under the frame,
+            # alpha 0 outside it when transparency is in play
+            bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
+                      else np.zeros(3, dtype=np.uint8))
+            canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+            y0, x0 = min(top, sh), min(left, sw)
+            y1, x1 = min(top + h, sh), min(left + w, sw)
+            canvas[y0:y1, x0:x1] = rgb[:y1 - y0, :x1 - x0]
+            if alpha is not None:
+                acanvas = np.zeros((sh, sw), dtype=np.uint8)
+                acanvas[y0:y1, x0:x1] = alpha[:y1 - y0, :x1 - x0]
+                return np.dstack([canvas, acanvas])
+            return canvas
+        if alpha is not None:
             return np.dstack([rgb, alpha])
         return rgb
     raise GifError("gif-no-image-block")

@@ -260,7 +260,9 @@ def _decode(raw: bytes, apply_orientation: bool = True) -> np.ndarray:
             break
         seglen = struct.unpack(">H", raw[i + 2:i + 4])[0]
         seg = raw[i + 4:i + 2 + seglen]
-        if marker == 0xE1:                         # APP1 (Exif)
+        if marker == 0xE1 and seg.startswith(b"Exif\x00\x00"):
+            # only the Exif APP1 — a later XMP APP1 (the standard
+            # phone/Photoshop layout) must not clobber the orientation
             orientation = _exif_orientation(seg)
         elif marker == 0xDB:                       # DQT
             p = 0

@@ -101,6 +101,9 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     decontamination so eval n-grams are checked against the final text.
     ``decontam_eval`` (opt-in) drops docs sharing any ``decontam_n``-gram
     with the given evaluation corpus (id/text columns as named here)."""
+    if neardup_mode not in ("pairs", "cluster"):   # fail fast, pre-plan
+        raise ValueError(f"neardup_mode {neardup_mode!r}: "
+                         "expected 'pairs' or 'cluster'")
     # ---- stage flags (cheap predicates; one aggregation pass) ----------
     flagged = (docs
                .withColumn("__len_ok",
@@ -157,11 +160,8 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
         comps = connected_components(pairs, "id_a", "id_b")
         drop_ids = (comps.where(F.col("node") != F.col("component"))
                     .select(F.col("node").alias(id_col)))
-    elif neardup_mode == "pairs":
+    else:                                          # "pairs" (validated)
         drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    else:
-        raise ValueError(f"neardup_mode {neardup_mode!r}: "
-                         "expected 'pairs' or 'cluster'")
     # no broadcast hint: the drop set is usually tiny (AQE will broadcast
     # it), but a near-dup-heavy corpus at 10^12 docs can produce a drop
     # set too large to ship to every executor — let the planner decide

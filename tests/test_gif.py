@@ -69,3 +69,40 @@ def test_gif_media_dispatch():
     img = _paletted(8, 9, 6)
     arr = media.decode_image(gif.encode_gif(img))
     assert np.array_equal(arr, img)
+
+
+def test_gif_frame_offset_composites_on_screen():
+    """A first frame smaller than the logical screen composites at its
+    (left, top) offset over the background color — matching what
+    browsers report for such files (round-4 review)."""
+    import struct as st
+    img = _paletted(4, 4, 3)
+    raw = bytearray(gif.encode_gif(img))
+    # patch logical screen to 8x8 and the image descriptor to (2,2,4,4)
+    raw[6:10] = st.pack("<HH", 8, 8)
+    i = bytes(raw).index(b"\x2c")
+    raw[i + 1:i + 9] = st.pack("<HHHH", 2, 2, 4, 4)
+    out = gif.decode_gif(bytes(raw))
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out[2:6, 2:6], img)
+    # background (palette color of bg index 0) everywhere else
+    assert (out[0, 0] == out[7, 7]).all()
+
+
+def test_gif_gce_flag_off_clears_transparency():
+    img = _paletted(6, 6, 4)
+    raw = gif.encode_gif(img, transparent=1)
+    assert gif.decode_gif(raw).shape == (6, 6, 4)
+    # splice a second GCE with the transparency flag OFF after the first
+    i = raw.index(b"\x2c")
+    raw2 = raw[:i] + bytes([0x21, 0xF9, 4, 0x00, 0, 0, 0, 0]) + raw[i:]
+    out = gif.decode_gif(raw2)
+    assert out.shape == (6, 6, 3)                  # newer GCE supersedes
+
+
+def test_gif_zero_dims_named_error():
+    import struct as st
+    raw = bytearray(gif.encode_gif(_paletted(4, 4, 2)))
+    raw[6:10] = st.pack("<HH", 0, 0)
+    with pytest.raises(gif.GifError, match="zero-dims"):
+        gif.decode_gif(bytes(raw))

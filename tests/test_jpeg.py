@@ -172,3 +172,19 @@ def test_exif_orientation_applied():
     # garbage exif is ignored, not fatal
     bad = raw[:2] + b"\xff\xe1\x00\x08Exif\x00\x00" + raw[2:]
     assert np.array_equal(jpeg.decode_jpeg(bad), base)
+
+
+def test_exif_survives_following_xmp_app1():
+    """Phones/Photoshop write APP1 Exif THEN APP1 XMP; the XMP segment
+    must not clobber the parsed orientation (round-4 review)."""
+    import struct as st
+    img = _test_image(24, 32)
+    raw = _with_exif(jpeg.encode_jpeg(img, quality=95), 6)
+    xmp = b"http://ns.adobe.com/xap/1.0/\x00<x:xmpmeta/>"
+    seg = b"\xff\xe1" + st.pack(">H", len(xmp) + 2) + xmp
+    # insert the XMP APP1 after the Exif APP1 (which follows SOI)
+    exif_len = st.unpack(">H", raw[4:6])[0]
+    cut = 2 + 2 + exif_len
+    raw2 = raw[:cut] + seg + raw[cut:]
+    assert np.array_equal(jpeg.decode_jpeg(raw2), jpeg.decode_jpeg(raw))
+    assert jpeg.decode_jpeg(raw2).shape == (32, 24, 3)   # rotated
