@@ -80,8 +80,31 @@ def _png_unfilter(raw: bytes, width: int, height: int, nchan: int,
     return out.reshape(height, width, nchan)
 
 
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _adam7_deinterlace(scan: bytes, width: int, height: int,
+                       nchan: int, bitdepth: int) -> np.ndarray:
+    """Adam7: seven filtered sub-images, each scattered onto the full
+    canvas at its (x0, y0, xstep, ystep) grid."""
+    out = np.zeros((height, width, nchan), dtype=np.uint8)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (width - x0 + xs - 1) // xs
+        ph = (height - y0 + ys - 1) // ys
+        if not (pw and ph):
+            continue
+        n = ph * (1 + pw * nchan)          # 1 filter byte per scanline
+        sub = _png_unfilter(scan[pos:pos + n], pw, ph, nchan, bitdepth)
+        pos += n
+        out[y0::ys, x0::xs] = sub
+    return out
+
+
 def decode_png(raw: bytes) -> np.ndarray:
-    """(H, W, C) uint8 for 8-bit gray/RGB/RGBA/palette, non-interlaced."""
+    """(H, W, C) uint8 for 8-bit gray/RGB/RGBA/palette; Adam7
+    interlacing supported."""
     if raw[:8] != _PNG_MAGIC:
         raise UnsupportedFormat("not a png")
     pos, width = 8, None
@@ -96,8 +119,8 @@ def decode_png(raw: bytes) -> np.ndarray:
                 raise UnsupportedFormat("png truncated IHDR")
             width, height, bitdepth, color, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", data[:13])
-            if interlace:
-                raise UnsupportedFormat("interlaced png")
+            if interlace not in (0, 1):
+                raise UnsupportedFormat(f"png interlace {interlace}")
         elif ctype == b"PLTE":
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -109,7 +132,11 @@ def decode_png(raw: bytes) -> np.ndarray:
     nchan = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if nchan is None:
         raise UnsupportedFormat(f"png color type {color}")
-    arr = _png_unfilter(zlib.decompress(idat), width, height, nchan, bitdepth)
+    scan = zlib.decompress(idat)
+    if interlace:
+        arr = _adam7_deinterlace(scan, width, height, nchan, bitdepth)
+    else:
+        arr = _png_unfilter(scan, width, height, nchan, bitdepth)
     if color == 3:
         if plte is None:
             raise UnsupportedFormat("palette png without PLTE")

@@ -183,3 +183,35 @@ def test_audio_features_real_path_spark(spark):
     assert out["u_wav"]["sample_rate"] == rate
     assert out["u_wav"]["duration_s"] == pytest.approx(0.5)
     assert out["u_mp3"]["error"] is not None
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 deinterlacing: a test-side interlaced writer (7 filtered
+    sub-images in pass order) decodes byte-identically (round 4)."""
+    def encode_interlaced(arr):
+        h, w, c = arr.shape
+        passes = b""
+        for x0, y0, xs, ys in media._ADAM7:
+            sub = arr[y0::ys, x0::xs]
+            if sub.size == 0:
+                continue
+            passes += b"".join(b"\x00" + sub[y].tobytes()
+                               for y in range(sub.shape[0]))
+
+        def chunk(t, d):
+            body = t + d
+            return struct.pack(">I", len(d)) + body + \
+                struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+        color = {1: 0, 3: 2, 4: 6}[c]
+        return (media._PNG_MAGIC
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8,
+                                             color, 0, 0, 1))
+                + chunk(b"IDAT", zlib.compress(passes))
+                + chunk(b"IEND", b""))
+
+    for c in (1, 3, 4):
+        for h, w in ((13, 11), (8, 8), (3, 5), (1, 9)):
+            arr = _gradient(h, w, c)
+            out = media.decode_png(encode_interlaced(arr))
+            assert out.shape == arr.shape and (out == arr).all(), (c, h, w)
