@@ -397,7 +397,10 @@ def _decode(raw: bytes, apply_orientation: bool = True) -> np.ndarray:
 
     ids = [c[0] for c in comps]
     if len(ids) == 1:
-        out = np.clip(out_planes[ids[0]], 0, 255).astype(np.uint8)[:, :, None]
+        # round-then-clip, matching the RGB path (round-4 review: the
+        # truncating variant was off by one on *.5 samples)
+        out = np.clip(np.round(out_planes[ids[0]]),
+                      0, 255).astype(np.uint8)[:, :, None]
     elif len(ids) != 3:
         raise JpegError(f"jpeg-{len(ids)}-component-unsupported")
     else:

@@ -80,6 +80,7 @@ def connected_components(edges: DataFrame, src: str = "src",
     produce. Each round shuffles only slim (long, long) rows."""
     e = _canon(edges, src, dst).localCheckpoint(eager=True)
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         e2 = _canon(_small_star(_large_star(e)), "a", "b") \
             .localCheckpoint(eager=True)
@@ -91,8 +92,16 @@ def connected_components(edges: DataFrame, src: str = "src",
         sig = (sig["n"], sig["h"])
         if sig == prev_sig:
             e = e2
+            converged = True
             break
         prev_sig, e = sig, e2
+    if not converged:
+        # a partially-merged result would make downstream dedup silently
+        # under-merge clusters — fail loudly instead (round-4 review)
+        raise RuntimeError(
+            f"connected_components: edge-set fixpoint not reached within "
+            f"max_iter={max_iter} rounds (last signature {prev_sig}); "
+            f"raise max_iter — O(log² n) rounds suffice for any graph")
     # stars: every edge is (member, component-min); members that ARE the
     # min appear only as dst — union both sides
     return (e.select(F.col("b").alias("node"), F.col("a").alias("component"))

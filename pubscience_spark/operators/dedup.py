@@ -368,6 +368,7 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", *,
                     sep: str = "\n\n", min_chars: int = 30,
                     normalize: bool = True,
+                    salt: int = 8,
                     out_col: str | None = None) -> DataFrame:
     """Corpus-wide paragraph dedup: any paragraph whose (normalized)
     content already appeared earlier keeps only its FIRST occurrence
@@ -383,13 +384,22 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     lowercased whitespace-collapsed form (C4 practice) while emitting
     the ORIGINAL paragraph text.
 
-    Scale shape (all native, no Python): posexplode → xxhash64 keys →
-    per-key ``min(struct(doc, idx))`` winner aggregation (map-side
-    combine, hot-key safe — the viral-footer key collapses to one row
-    per partition before the shuffle) → equi-join winners back on the
-    hash (slim build side) → groupBy doc + ``array_sort(collect_list)``
-    reassembly. Two shuffles of paragraph-sized rows total; the winner
-    frame that joins against them is (hash, winner-struct) slim.
+    Scale shape (all native, no Python): posexplode → paired
+    independent xxhash64 keys (128-bit effective — a single 64-bit key
+    has ~50% birthday-collision odds at ~5e9 distinct paragraphs, which
+    would silently drop non-duplicates; round-4 review) → per-key
+    ``min(struct(doc, idx))`` winner aggregation (map-side combine,
+    hot-key safe — the viral-footer key collapses to one row per
+    partition before the shuffle) → SALTED equi-join winners back on
+    the hash pair: the winner side is one row per key, so it is
+    replicated across ``salt`` shards while each paragraph occurrence
+    picks a deterministic shard — a viral footer's occurrences spread
+    over ``salt`` join partitions instead of one (skew-proof without
+    relying on AQE skew-split) → groupBy doc +
+    ``array_sort(collect_list)`` reassembly. Two shuffles of
+    paragraph-sized rows total; the winner frame that joins against
+    them is (hash pair, winner-struct) slim — ×``salt`` replication of
+    slim rows is the price of the even spread. ``salt=1`` disables.
 
     Returns ``id_col`` plus the deduped text (``out_col``, default
     ``text_col``) and ``n_paras_kept`` / ``n_paras_dropped`` counters.
@@ -402,23 +412,32 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     norm = F.lower(F.regexp_replace(F.trim(F.col("__para")),
                                     r"\s+", " ")) if normalize \
         else F.col("__para")
-    paras = paras.withColumn(
-        "__key",
-        F.when(F.length(F.trim(F.col("__para"))) < min_chars, F.lit(None))
-        .otherwise(F.xxhash64(norm)))
+    is_short = F.length(F.trim(F.col("__para"))) < min_chars
+    paras = (paras
+             .withColumn("__key", F.when(is_short, F.lit(None))
+                         .otherwise(F.xxhash64(norm)))
+             .withColumn("__key2", F.when(is_short, F.lit(None))
+                         .otherwise(F.xxhash64(F.lit(0x9E3779B9), norm))))
     # exempt (short) paragraphs bypass the join entirely — joining them
     # with a NULL key would funnel every short paragraph in the corpus
     # into the single hash(NULL) partition (skew trap)
     keyed = paras.where(F.col("__key").isNotNull())
     exempt = paras.where(F.col("__key").isNull())
-    winners = (keyed.groupBy("__key")
+    winners = (keyed.groupBy("__key", "__key2")
                .agg(F.min(F.struct(F.col("__doc").alias("d"),
                                    F.col("__idx").alias("i")))
                     .alias("__w")))
-    kept = (keyed.join(winners, "__key")
+    n_salt = max(1, int(salt))
+    keyed = keyed.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col("__doc"), F.col("__idx")),
+               F.lit(n_salt)).cast("int"))
+    winners = winners.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    kept = (keyed.join(winners, ["__key", "__key2", "__salt"])
             .where((F.col("__w.d") == F.col("__doc"))
                    & (F.col("__w.i") == F.col("__idx")))
-            .drop("__w")
+            .drop("__w", "__salt")
             .unionByName(exempt))
     packed = F.array_sort(F.collect_list(
         F.struct(F.col("__idx").alias("i"), F.col("__para").alias("p"))))

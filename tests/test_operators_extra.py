@@ -218,6 +218,32 @@ def test_paragraph_dedup_equals_bruteforce(spark):
     assert got[1].count("Short.") == 1 and "Short." in got[2]
 
 
+def test_paragraph_dedup_viral_key_salted(spark):
+    """A footer repeated across half the corpus (the skew case the
+    salted winner join exists for): results equal brute force at the
+    default salt and at salt=1, and the salted plan replicates the
+    winner side across shards (explode of the salt sequence)."""
+    from pubscience_spark.operators.dedup import paragraph_dedup
+    footer = ("This exact viral cookie banner appears on half of all "
+              "pages in the corpus, verbatim.")
+    docs = {}
+    for i in range(1, 41):
+        body = (f"Document {i} body paragraph with its own distinct "
+                f"wording and sufficient length to key on.")
+        docs[i] = (body + "\n\n" + footer) if i % 2 else body
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, text string")
+    want = _para_dedup_brute(docs)
+    for s in (8, 1):
+        got = {r["doc_id"]: r["text"]
+               for r in paragraph_dedup(df, min_chars=30,
+                                        salt=s).collect()}
+        assert got == want, f"salt={s}"
+    plan = paragraph_dedup(df, salt=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "explode" in plan.lower()            # winner-side replication
+
+
 def test_paragraph_dedup_counters_and_empty_doc(spark):
     from pubscience_spark.operators.dedup import paragraph_dedup
     long_p = "Repeated paragraph long enough to key on, clearly."
