@@ -162,6 +162,26 @@ def _empty_topk(spark) -> DataFrame:
         [], "query_id long, neighbor_id long, score double, rank int")
 
 
+def _score_chunk(b_ids: np.ndarray, tables: np.ndarray,
+                 codes: np.ndarray, ids: np.ndarray,
+                 k: int, m: int) -> pd.DataFrame:
+    """ADC-score one query chunk against one Arrow batch of codes and
+    keep each query's batch-local top-(k+1) — see _adc_candidates for
+    why k+1 and why ties break on ascending id."""
+    # scores[q, n] = Σ_j tables[q, j, codes[n, j]]
+    scores = tables[:, np.arange(m)[None, :], codes].sum(axis=2)
+    kk = min(k + 1, scores.shape[1])
+    out_q, out_n, out_s = [], [], []
+    for qi in range(len(b_ids)):
+        sel = np.lexsort((ids, -scores[qi]))[:kk]
+        out_q.extend([b_ids[qi]] * len(sel))
+        out_n.extend(ids[sel])
+        out_s.extend(scores[qi, sel])
+    return pd.DataFrame({"query_id": np.asarray(out_q, dtype=np.int64),
+                         "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                         "score": np.asarray(out_s, dtype=np.float64)})
+
+
 def _adc_candidates(codes_df: DataFrame, q_ids: np.ndarray,
                     qx: np.ndarray, codebook: PQCodebook,
                     k: int) -> "tuple[DataFrame, object]":
@@ -187,24 +207,12 @@ def _adc_candidates(codes_df: DataFrame, q_ids: np.ndarray,
             codes = np.stack(
                 b["codes"].map(lambda c: np.frombuffer(c, dtype=np.uint8)))
             ids = b["id"].to_numpy()
-            # scores[q, n] = Σ_j tables[q, j, codes[n, j]]
-            scores = b_tables[:, np.arange(m)[None, :],
-                              codes[:, :]].sum(axis=2)
             # k+1: the query's own vector may sit in this batch and is
             # filtered AFTER pruning — k alone would waste a slot on it
             # and lose the true k-th neighbor (round-3 review). Ties
             # break on ascending id like the global window, so the
             # prune is batch-order independent (round-4 review).
-            kk = min(k + 1, scores.shape[1])
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(b_ids)):
-                sel = np.lexsort((ids, -scores[qi]))[:kk]
-                out_q.extend([b_ids[qi]] * kk)
-                out_n.extend(ids[sel])
-                out_s.extend(scores[qi, sel])
-            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
-                                "score": np.asarray(out_s,
-                                                    dtype=np.float64)})
+            yield _score_chunk(b_ids, b_tables, codes, ids, k, m)
 
     cands = codes_df.mapInPandas(_batches, schema=_TOPK_SCHEMA) \
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -241,43 +249,97 @@ def pq_topk(codes_df: DataFrame, queries: DataFrame,
 def pq_topk_join(codes_df: DataFrame, queries: DataFrame,
                  codebook: PQCodebook, k: int = 10,
                  chunk_size: int = 1024,
+                 live_tables_mb: float = 256,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """``pq_topk`` for UNBOUNDED query sets: the query DataFrame is never
-    collected whole. Queries are hash-chunked (xxhash64 —
-    deterministic under any partitioning); each chunk's ADC tables are
-    built, torrent-broadcast, its batch-pruned candidate pass over the
-    codes is MATERIALIZED (eager ``localCheckpoint`` — slim ~k rows per
-    (query, batch)), and the broadcast is destroyed before the next
-    chunk starts — so live table memory is bounded by ONE chunk
-    (chunk_size × m × 256 float32 ≈ 8 MB at the defaults) regardless of
-    total query count. A single global window ranks the union of the
-    checkpointed candidates. Results are identical to :func:`pq_topk` —
-    the per-batch prune is per-query, so chunking cannot change which
-    candidates survive."""
-    slim = queries.select(F.col(id_col).cast("long").alias("qid"),
-                          F.col(vec_col).alias("qv"))
-    n_q = slim.count()
-    if not n_q:
-        return _empty_topk(codes_df.sparkSession)
-    n_chunks = max(1, -(-n_q // chunk_size))
-    chunked = slim.withColumn(
-        "chunk", F.pmod(F.xxhash64(F.col("qid")), F.lit(n_chunks)))
-    parts = []
-    for c in range(n_chunks):
-        q_rows = chunked.where(F.col("chunk") == c) \
-            .select("qid", "qv").collect()
-        if not q_rows:
-            continue
-        q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
-        qx = _unit_rows(np.array([r["qv"] for r in q_rows],
-                                 dtype=np.float32))
-        cands, bc = _adc_candidates(codes_df, q_ids, qx, codebook, k)
-        parts.append(cands.localCheckpoint(eager=True))
+    collected whole, and the code corpus is scanned exactly ONCE no
+    matter how many queries there are (the round-4 version ran one full
+    corpus pass per 1024-query chunk — at 10^12 codes and 10^6 queries
+    those ~1000 rescans dominate everything).
+
+    Shape: queries are hash-chunked (xxhash64 — deterministic under any
+    partitioning; the chunked frame is persisted so chunk membership is
+    computed once and cannot drift between the per-chunk collects), each
+    chunk's (nq × m × 256) ADC tables are torrent-broadcast, and a
+    SINGLE ``mapInPandas`` pass over the codes pages the chunk tables
+    through an LRU: per Arrow batch it loads one chunk's tables, scores
+    the batch, emits the batch-local top-(k+1) rows for that chunk's
+    queries, and moves on. Live table memory per worker is bounded by
+    ``live_tables_mb`` (evicted chunks drop their deserialized value;
+    a later batch reloads from the executor-local broadcast file —
+    ~8 MB of local disk read vs a full remote corpus rescan). The
+    candidate pass is materialized (eager ``localCheckpoint``) and every
+    broadcast destroyed before the ranking window runs. Results are
+    identical to :func:`pq_topk` — the per-batch prune is per-query, so
+    chunking cannot change which candidates survive."""
+    from pyspark import StorageLevel
+    spark = codes_df.sparkSession
+    sc = spark.sparkContext
+    slim = (queries.select(F.col(id_col).cast("long").alias("qid"),
+                           F.col(vec_col).alias("qv"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    bcs = []
+    try:
+        n_q = slim.count()
+        if not n_q:
+            return _empty_topk(spark)
+        n_chunks = max(1, -(-n_q // chunk_size))
+        chunked = slim.withColumn(
+            "chunk", F.pmod(F.xxhash64(F.col("qid")), F.lit(n_chunks)))
+        m, dsub = codebook.m, codebook.dsub
+        cents = codebook.centroids
+        for c in range(n_chunks):
+            q_rows = chunked.where(F.col("chunk") == c) \
+                .select("qid", "qv").collect()
+            if not q_rows:
+                continue
+            q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+            qx = _unit_rows(np.array([r["qv"] for r in q_rows],
+                                     dtype=np.float32))
+            _check_dim(qx, codebook, "pq_topk_join")
+            tables = np.stack([
+                qx[:, j * dsub:(j + 1) * dsub] @ cents[j].T
+                for j in range(m)], axis=1)       # (nq_chunk, m, 256)
+            bcs.append(sc.broadcast((q_ids, tables)))
+    finally:
+        slim.unpersist()
+
+    table_bytes = max(1, chunk_size * m * 256 * 4)
+    cap = max(1, int(live_tables_mb * (1 << 20)) // table_bytes)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import OrderedDict
+        live: "OrderedDict[int, tuple]" = OrderedDict()
+
+        def _load(i: int) -> tuple:
+            v = live.pop(i, None)
+            if v is None:
+                v = bcs[i].value
+                if len(live) >= cap:              # evict LRU chunk
+                    old, _ = live.popitem(last=False)
+                    try:       # drop the cached deserialized value so
+                        del bcs[old]._value       # the memory is freed;
+                    except AttributeError:        # .value reloads from
+                        pass                      # the local file later
+            live[i] = v
+            return v
+
+        for b in it:
+            codes = np.stack(
+                b["codes"].map(lambda c: np.frombuffer(c, dtype=np.uint8)))
+            ids = b["id"].to_numpy()
+            for i in range(len(bcs)):
+                b_ids, b_tables = _load(i)
+                yield _score_chunk(b_ids, b_tables, codes, ids, k, m)
+
+    cands = (codes_df
+             .select(F.col("id"), F.col("codes"))
+             .mapInPandas(_batches, schema=_TOPK_SCHEMA)
+             .where(F.col("query_id") != F.col("neighbor_id"))
+             .localCheckpoint(eager=True))        # ONE corpus scan, here
+    for bc in bcs:
         bc.destroy()
-    cands = parts[0]
-    for p in parts[1:]:
-        cands = cands.unionByName(p)
     return _rank_topk(cands, k)
 
 

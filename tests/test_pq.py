@@ -232,9 +232,38 @@ def test_pq_topk_join_matches_collect_path(spark):
     b = sorted(map(tuple, PQ.pq_topk_join(codes, q, cb, k=5,
                                           chunk_size=3).collect()))
     assert a == b and len(a) == 11 * 5
+    # a live-table budget far below one chunk forces LRU eviction and
+    # broadcast-value reloads mid-scan — results must not change
+    c = sorted(map(tuple, PQ.pq_topk_join(
+        codes, q, cb, k=5, chunk_size=3,
+        live_tables_mb=1e-6).collect()))
+    assert a == c
     # empty query set
     assert PQ.pq_topk_join(codes, emb.where(F.col("vec_id") < 0),
                            cb, k=3).count() == 0
+
+
+def test_pq_topk_join_scans_corpus_once(spark):
+    """The whole point of the join path at 10^12 codes: ONE pass over
+    the code corpus regardless of chunk count (the round-4 version ran
+    one pass per chunk). Counted via an accumulator that ticks once per
+    scan task."""
+    emb = _emb(spark, 200)
+    dim = len(emb.select("embedding").first()[0])
+    cb = PQ.train_pq(emb, dim=dim, m=8, n_train=200, n_iter=4)
+    codes = PQ.encode_pq(emb, cb).localCheckpoint(eager=True)
+    acc = spark.sparkContext.accumulator(0)
+
+    def _counting(it):
+        acc.add(1)                                # once per scan task
+        for b in it:
+            yield b
+
+    counted = codes.mapInPandas(_counting, schema=codes.schema)
+    q = emb.where(F.col("vec_id") < 11)           # 4 chunks at size 3
+    out = PQ.pq_topk_join(counted, q, cb, k=5, chunk_size=3).collect()
+    assert len(out) == 11 * 5
+    assert acc.value == codes.rdd.getNumPartitions()
 
 
 def test_pq_dim_mismatch_raises_clearly(spark):
