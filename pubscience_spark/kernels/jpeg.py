@@ -1,26 +1,34 @@
-"""Baseline JPEG (ITU T.81 sequential DCT) decoder — pure stdlib + numpy.
+"""JPEG (ITU T.81 DCT, Huffman entropy coding) codec — stdlib + numpy.
 
 JPEG is the dominant web image format; without it the multimodal tier's
 "decode real bytes" claim had a hole (JPEG surfaced as an
-``unsupported-format`` error row). This implements the baseline
-sequential Huffman process from the public spec:
+``unsupported-format`` error row). This implements the Huffman DCT
+processes from the public spec:
 
-- marker parse (SOI/APPn/DQT/SOF0-1/DHT/SOS/DRI/RSTn/EOI),
+- marker parse (SOI/APPn/DQT/SOF0-2/DHT/SOS/DRI/RSTn/EOI),
 - canonical Huffman tables rebuilt from the file's own DHT segments,
 - entropy decode with byte-unstuffing, DC prediction, AC run-length,
   restart-interval resets,
+- MULTI-SCAN: baseline files with one non-interleaved scan per
+  component, and full progressive (SOF2) — spectral selection,
+  successive approximation (DC/AC first + refinement passes, EOB runs)
+  — the libjpeg-default scan scripts most of the progressive web uses,
 - dequantize → de-zigzag → vectorized 8×8 IDCT (orthonormal DCT matrix,
   one einsum over every block of a component at once),
-- 4:4:4 / 4:2:2 / 4:2:0 chroma upsampling, BT.601 YCbCr→RGB.
+- 4:4:4 / 4:2:2 / 4:2:0 chroma upsampling, BT.601 YCbCr→RGB,
+- 4-component Adobe CMYK / YCCK (APP14 transform byte; Adobe files
+  store ink-inverted values — converted to RGB multiplicatively).
 
-Progressive (SOF2) and arithmetic-coded files raise a named error (the
-error-column path); they are rare on the web relative to baseline.
+Arithmetic-coded, lossless, and hierarchical processes raise a named
+error (the error-column path); they are vanishingly rare on the web.
 
-``encode_jpeg`` (the test/datagen side) writes spec-valid baseline files
-with flat-length canonical Huffman tables (DHT carries the tables, so
-custom tables are fully legal) at 4:4:4 or 4:2:0 — the round-trip PSNR
-tests drive the decoder through every path. The zigzag order and DCT
-matrix are generated, not transcribed, to avoid table typos.
+``encode_jpeg`` (the test/datagen side) writes spec-valid files with
+flat-length canonical Huffman tables (DHT carries the tables, so custom
+tables are fully legal) at 4:4:4 or 4:2:0, baseline single- or
+multi-scan, or PROGRESSIVE with a libjpeg-style successive-approximation
+scan script — the round-trip PSNR tests drive the decoder through every
+path. The zigzag order and DCT matrix are generated, not transcribed,
+to avoid table typos.
 """
 
 from __future__ import annotations
@@ -195,31 +203,32 @@ def _apply_orientation(img: np.ndarray, o: int) -> np.ndarray:
         return np.rot90(img, 1)                   # 90° counter-clockwise
     return img
 
-def _unstuff(scan: bytes) -> tuple[bytes, list[int]]:
-    """Strip 0xFF00 stuffing; record restart-marker positions (offsets
-    into the UNSTUFFED stream). Stops at any non-RST marker."""
+def _entropy_span(raw: bytes, start: int) -> tuple[bytes, int]:
+    """Unstuffed entropy bytes of one scan starting at ``start``, plus
+    the file offset of the next marker (EOI / DHT / SOS / ...). 0xFF00
+    stuffing is stripped and RSTn markers are dropped (the decoder
+    resynchronizes by restart-interval counting + bit alignment)."""
     out = bytearray()
-    restarts = []
-    i = 0
-    n = len(scan)
+    i = start
+    n = len(raw)
     while i < n:
-        b = scan[i]
+        b = raw[i]
         if b != 0xFF:
             out.append(b)
             i += 1
             continue
         if i + 1 >= n:
+            i = n
             break
-        m = scan[i + 1]
+        m = raw[i + 1]
         if m == 0x00:
             out.append(0xFF)
             i += 2
         elif 0xD0 <= m <= 0xD7:                   # RSTn
-            restarts.append(len(out))
             i += 2
         else:                                     # EOI / next segment
             break
-    return bytes(out), restarts
+    return bytes(out), i
 
 
 def decode_jpeg(raw: bytes, apply_orientation: bool = True) -> np.ndarray:
@@ -237,19 +246,206 @@ def decode_jpeg(raw: bytes, apply_orientation: bool = True) -> np.ndarray:
         raise JpegError(f"jpeg-corrupt: {type(exc).__name__}") from exc
 
 
+def _block_full(br: _BitReader, blk: np.ndarray, dct: _HuffTable,
+                act: _HuffTable, preds: dict, cid: int) -> None:
+    """Baseline DC+AC decode of one block (coefficients land in zigzag
+    index order; de-zigzag happens at IDCT time)."""
+    s = br.decode(dct)
+    diff = _extend(br.read_bits(s), s)
+    preds[cid] += diff
+    blk[0] = preds[cid]
+    k = 1
+    while k < 64:
+        rs = br.decode(act)
+        r, sz = rs >> 4, rs & 15
+        if sz == 0:
+            if r == 15:                            # ZRL
+                k += 16
+                continue
+            break                                  # EOB
+        k += r
+        if k > 63:
+            raise JpegError("jpeg-coef-overrun")
+        blk[k] = _extend(br.read_bits(sz), sz)
+        k += 1
+
+
+def _block_ac_first(br: _BitReader, act: _HuffTable, blk: np.ndarray,
+                    ss: int, se: int, al: int, eobrun: list[int]) -> None:
+    """Progressive AC first scan (Ah=0): band Ss..Se at precision Al,
+    with EOB-run codes spanning all-zero-band blocks."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = br.decode(act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:                            # ZRL
+                k += 16
+                continue
+            eobrun[0] = (1 << r) - 1               # EOBn: this block is
+            if r:                                  # one of the 2^r+bits
+                eobrun[0] += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise JpegError("jpeg-coef-overrun")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+
+
+def _block_ac_refine(br: _BitReader, act: _HuffTable, blk: np.ndarray,
+                     ss: int, se: int, al: int, eobrun: list[int]) -> None:
+    """Progressive AC refinement (Ah>0): one correction bit per
+    already-nonzero coefficient, newly-nonzero coefficients coded with
+    zero-HISTORY run lengths (the T.81 G.1.2.3 algorithm — history runs
+    count only coefficients still zero, with correction bits of the
+    nonzero ones interleaved)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = br.decode(act)
+            r, s = rs >> 4, rs & 15
+            if s:
+                if s != 1:                         # new coef is ±1·2^Al
+                    raise JpegError("jpeg-bad-refinement-size")
+                s = p1 if br.read_bit() else m1
+            else:
+                if r != 15:
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += br.read_bits(r)
+                    break                          # EOB logic below
+                # ZRL: s stays 0, skip 16 zero-history coefficients
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    # correction bit; (c & p1) == 0 guards double-apply
+                    if br.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break                      # target zero position
+                k += 1
+            if s:
+                if k > se:
+                    raise JpegError("jpeg-coef-overrun")
+                blk[k] = s
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:                             # EOB region still
+            c = int(blk[k])                        # carries correction
+            if c != 0:                             # bits for nonzeroes
+                if br.read_bit() and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _decode_scan(entropy: bytes, scan_comps: list, ss: int, se: int,
+                 ah: int, al: int, *, progressive: bool,
+                 huff_dc: dict, huff_ac: dict, planes: dict,
+                 compinfo: dict, mcux: int, mcuy: int,
+                 restart_interval: int) -> None:
+    """Decode one scan's entropy data into the coefficient planes.
+    Interleaved scans traverse MCUs; single-component scans traverse
+    that component's own block grid (T.81 A.2.2 — its dimensions come
+    from ceil(W·h/hmax), NOT from the MCU grid)."""
+    br = _BitReader(entropy)
+    if not progressive:
+        kind = "full"
+    elif ss == 0:
+        if se != 0:
+            raise JpegError("jpeg-bad-progressive-scan")
+        kind = "dc-first" if ah == 0 else "dc-refine"
+    else:
+        if len(scan_comps) != 1:
+            raise JpegError("jpeg-bad-progressive-scan")
+        kind = "ac-first" if ah == 0 else "ac-refine"
+
+    tabs = {}
+    for cid, td, ta in scan_comps:
+        dct = huff_dc.get(td)
+        act = huff_ac.get(ta)
+        if kind in ("full", "dc-first") and dct is None:
+            raise JpegError("jpeg-missing-huff-table")
+        if kind in ("full", "ac-first", "ac-refine") and act is None:
+            raise JpegError("jpeg-missing-huff-table")
+        tabs[cid] = (dct, act)
+
+    if len(scan_comps) > 1:                        # interleaved: MCUs
+        def units():
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    blocks = []
+                    for cid, _td, _ta in scan_comps:
+                        ch, cv = compinfo[cid][0], compinfo[cid][1]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                blocks.append((cid, my * cv + by,
+                                               mx * ch + bx))
+                    yield blocks
+    else:                                          # single comp: its grid
+        cid0 = scan_comps[0][0]
+        wb, hb = compinfo[cid0][3], compinfo[cid0][4]
+
+        def units():
+            for by in range(hb):
+                for bx in range(wb):
+                    yield [(cid0, by, bx)]
+
+    preds = {c[0]: 0 for c in scan_comps}
+    eobrun = [0]
+    unit_idx = 0
+    for blocks in units():
+        if restart_interval and unit_idx \
+                and unit_idx % restart_interval == 0:
+            br.align()
+            preds = dict.fromkeys(preds, 0)
+            eobrun[0] = 0
+        for cid, by, bx in blocks:
+            blk = planes[cid][by, bx]
+            dct, act = tabs[cid]
+            if kind == "full":
+                _block_full(br, blk, dct, act, preds, cid)
+            elif kind == "dc-first":
+                s = br.decode(dct)
+                diff = _extend(br.read_bits(s), s)
+                preds[cid] += diff
+                blk[0] = preds[cid] << al
+            elif kind == "dc-refine":
+                if br.read_bit():
+                    blk[0] |= 1 << al
+            elif kind == "ac-first":
+                _block_ac_first(br, act, blk, ss, se, al, eobrun)
+            else:
+                _block_ac_refine(br, act, blk, ss, se, al, eobrun)
+        unit_idx += 1
+
+
 def _decode(raw: bytes, apply_orientation: bool = True) -> np.ndarray:
     if raw[:2] != b"\xff\xd8":
         raise JpegError("not-a-jpeg")
     orientation = 1
+    adobe_transform = None
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     comps = None            # list of (cid, h, v, tq)
     size = None
+    progressive = False
     restart_interval = 0
+    planes: dict[int, np.ndarray] = {}
+    compinfo: dict[int, tuple] = {}
+    mcux = mcuy = 0
+    n_scans = 0
     i = 2
-    scan_info = None
-    while i + 4 <= len(raw):
+    while i + 2 <= len(raw):
         if raw[i] != 0xFF:
             raise JpegError("jpeg-bad-marker")
         marker = raw[i + 1]
@@ -258,13 +454,18 @@ def _decode(raw: bytes, apply_orientation: bool = True) -> np.ndarray:
             continue
         if marker == 0xD9:                         # EOI
             break
+        if i + 4 > len(raw):
+            raise JpegError("jpeg-truncated")
         seglen = struct.unpack(">H", raw[i + 2:i + 4])[0]
         seg = raw[i + 4:i + 2 + seglen]
         if marker == 0xE1 and seg.startswith(b"Exif\x00\x00"):
             # only the Exif APP1 — a later XMP APP1 (the standard
             # phone/Photoshop layout) must not clobber the orientation
             orientation = _exif_orientation(seg)
-        elif marker == 0xDB:                       # DQT
+        elif marker == 0xEE and seg.startswith(b"Adobe"):
+            if len(seg) >= 12:                     # transform byte:
+                adobe_transform = seg[11]          # 0 CMYK/RGB, 1 YCC,
+        elif marker == 0xDB:                       # DQT       2 YCCK
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 15
@@ -280,7 +481,10 @@ def _decode(raw: bytes, apply_orientation: bool = True) -> np.ndarray:
                 table = np.zeros(64, dtype=np.int64)
                 table[ZIGZAG] = vals               # stored in zigzag order
                 qt[tq] = table
-        elif marker in (0xC0, 0xC1):               # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):         # SOF0/1 baseline, SOF2
+            if comps is not None:
+                raise JpegError("jpeg-multiple-frames")
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
@@ -288,9 +492,26 @@ def _decode(raw: bytes, apply_orientation: bool = True) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             size = (h, w)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError("jpeg-progressive-or-nonbaseline")
+            if not (h and w):
+                raise JpegError("jpeg-zero-dims")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if not (hmax and vmax):
+                raise JpegError("jpeg-zero-sampling")
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, ch, cv, tq in comps:
+                # own-grid dims for non-interleaved scans (T.81 A.1.1)
+                cw = -(-w * ch // hmax)            # component pixel dims
+                chh = -(-h * cv // vmax)
+                compinfo[cid] = (ch, cv, tq,
+                                 -(-cw // 8), -(-chh // 8))
+                planes[cid] = np.zeros((mcuy * cv, mcux * ch, 64),
+                                       dtype=np.int64)
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError("jpeg-arithmetic-unsupported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
+            raise JpegError("jpeg-lossless-or-hierarchical-unsupported")
         elif marker == 0xC4:                       # DHT
             p = 0
             while p < len(seg):
@@ -303,73 +524,35 @@ def _decode(raw: bytes, apply_orientation: bool = True) -> np.ndarray:
                 p += 17 + nsym
         elif marker == 0xDD:                       # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:                       # SOS
+        elif marker == 0xDA:                       # SOS: decode the scan
+            if comps is None:                      # with the table state
+                raise JpegError("jpeg-sos-before-sof")
             ns = seg[0]
-            scan_info = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4,
-                          seg[2 + 2 * c] & 15) for c in range(ns)]
-            i = i + 2 + seglen
-            break
+            scan_comps = []
+            for c in range(ns):
+                cid = seg[1 + 2 * c]
+                if cid not in planes:
+                    raise JpegError("jpeg-scan-unknown-component")
+                scan_comps.append((cid, seg[2 + 2 * c] >> 4,
+                                   seg[2 + 2 * c] & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            entropy, nxt = _entropy_span(raw, i + 2 + seglen)
+            _decode_scan(entropy, scan_comps, ss, se,
+                         ahal >> 4, ahal & 15, progressive=progressive,
+                         huff_dc=huff_dc, huff_ac=huff_ac, planes=planes,
+                         compinfo=compinfo, mcux=mcux, mcuy=mcuy,
+                         restart_interval=restart_interval)
+            n_scans += 1
+            i = nxt
+            continue
         i = i + 2 + seglen
-    if comps is None or size is None or scan_info is None:
+    if comps is None or size is None or n_scans == 0:
         raise JpegError("jpeg-missing-sof-or-sos")
 
     H, W = size
-    if not (H and W):
-        raise JpegError("jpeg-zero-dims")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = -(-W // (8 * hmax))
-    mcuy = -(-H // (8 * vmax))
-
-    entropy, restarts = _unstuff(raw[i:])
-    br = _BitReader(entropy)
-
-    # per-component coefficient stores
-    planes = {}
-    for cid, ch, cv, tq in comps:
-        planes[cid] = np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64)
-    order = []                                     # interleaved MCU order
-    by_id = {c[0]: c for c in comps}
-    for cid, td, ta in scan_info:
-        if cid not in by_id:
-            raise JpegError("jpeg-scan-unknown-component")
-        order.append((cid, by_id[cid][1], by_id[cid][2], td, ta))
-
-    preds = {cid: 0 for cid, *_ in order}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count \
-                    and mcu_count % restart_interval == 0:
-                br.align()
-                preds = {cid: 0 for cid in preds}
-            for cid, ch, cv, td, ta in order:
-                dct = huff_dc.get(td)
-                act = huff_ac.get(ta)
-                if dct is None or act is None:
-                    raise JpegError("jpeg-missing-huff-table")
-                for by in range(cv):
-                    for bx in range(ch):
-                        blk = planes[cid][my * cv + by, mx * ch + bx]
-                        s = br.decode(dct)
-                        diff = _extend(br.read_bits(s), s)
-                        preds[cid] += diff
-                        blk[0] = preds[cid]
-                        k = 1
-                        while k < 64:
-                            rs = br.decode(act)
-                            r, sz = rs >> 4, rs & 15
-                            if sz == 0:
-                                if r == 15:        # ZRL
-                                    k += 16
-                                    continue
-                                break              # EOB
-                            k += r
-                            if k > 63:
-                                raise JpegError("jpeg-coef-overrun")
-                            blk[k] = _extend(br.read_bits(sz), sz)
-                            k += 1
-            mcu_count += 1
 
     # dequantize -> de-zigzag -> IDCT, one shot per component
     out_planes = {}
@@ -395,21 +578,49 @@ def _decode(raw: bytes, apply_orientation: bool = True) -> np.ndarray:
             img = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)
         out_planes[cid] = img[:H, :W]
 
+    def _ycc_to_rgb(y, cb, cr):
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return r, g, b
+
     ids = [c[0] for c in comps]
     if len(ids) == 1:
         # round-then-clip, matching the RGB path (round-4 review: the
         # truncating variant was off by one on *.5 samples)
         out = np.clip(np.round(out_planes[ids[0]]),
                       0, 255).astype(np.uint8)[:, :, None]
-    elif len(ids) != 3:
-        raise JpegError(f"jpeg-{len(ids)}-component-unsupported")
-    else:
-        y, cb, cr = (out_planes[i] for i in ids)
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
-        rgb = np.stack([r, g, b], axis=2)
+    elif len(ids) == 3:
+        p0, p1_, p2 = (out_planes[i] for i in ids)
+        if adobe_transform == 0:                   # Adobe RGB (rare)
+            r, g, b = p0, p1_, p2
+        else:                                      # YCbCr (the default)
+            r, g, b = _ycc_to_rgb(p0, p1_, p2)
+        out = np.clip(np.round(np.stack([r, g, b], axis=2)),
+                      0, 255).astype(np.uint8)
+    elif len(ids) == 4:
+        # Adobe CMYK/YCCK. Adobe writers store INK-INVERTED values
+        # (255 = no ink); YCCK additionally runs the YCC transform over
+        # the inverted C'M'Y'. RGB via the multiplicative blend
+        # R = C'·K'/255 (the PIL/libjpeg-consumer convention). Without
+        # an APP14 marker values are taken as straight CMYK.
+        p0, p1_, p2, p3 = (out_planes[i] for i in ids)
+        if adobe_transform == 2:                   # YCCK
+            c_, m_, y_ = _ycc_to_rgb(p0, p1_, p2)
+            k_ = p3
+        elif adobe_transform is not None:          # Adobe CMYK (inverted)
+            c_, m_, y_, k_ = p0, p1_, p2, p3
+        else:                                      # straight CMYK
+            c_, m_, y_, k_ = (255.0 - p0, 255.0 - p1_,
+                              255.0 - p2, 255.0 - p3)
+        c_ = np.clip(c_, 0, 255)
+        m_ = np.clip(m_, 0, 255)
+        y_ = np.clip(y_, 0, 255)
+        k_ = np.clip(k_, 0, 255)
+        rgb = np.stack([c_ * k_, m_ * k_, y_ * k_], axis=2) / 255.0
         out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    else:
+        raise JpegError(f"jpeg-{len(ids)}-component-unsupported")
     if apply_orientation and orientation != 1:
         out = np.ascontiguousarray(_apply_orientation(out, orientation))
     return out
@@ -454,72 +665,212 @@ class _BitWriter:
             self.write(1, 1)                       # pad with 1-bits
 
 
-def _encode_block(bw: _BitWriter, coefs: np.ndarray, pred: int,
-                  dc: _HuffTable, ac: _HuffTable) -> int:
-    zz = coefs[ZIGZAG]
-    diff = int(zz[0]) - pred
-    s = int(diff).bit_length() if diff else 0
-    mag = diff if diff >= 0 else diff + (1 << s) - 1
-    ln, code = dc.enc[s]
+def _quant_blocks(pp: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(hb, wb, 64) natural-order quantized coefficients for a padded
+    (hb·8, wb·8) sample plane — whole-plane DCT in one einsum."""
+    hb, wb = pp.shape[0] // 8, pp.shape[1] // 8
+    blocks = pp.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    f = np.einsum("ij,njk,kl->nil", _C, blocks, _C.T)
+    qq = np.round(f.reshape(-1, 64) / q.astype(np.float64)).astype(np.int64)
+    return qq.reshape(hb, wb, 64)
+
+
+def _emit_sym(bw: _BitWriter, tab: _HuffTable, sym: int) -> None:
+    ln, code = tab.enc[sym]
     bw.write(code, ln)
+
+
+class _ProgState:
+    """Cross-block AC-scan state: pending EOB run + the correction bits
+    deferred from EOB-run blocks (refinement scans)."""
+    __slots__ = ("eobrun", "bits")
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def flush(self, bw: _BitWriter, ac: _HuffTable) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            _emit_sym(bw, ac, nbits << 4)          # EOBn
+            if nbits:
+                bw.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.bits:
+            bw.write(b, 1)
+        self.bits = []
+
+
+def _emit_dc(bw: _BitWriter, dc: _HuffTable, v: int, pred: int) -> int:
+    """Huffman DC difference coding; returns the new predictor."""
+    diff = v - pred
+    s = abs(diff).bit_length()
+    _emit_sym(bw, dc, s)
     if s:
+        mag = diff if diff >= 0 else diff + (1 << s) - 1
         bw.write(mag & ((1 << s) - 1), s)
-    run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-    for k in range(1, 64):
+    return v
+
+
+def _emit_ac_first(bw: _BitWriter, ac: _HuffTable, zz: np.ndarray,
+                   ss: int, se: int, al: int, state: _ProgState) -> None:
+    """Progressive AC first scan for one block (also the baseline AC
+    path at ss=1, se=63, al=0 — baseline callers flush per block so the
+    EOB run never spans blocks there)."""
+    r = 0
+    for k in range(ss, se + 1):
         v = int(zz[k])
-        if k > last_nz:
-            break
-        if v == 0:
-            run += 1
+        t = (-v if v < 0 else v) >> al
+        if t == 0:
+            r += 1
             continue
-        while run > 15:
-            ln, code = ac.enc[0xF0]
-            bw.write(code, ln)
-            run -= 16
-        s = abs(v).bit_length()
-        mag = v if v >= 0 else v + (1 << s) - 1
-        ln, code = ac.enc[(run << 4) | s]
-        bw.write(code, ln)
-        bw.write(mag & ((1 << s) - 1), s)
-        run = 0
-    if last_nz < 63:
-        ln, code = ac.enc[0x00]                    # EOB
-        bw.write(code, ln)
-    return int(zz[0])
+        state.flush(bw, ac)                        # pending EOB run
+        while r > 15:
+            _emit_sym(bw, ac, 0xF0)                # ZRL
+            r -= 16
+        s = t.bit_length()
+        _emit_sym(bw, ac, (r << 4) | s)
+        t2 = t if v >= 0 else ~t                   # one's-complement neg
+        bw.write(t2 & ((1 << s) - 1), s)
+        r = 0
+    if r > 0:
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            state.flush(bw, ac)
+
+
+def _emit_ac_refine(bw: _BitWriter, ac: _HuffTable, zz: np.ndarray,
+                    ss: int, se: int, al: int, state: _ProgState) -> None:
+    """Progressive AC refinement for one block: newly-nonzero coefs
+    (magnitude>>al == 1) run-length coded over zero-HISTORY positions,
+    correction bits of already-nonzero coefs interleaved / deferred
+    into the EOB-run buffer (T.81 G.1.2.3)."""
+    absv = {k: (abs(int(zz[k])) >> al) for k in range(ss, se + 1)}
+    eobpos = ss - 1
+    for k in range(ss, se + 1):
+        if absv[k] == 1:
+            eobpos = k                             # last newly-nonzero
+    r = 0
+    br_bits: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eobpos:              # ZRLs not foldable
+            state.flush(bw, ac)                    # into the EOB run
+            _emit_sym(bw, ac, 0xF0)
+            r -= 16
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+        if t > 1:                                  # already nonzero:
+            br_bits.append(t & 1)                  # one correction bit
+            continue
+        state.flush(bw, ac)
+        _emit_sym(bw, ac, (r << 4) | 1)
+        bw.write(1 if int(zz[k]) >= 0 else 0, 1)   # sign of the new coef
+        for b in br_bits:
+            bw.write(b, 1)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:
+        state.eobrun += 1
+        state.bits.extend(br_bits)
+        if state.eobrun == 0x7FFF or len(state.bits) > 900:
+            state.flush(bw, ac)
+
+
+def _default_script(nc: int) -> list[tuple[list[int], int, int, int, int]]:
+    """libjpeg-style successive-approximation scan script: DC first at
+    Al=1, split AC bands at Al=2, two AC refinement rounds, DC
+    refinement — exercises every progressive decode path."""
+    everyone = list(range(nc))
+    scans: list[tuple[list[int], int, int, int, int]] = [
+        (everyone, 0, 0, 0, 1)]
+    for ci in everyone:
+        scans.append(([ci], 1, 5, 0, 2))
+    for ci in everyone:
+        scans.append(([ci], 6, 63, 0, 2))
+    for ci in everyone:
+        scans.append(([ci], 1, 63, 2, 1))
+    scans.append((everyone, 0, 0, 1, 0))
+    for ci in everyone:
+        scans.append(([ci], 1, 63, 1, 0))
+    return scans
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
                 subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """Baseline JPEG bytes from (H, W, 3) RGB or (H, W[, 1]) grayscale
-    uint8. ``subsample=True`` writes 4:2:0 (2×2-averaged chroma);
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs (exercises the decoder's restart/resync path)."""
+                restart_interval: int = 0,
+                progressive: bool = False,
+                separate_scans: bool = False,
+                adobe_transform: int | None = None) -> bytes:
+    """JPEG bytes from (H, W, 3) RGB, (H, W[, 1]) grayscale, or
+    (H, W, 4) Adobe-convention inverted-CMYK uint8.
+
+    - ``subsample=True`` writes 4:2:0 (2×2-averaged chroma);
+    - ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+      MCUs/blocks (exercises the decoder's restart/resync path in every
+      scan type);
+    - ``progressive=True`` writes SOF2 with a libjpeg-style successive-
+      approximation scan script (DC/AC first + refinement passes, EOB
+      runs);
+    - ``separate_scans=True`` (baseline only) writes one non-interleaved
+      scan per component — the legal baseline multi-scan layout;
+    - 4-channel input stores the planes as given (Adobe ink-inverted
+      convention) with an APP14 marker: ``adobe_transform=0`` (CMYK,
+      the default) or ``2`` (YCCK — YCC transform over C'M'Y')."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     H, W = arr.shape[:2]
-    gray = arr.shape[2] == 1
+    nch = arr.shape[2]
+    if nch not in (1, 3, 4):
+        raise ValueError(f"encode_jpeg: {nch}-channel input unsupported")
+    if nch == 4 and subsample:
+        raise ValueError("encode_jpeg: CMYK is written 4:4:4 only")
+    if progressive and separate_scans:
+        raise ValueError("encode_jpeg: separate_scans is a baseline "
+                         "layout (progressive has its own scan script)")
+    gray = nch == 1
     ql = _quality_scale(_QL, quality)
     qc = _quality_scale(_QC, quality)
     dc_syms = list(range(12))
-    ac_syms = sorted({0x00, 0xF0} | {(r << 4) | s
-                                     for r in range(16)
-                                     for s in range(1, 11)})
+    # EOBn symbols (r<<4, s=0) are required by progressive refinement
+    ac_syms = sorted({0xF0} | {r << 4 for r in range(15)}
+                     | {(r << 4) | s for r in range(16)
+                        for s in range(1, 11)})
     dc_tab = _HuffTable(*_flat_table(dc_syms, 5))
     ac_tab = _HuffTable(*_flat_table(ac_syms, 9))
 
+    def _fwd_ycc(r, g, b):
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        return y, cb, cr
+
     if gray:
-        y = arr[:, :, 0].astype(np.float64) - 128.0
-        planes = [(y, ql, 1, 1)]
+        planes = [(arr[:, :, 0].astype(np.float64) - 128.0, ql, 1, 1)]
+    elif nch == 4:
+        cmyk = arr.astype(np.float64)
+        if adobe_transform is None:
+            adobe_transform = 0
+        if adobe_transform == 2:                   # YCCK
+            y, cb, cr = _fwd_ycc(cmyk[:, :, 0], cmyk[:, :, 1],
+                                 cmyk[:, :, 2])
+            chans = [y, cb, cr, cmyk[:, :, 3]]
+        elif adobe_transform == 0:
+            chans = [cmyk[:, :, c] for c in range(4)]
+        else:
+            raise ValueError("encode_jpeg: adobe_transform must be 0 "
+                             "(CMYK) or 2 (YCCK) for 4-channel input")
+        planes = [(c - 128.0, ql, 1, 1) for c in chans]
     else:
         rgb = arr.astype(np.float64)
-        y = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
-             + 0.114 * rgb[:, :, 2]) - 128.0
-        cb = 128.0 + (-0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1]
-                      + 0.5 * rgb[:, :, 2]) - 128.0
-        cr = 128.0 + (0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1]
-                      - 0.081312 * rgb[:, :, 2]) - 128.0
+        y, cb, cr = _fwd_ycc(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
+        y = y - 128.0
+        cb = cb - 128.0
+        cr = cr - 128.0
         if subsample:
             def _avg2(p):
                 hh = (p.shape[0] + 1) // 2 * 2
@@ -533,45 +884,106 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
         else:
             planes = [(y, ql, 1, 1), (cb, qc, 1, 1), (cr, qc, 1, 1)]
 
+    nc = len(planes)
     hmax = max(p[2] for p in planes)
     vmax = max(p[3] for p in planes)
     mcux = -(-W // (8 * hmax))
     mcuy = -(-H // (8 * vmax))
 
-    padded = []
+    qcoef = []                                     # natural-order ints
+    grids = []                                     # own-grid (wb, hb)
     for p, q, ch, cv in planes:
         ph, pw = mcuy * cv * 8, mcux * ch * 8
         pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
                     mode="edge")
-        padded.append((pp, q, ch, cv))
+        qcoef.append(_quant_blocks(pp, q))
+        cw = -(-W * ch // hmax)
+        chh = -(-H * cv // vmax)
+        grids.append((-(-cw // 8), -(-chh // 8)))
 
-    def _coef(pp, q, by, bx):
-        block = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-        f = _C @ block @ _C.T
-        return np.round(f.reshape(64) / q.astype(np.float64)
-                        ).astype(np.int64)
+    def _rst_break(bw: _BitWriter, rst_n: int,
+                   states: "list[_ProgState] | None" = None) -> None:
+        if states:
+            for st in states:
+                st.flush(bw, ac_tab)
+        bw.flush()
+        bw.out.extend(bytes([0xFF, 0xD0 + (rst_n & 7)]))
 
-    bw = _BitWriter()
-    preds = [0] * len(padded)
-    mcu_n = 0
-    rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_n \
-                    and mcu_n % restart_interval == 0:
-                bw.flush()
-                bw.out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
-                rst += 1
-                preds = [0] * len(padded)
-            for ci, (pp, q, ch, cv) in enumerate(padded):
-                for by in range(cv):
-                    for bx in range(ch):
-                        coefs = _coef(pp, q, my * cv + by, mx * ch + bx)
-                        preds[ci] = _encode_block(bw, coefs, preds[ci],
-                                                  dc_tab, ac_tab)
-            mcu_n += 1
-    bw.flush()
+    # ---- entropy emission per scan -> list of (sos_header, bytes) ----
+    scan_payloads: list[tuple[bytes, bytes]] = []
 
+    def _sos_header(comp_ids: list[int], ss: int, se: int,
+                    ah: int, al: int) -> bytes:
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00])           # DC table 0, AC table 0
+        return sos + bytes([ss, se, (ah << 4) | al])
+
+    def _units(comp_ids: list[int]):
+        if len(comp_ids) > 1:                      # interleaved MCUs
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    blocks = []
+                    for ci in comp_ids:
+                        ch, cv = planes[ci][2], planes[ci][3]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                blocks.append((ci, my * cv + by,
+                                               mx * ch + bx))
+                    yield blocks
+        else:                                      # own grid
+            ci = comp_ids[0]
+            wb, hb = grids[ci]
+            for by in range(hb):
+                for bx in range(wb):
+                    yield [(ci, by, bx)]
+
+    def _emit_scan(comp_ids: list[int], ss: int, se: int,
+                   ah: int, al: int) -> None:
+        bw = _BitWriter()
+        preds = {ci: 0 for ci in comp_ids}
+        state = _ProgState()
+        rst_n = 0
+        unit_idx = 0
+        for blocks in _units(comp_ids):
+            if restart_interval and unit_idx \
+                    and unit_idx % restart_interval == 0:
+                _rst_break(bw, rst_n, [state])
+                rst_n += 1
+                preds = dict.fromkeys(preds, 0)
+            for ci, by, bx in blocks:
+                nat = qcoef[ci][by, bx]
+                zz = nat[ZIGZAG]
+                if not progressive:                # baseline full block
+                    preds[ci] = _emit_dc(bw, dc_tab, int(zz[0]),
+                                         preds[ci])
+                    _emit_ac_first(bw, ac_tab, zz, 1, 63, 0, state)
+                    state.flush(bw, ac_tab)        # plain EOB per block
+                elif ss == 0 and ah == 0:          # DC first
+                    preds[ci] = _emit_dc(bw, dc_tab,
+                                         int(zz[0]) >> al, preds[ci])
+                elif ss == 0:                      # DC refine
+                    bw.write((int(zz[0]) >> al) & 1, 1)
+                elif ah == 0:                      # AC first
+                    _emit_ac_first(bw, ac_tab, zz, ss, se, al, state)
+                else:                              # AC refine
+                    _emit_ac_refine(bw, ac_tab, zz, ss, se, al, state)
+            unit_idx += 1
+        state.flush(bw, ac_tab)
+        bw.flush()
+        scan_payloads.append((_sos_header(comp_ids, ss, se, ah, al),
+                              bytes(bw.out)))
+
+    if progressive:
+        for comp_ids, ss, se, ah, al in _default_script(nc):
+            _emit_scan(comp_ids, ss, se, ah, al)
+    elif separate_scans:
+        for ci in range(nc):
+            _emit_scan([ci], 0, 63, 0, 0)
+    else:
+        _emit_scan(list(range(nc)), 0, 63, 0, 0)
+
+    # ------------------------------------------------ file assembly --
     out = bytearray(b"\xff\xd8")
 
     def seg(marker: int, body: bytes) -> None:
@@ -579,26 +991,26 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
         out.extend(struct.pack(">H", len(body) + 2))
         out.extend(body)
 
+    if nch == 4:
+        seg(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0,
+                                         adobe_transform))
     seg(0xDB, bytes([0]) + bytes(ql[ZIGZAG].astype(np.uint8)))
-    if not gray:
+    if nc > 1:
         seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8)))
-    nc = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, H, W, nc)
     for ci in range(nc):
         ch, cv = (planes[ci][2], planes[ci][3])
-        sof += bytes([ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1])
-    seg(0xC0, sof)
+        q_id = 0 if (gray or nch == 4 or ci == 0) else 1
+        sof += bytes([ci + 1, (ch << 4) | cv, q_id])
+    seg(0xC2 if progressive else 0xC0, sof)
     counts, syms = _flat_table(dc_syms, 5)
     seg(0xC4, bytes([0x00]) + bytes(counts) + syms)
     counts, syms = _flat_table(ac_syms, 9)
     seg(0xC4, bytes([0x10]) + bytes(counts) + syms)
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([nc])
-    for ci in range(nc):
-        sos += bytes([ci + 1, 0x00])               # DC table 0, AC table 0
-    sos += bytes([0, 63, 0])
-    seg(0xDA, sos)
-    out.extend(bw.out)
+    for sos, payload in scan_payloads:
+        seg(0xDA, sos)
+        out.extend(payload)
     out.extend(b"\xff\xd9")
     return bytes(out)

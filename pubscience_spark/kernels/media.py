@@ -2,12 +2,12 @@
 
 The container has no Pillow/soundfile/ffmpeg, but the formats that matter
 need no codec library — PNG is zlib (stdlib) + per-scanline filters, BMP
-and PGM/PPM are raw pixels, WAV is framed PCM, and baseline JPEG (the
-dominant web format) is implemented from the public T.81 spec in
-:mod:`.jpeg` (markers → Huffman entropy decode → vectorized IDCT →
-chroma upsample). Remaining compressed formats (progressive JPEG, MP3,
-H.264, …) surface as an ``unsupported-format``/named error column, never
-a task failure. Swap in Pillow/soundfile on a production cluster for the
+and PGM/PPM are raw pixels, WAV is framed PCM, and JPEG (the dominant
+web format — baseline AND progressive, multi-scan, Adobe CMYK/YCCK) is
+implemented from the public T.81 spec in :mod:`.jpeg` (markers →
+Huffman entropy decode → vectorized IDCT → chroma upsample). Remaining
+compressed formats (arithmetic-coded JPEG, MP3, H.264, …) surface as an
+``unsupported-format``/named error column, never a task failure. Swap in Pillow/soundfile on a production cluster for the
 long tail; the Spark plan and schemas do not change.
 
 All features are deterministic functions of the pixel/sample data, so the

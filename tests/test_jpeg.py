@@ -188,3 +188,149 @@ def test_exif_survives_following_xmp_app1():
     raw2 = raw[:cut] + seg + raw[cut:]
     assert np.array_equal(jpeg.decode_jpeg(raw2), jpeg.decode_jpeg(raw))
     assert jpeg.decode_jpeg(raw2).shape == (32, 24, 3)   # rotated
+
+
+# ---------------------------------------------- round-5: multi-scan --
+
+def test_progressive_roundtrip_color():
+    """Full successive-approximation script (DC/AC first + two
+    refinement rounds + DC refinement + EOB runs) must reproduce the
+    image as well as baseline does — the coefficients are identical,
+    only the scan order differs."""
+    img = _test_image()
+    raw = jpeg.encode_jpeg(img, quality=90, progressive=True)
+    assert b"\xff\xc2" in raw and b"\xff\xc0" not in raw
+    assert raw.count(b"\xff\xda") > 3             # a real scan script
+    dec = jpeg.decode_jpeg(raw)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    assert dec.shape == img.shape
+    assert _psnr(dec, img) >= 36
+    # same coefficients -> near-identical output (rounding only)
+    assert np.max(np.abs(dec.astype(int) - base.astype(int))) <= 1
+
+
+def test_progressive_roundtrip_gray_subsampled_odd():
+    g = _test_image()[:, :, :1]
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=95,
+                                            progressive=True))
+    assert dec.shape == g.shape and _psnr(dec, g) >= 40
+    odd = _test_image()[:37, :41]
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(odd, quality=85,
+                                            subsample=True,
+                                            progressive=True))
+    assert dec.shape == odd.shape and _psnr(dec, odd) >= 33
+
+
+def test_progressive_restart_markers():
+    img = _test_image(48, 48)
+    raw = jpeg.encode_jpeg(img, quality=90, progressive=True,
+                           restart_interval=3)
+    assert any(bytes([0xFF, 0xD0 + i]) in raw for i in range(8))
+    dec = jpeg.decode_jpeg(raw)
+    assert _psnr(dec, img) >= 36
+
+
+def test_baseline_separate_scans():
+    """Legal baseline multi-scan layout: one non-interleaved scan per
+    component (round-4 review asked for a named error here; decoding
+    it properly is strictly better)."""
+    img = _test_image()
+    raw = jpeg.encode_jpeg(img, quality=90, separate_scans=True)
+    assert raw.count(b"\xff\xda") == 3
+    one = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    dec = jpeg.decode_jpeg(raw)
+    assert np.max(np.abs(dec.astype(int) - one.astype(int))) <= 1
+    # subsampled variant exercises the Y component's OWN block grid
+    # (ceil(W/8), not the MCU grid) in the non-interleaved scan
+    sub = jpeg.encode_jpeg(_test_image(36, 20), quality=90,
+                           subsample=True, separate_scans=True)
+    dec = jpeg.decode_jpeg(sub)
+    assert dec.shape == (36, 20, 3)
+    assert _psnr(dec, _test_image(36, 20)) >= 33
+
+
+def _cmyk_to_rgb_ref(cmyk_inv):
+    c = cmyk_inv.astype(float)
+    return np.clip(np.round(
+        np.stack([c[:, :, 0] * c[:, :, 3], c[:, :, 1] * c[:, :, 3],
+                  c[:, :, 2] * c[:, :, 3]], axis=2) / 255.0),
+        0, 255).astype(np.uint8)
+
+
+def test_cmyk_adobe_roundtrip():
+    """4-component Adobe CMYK (transform 0): planes stored ink-inverted;
+    decoder converts to RGB multiplicatively."""
+    rng = np.random.RandomState(11)
+    smooth = np.cumsum(rng.randn(28, 36, 4), axis=1)
+    cmyk = np.clip(128 + 40 * smooth / np.abs(smooth).max(),
+                   0, 255).astype(np.uint8)
+    raw = jpeg.encode_jpeg(cmyk, quality=95)
+    assert b"Adobe" in raw
+    dec = jpeg.decode_jpeg(raw)
+    assert dec.shape == (28, 36, 3)
+    assert _psnr(dec, _cmyk_to_rgb_ref(cmyk)) >= 34
+
+
+def test_ycck_adobe_roundtrip():
+    rng = np.random.RandomState(12)
+    smooth = np.cumsum(rng.randn(24, 32, 4), axis=0)
+    cmyk = np.clip(128 + 40 * smooth / np.abs(smooth).max(),
+                   0, 255).astype(np.uint8)
+    raw = jpeg.encode_jpeg(cmyk, quality=95, adobe_transform=2)
+    dec = jpeg.decode_jpeg(raw)
+    assert dec.shape == (24, 32, 3)
+    assert _psnr(dec, _cmyk_to_rgb_ref(cmyk)) >= 32
+
+
+def test_cmyk_progressive_roundtrip():
+    rng = np.random.RandomState(13)
+    smooth = np.cumsum(rng.randn(24, 24, 4), axis=1)
+    cmyk = np.clip(128 + 40 * smooth / np.abs(smooth).max(),
+                   0, 255).astype(np.uint8)
+    raw = jpeg.encode_jpeg(cmyk, quality=95, progressive=True)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(cmyk, quality=95))
+    dec = jpeg.decode_jpeg(raw)
+    assert np.max(np.abs(dec.astype(int) - base.astype(int))) <= 1
+
+
+def test_nonbaseline_named_errors():
+    raw = bytearray(jpeg.encode_jpeg(_test_image(16, 16), quality=80))
+    i = raw.find(b"\xff\xc0")
+    for sof, msg in ((0xCA, "arithmetic"), (0xC3, "lossless")):
+        bad = bytearray(raw)
+        bad[i + 1] = sof
+        with pytest.raises(jpeg.JpegError, match=msg):
+            jpeg.decode_jpeg(bytes(bad))
+
+
+def test_progressive_truncated_and_corrupt():
+    img = _test_image(32, 32)
+    raw = jpeg.encode_jpeg(img, quality=80, progressive=True)
+    for cut in (len(raw) // 3, 2 * len(raw) // 3):
+        with pytest.raises(jpeg.JpegError):
+            jpeg.decode_jpeg(raw[:cut])
+
+
+def test_progressive_eob_runs_and_flat_regions():
+    """Flat regions many blocks wide force multi-block EOB runs with
+    DEFERRED correction bits (the trickiest refinement path); the
+    detailed strip forces interleaved newly-nonzero codes."""
+    rng = np.random.RandomState(21)
+    img = np.full((64, 96, 3), 180, dtype=np.uint8)
+    img[24:40, :, :] = np.clip(
+        128 + 60 * rng.randn(16, 96, 3), 0, 255).astype(np.uint8)
+    raw = jpeg.encode_jpeg(img, quality=85, progressive=True)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85))
+    dec = jpeg.decode_jpeg(raw)
+    assert np.max(np.abs(dec.astype(int) - base.astype(int))) <= 1
+    assert _psnr(dec, img) >= 30
+    # with subsampling + restarts together: the random-color strip makes
+    # 4:2:0 inherently lossy (~20 dB), so compare against BASELINE 4:2:0
+    # — same coefficients, only the scan order differs
+    raw2 = jpeg.encode_jpeg(img, quality=85, progressive=True,
+                            subsample=True, restart_interval=5)
+    dec2 = jpeg.decode_jpeg(raw2)
+    base2 = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85,
+                                              subsample=True))
+    assert dec2.shape == img.shape
+    assert np.max(np.abs(dec2.astype(int) - base2.astype(int))) <= 1
