@@ -1238,6 +1238,74 @@ def harvest_links(objs: dict) -> list[str]:
     return sorted(found)
 
 
+_N_COMPONENTS = {"DeviceRGB": 3, "CalRGB": 3, "DeviceGray": 1,
+                 "CalGray": 1}
+
+
+def harvest_images(objs: "ObjMap | dict") -> list[dict]:
+    """Embedded image XObjects (the reference's fitz path reads these
+    transparently — parse_pdfs.py:221-229): one record per /Subtype
+    /Image stream, document order.
+
+    - ``DCTDecode`` images yield the embedded JPEG file bytes in
+      ``data`` (any preceding filters + document decryption applied) —
+      decode with :mod:`kernels.jpeg` / ``media.decode_image``;
+    - Flate/LZW raw-sample images at 8 bpc DeviceRGB/DeviceGray yield
+      decoded ``samples`` (H, W, C) uint8 directly;
+    - anything else (JPX, JBIG2, CCITT, indexed palettes, 1/4-bit
+      depths) sets ``error`` — the error-column contract, never a
+      raise."""
+    import numpy as np
+    out: list[dict] = []
+    for num in sorted(k for k in objs if isinstance(k, int)):
+        obj = objs[num]
+        if not isinstance(obj, Stream):
+            continue
+        d = obj.dict
+        if str(_resolve(d.get("Subtype"), objs)) != "Image":
+            continue
+        w = int(_resolve(d.get("Width"), objs) or 0)
+        h = int(_resolve(d.get("Height"), objs) or 0)
+        filters = _resolve(d.get("Filter"), objs)
+        if filters is None:
+            filters = []
+        if not isinstance(filters, list):
+            filters = [filters]
+        filters = [str(_resolve(f, objs)) for f in filters]
+        rec = {"num": num, "width": w, "height": h,
+               "filter": filters[-1] if filters else None,
+               "data": None, "samples": None, "error": None}
+        try:
+            if filters and filters[-1] == "DCTDecode":
+                # strip the terminal DCT stage; decode_stream applies
+                # decryption + the remaining cascade -> JPEG file bytes
+                pre = Stream(dict(d), obj.raw, obj.num, obj.gen)
+                pre.dict["Filter"] = filters[:-1]
+                parms = _resolve(d.get("DecodeParms")
+                                 or d.get("DP"), objs)
+                if isinstance(parms, list):
+                    pre.dict["DecodeParms"] = parms[:-1]
+                pre.dict.pop("DP", None)
+                rec["data"] = decode_stream(pre, objs)
+            else:
+                data = decode_stream(obj, objs)
+                bpc = int(_resolve(d.get("BitsPerComponent"), objs) or 8)
+                cs = _resolve(d.get("ColorSpace"), objs)
+                ncomp = _N_COMPONENTS.get(str(cs))
+                if bpc != 8 or ncomp is None:
+                    raise ValueError(
+                        f"unsupported-image:{cs}/{bpc}bpc")
+                need = w * h * ncomp
+                if len(data) < need:
+                    raise ValueError("image-data-short")
+                rec["samples"] = np.frombuffer(
+                    data[:need], dtype=np.uint8).reshape(h, w, ncomp)
+        except ValueError as exc:
+            rec["error"] = str(exc)[:200]
+        out.append(rec)
+    return out
+
+
 def _text_string(val: bytes) -> str:
     """PDF text-string decode: UTF-16BE with BOM (the normal modern-
     producer encoding), UTF-8 with BOM (PDF 2.0), else PDFDocEncoding

@@ -568,3 +568,96 @@ def test_info_text_string_boms():
            b"%%EOF\n")
     objs = pdfobj.scan_objects(raw)
     assert pdfobj.document_info(objs)["Producer"] == "Scänner Pro"
+
+
+# ------------------------------------------- embedded image XObjects ----
+
+def _classic_obj(num: int, d: dict, stream: bytes | None = None) -> bytes:
+    body = f"{num} 0 obj\n".encode("ascii") + _ser(d)
+    if stream is not None:
+        body += (b"\nstream\n" + stream + b"\nendstream")
+    return body + b"\nendobj\n"
+
+
+def _pdf_with_images() -> tuple[bytes, "object"]:
+    """Classic-layout PDF embedding: a baseline JPEG XObject
+    (DCTDecode), a Flate raw RGB image, and a JPX one (unsupported →
+    error record). Returns (pdf_bytes, expected_jpeg_pixels)."""
+    import numpy as np
+    from pubscience_spark.kernels import jpeg
+    img = np.zeros((24, 32, 3), dtype=np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, 32)[None, :]
+    img[:, :, 1] = 120
+    jpg = jpeg.encode_jpeg(img, quality=95)
+    rgb = np.arange(16 * 8 * 3, dtype=np.uint8).reshape(16, 8, 3)
+    out = bytearray(b"%PDF-1.5\n")
+    out += _classic_obj(1, {"Type": N("Catalog"), "Pages": R(2, 0)})
+    out += _classic_obj(2, {"Type": N("Pages"), "Kids": [R(3, 0)],
+                            "Count": 1})
+    out += _classic_obj(3, {"Type": N("Page"), "Parent": R(2, 0),
+                            "Resources": {"XObject": {"Im0": R(4, 0),
+                                                      "Im1": R(5, 0),
+                                                      "Im2": R(6, 0)}}})
+    out += _classic_obj(4, {"Type": N("XObject"), "Subtype": N("Image"),
+                            "Width": 32, "Height": 24,
+                            "ColorSpace": N("DeviceRGB"),
+                            "BitsPerComponent": 8,
+                            "Filter": N("DCTDecode"),
+                            "Length": len(jpg)}, jpg)
+    flate = zlib.compress(rgb.tobytes())
+    out += _classic_obj(5, {"Type": N("XObject"), "Subtype": N("Image"),
+                            "Width": 8, "Height": 16,
+                            "ColorSpace": N("DeviceRGB"),
+                            "BitsPerComponent": 8,
+                            "Filter": N("FlateDecode"),
+                            "Length": len(flate)}, flate)
+    out += _classic_obj(6, {"Type": N("XObject"), "Subtype": N("Image"),
+                            "Width": 4, "Height": 4,
+                            "ColorSpace": N("DeviceRGB"),
+                            "BitsPerComponent": 8,
+                            "Filter": N("JPXDecode"),
+                            "Length": 4}, b"\x00\x00\x00\x00")
+    out += b"%%EOF\n"
+    return bytes(out), jpeg.decode_jpeg(jpg)
+
+
+def test_harvest_images_kernel():
+    import numpy as np
+    raw, jpeg_pixels = _pdf_with_images()
+    objs = pdfobj.parse_document(raw)
+    images = pdfobj.harvest_images(objs)
+    assert [im["filter"] for im in images] == \
+        ["DCTDecode", "FlateDecode", "JPXDecode"]
+    # DCT record carries the JPEG file bytes, decodable to known pixels
+    from pubscience_spark.kernels import jpeg as J
+    dec = J.decode_jpeg(images[0]["data"])
+    assert dec.shape == (24, 32, 3)
+    assert np.array_equal(dec, jpeg_pixels)
+    # raw Flate image decodes to the exact samples
+    assert images[1]["samples"].shape == (16, 8, 3)
+    assert images[1]["samples"][0, 0, 2] == 2
+    # unsupported codec → error record, no raise
+    assert images[2]["error"] and "JPXDecode" not in (
+        images[2]["error"] or "")[:0]  # error is set
+
+
+def test_pdf_image_features_spark_route(spark):
+    import numpy as np
+    from pubscience_spark.operators.multimodal import pdf_image_features
+    raw, jpeg_pixels = _pdf_with_images()
+    df = spark.createDataFrame([("pdf://a", bytearray(raw)),
+                                ("pdf://bad", bytearray(b"not a pdf"))],
+                               "url string, content binary")
+    rows = {(r["url"], r["image_index"]): r
+            for r in pdf_image_features(df).collect()}
+    a0 = rows[("pdf://a", 0)]
+    assert (a0["width"], a0["height"]) == (32, 24)
+    assert a0["filter"] == "DCTDecode" and a0["error"] is None
+    assert len(a0["feature"]) > 0
+    a1 = rows[("pdf://a", 1)]
+    assert (a1["width"], a1["height"]) == (8, 16) and a1["error"] is None
+    a2 = rows[("pdf://a", 2)]
+    assert a2["error"] and a2["feature"] is None
+    # corrupt input degrades to an error row for the document
+    bad = rows[("pdf://bad", None)]
+    assert bad["error"]
