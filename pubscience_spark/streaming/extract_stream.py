@@ -141,6 +141,55 @@ def run_incremental(spark: SparkSession, input_dir: str, out_dir: str,
     }
 
 
+def run_incremental_curated(spark: SparkSession, input_dir: str,
+                            out_dir: str, *, n_buckets: int = 32,
+                            timeout_s: int = 600,
+                            key_cols: tuple = ("sha256", "dedup_key"),
+                            ) -> dict:
+    """:func:`run_incremental` composed with CROSS-RUN dedup: a document
+    arriving in today's delta that duplicates one committed by an
+    earlier run is dropped, because keepers live in a persistent index
+    (``out_dir/dedup_index``) that every invocation consults and
+    appends to — the streaming analog of the batch pipeline's
+    resume-safe slim-join dedup (``plans/pipeline.py``).
+
+    Protocol per invocation: catch-up extraction (availableNow) → mark
+    the NEW batches' rows against ``load_keeper_index`` → append the
+    surviving rows to ``out_dir/curated`` (dynamic overwrite scoped by
+    batch_id — retry-idempotent) → append the new keepers to the index
+    AFTER the data commit (crash between the two appends only re-marks
+    rows on retry; the index re-aggregates min() on read, so duplicate
+    appends are harmless). No new input → no-op with zeroed counters."""
+    from ..operators import dedup as dedup_ops
+
+    res = run_incremental(spark, input_dir, out_dir,
+                          n_buckets=n_buckets, timeout_s=timeout_s)
+    curated_path = os.path.join(out_dir, "curated")
+    index_path = os.path.join(out_dir, "dedup_index")
+    res.update({"curated_path": curated_path, "index_path": index_path,
+                "curated_rows": 0, "dups_dropped": 0})
+    if not res["new_batches"]:
+        return res
+    delta = (spark.read.parquet(res["extracted_path"])
+             .where(F.col("batch_id").isin(res["new_batches"])))
+    prior = dedup_ops.load_keeper_index(spark, index_path)
+    marked, new_index = dedup_ops.mark_duplicates_incremental(
+        delta, list(key_cols), "url", prior)
+    curated = marked.where(~F.col("is_duplicate")).drop("is_duplicate")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    curated.write.mode("overwrite").partitionBy("batch_id") \
+        .parquet(curated_path)
+    new_index.write.mode("append").parquet(index_path)
+    dedup_ops.unpersist_input(marked)
+    n_delta = delta.count()
+    n_curated = (spark.read.parquet(curated_path)
+                 .where(F.col("batch_id").isin(res["new_batches"]))
+                 .count())
+    res.update({"curated_rows": n_curated,
+                "dups_dropped": n_delta - n_curated})
+    return res
+
+
 def _lineage_batches(spark: SparkSession, lineage_path: str) -> dict:
     """{batch_id: row_count} from the lineage log ({} if none yet)."""
     try:

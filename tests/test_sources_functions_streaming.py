@@ -260,3 +260,49 @@ def test_run_incremental_delta_only_and_idempotent(spark, tmp_path):
     assert ext.count() == n1 + n2
     assert ext.select("url").distinct().count() \
         == spark.read.parquet(str(in_dir)).select("url").distinct().count()
+
+
+def test_run_incremental_curated_cross_run_dedup(spark, tmp_path):
+    """VERDICT r4 #6: a duplicate arriving in batch 2 of a batch-1
+    document is dropped ACROSS runs via the persistent keeper index;
+    re-running with no new input is a no-op."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pubscience_spark.datagen.pages import write_pages_parquet
+    from pubscience_spark.streaming.extract_stream import \
+        run_incremental_curated
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    write_pages_parquet(str(in_dir / "a.parquet"), 30, seed=11)
+    r1 = run_incremental_curated(spark, str(in_dir), out, n_buckets=4)
+    assert r1["curated_rows"] > 0
+
+    # batch 2: fresh docs plus 4 re-serves of batch-1 pages under new
+    # urls (identical bytes -> identical extracted text -> same sha256)
+    write_pages_parquet(str(in_dir / "b.parquet"), 9, seed=12)
+    t = pq.read_table(str(in_dir / "a.parquet")).slice(0, 4)
+    t = t.set_column(t.schema.get_field_index("url"), "url",
+                     pc.binary_join_element_wise(
+                         t.column("url").cast(pa.string()),
+                         pa.array(["?mirror=1"] * 4), ""))
+    pq.write_table(t, str(in_dir / "c.parquet"))
+    r2 = run_incremental_curated(spark, str(in_dir), out, n_buckets=4)
+    assert r2["rows_written"] == 13
+    assert r2["dups_dropped"] >= 4            # the mirrors died cross-run
+    assert r2["curated_rows"] <= 9
+
+    # no key appears twice across the whole curated corpus
+    cur = spark.read.parquet(r2["curated_path"])
+    assert cur.groupBy("sha256").count().where("count > 1").count() == 0
+    assert cur.groupBy("dedup_key").count().where("count > 1").count() == 0
+    # none of the mirror urls survived
+    assert cur.where(cur.url.contains("mirror=1")).count() == 0
+
+    # idempotent third run
+    r3 = run_incremental_curated(spark, str(in_dir), out, n_buckets=4)
+    assert r3["curated_rows"] == 0 and r3["dups_dropped"] == 0
+    assert spark.read.parquet(r3["curated_path"]).count() \
+        == r1["curated_rows"] + r2["curated_rows"]
