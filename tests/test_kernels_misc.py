@@ -196,3 +196,58 @@ def test_hash_kernels_chunk_boundary_equivalence(monkeypatch):
     monkeypatch.setattr(H, "_SHINGLE_CHUNK", 7)
     assert H.minhash_signature(text) == sig_ref
     assert H.simhash(text) == sim_ref
+
+
+def test_segment_stats_oracle_parity_general_text():
+    """The promoted segment_stats DuckDB oracle (round 5) replays the
+    boundary rule + greedy packing at the TOKEN level (boundary = token
+    ending in a terminator followed by a capital-initial token, guard on
+    that token alone) — exact vs the CPython kernels on adversarial
+    English and under fuzz, not just on the fixture corpus."""
+    import random
+
+    import duckdb
+
+    from pubscience_spark.kernels.segment import (chunk_sentences,
+                                                  split_sentences)
+    from pubscience_spark.queries import SQL_SEGMENT_STATS
+
+    con = duckdb.connect()
+    sql = SQL_SEGMENT_STATS.replace(
+        "FROM documents", "FROM (SELECT 1 AS doc_id, ? AS text)")
+
+    def oracle(t):
+        r = con.execute(sql, [t]).fetchone()
+        return (r[1], r[2])
+
+    def kernel(t):
+        s = split_sentences(t)
+        return (len(s), len(chunk_sentences(s, 64)))
+
+    cases = [
+        "Hello world. This is fine! Done?",
+        "Dr. Smith went home. OK then.",
+        "Prof. X et al. Fig. 3 shows it. New sentence.",
+        "word " * 200,
+        ("A long opening sentence here. " * 10) + "Short tail.",
+        "No terminators at all just words",
+        "Ends mid",
+        "Wait... Really? Yes!",
+        "",
+        "   ",
+        "e.g. This merges. i.e. So does this. But not this one.",
+        "A. B. C single letters. Real sentence here.",
+        "Weird   spacing.   Next one!   Done.",
+        "num 3. 4 digits. Also 9. Ok.",
+        "(paren.) Next. Inner (x.) Y.",
+        "\u00c9. Unicode single letter guard. Real one.",
+    ]
+    for t in cases:
+        assert oracle(t) == kernel(t), t
+    rng = random.Random(3)
+    words = ["foo", "Bar", "baz.", "Dr.", "e.g.", "X.", "qux!", "Wh?",
+             "3", "al.", "No", "yes...", "(a.)", "B", "\u00e9."]
+    for _ in range(300):
+        t = " ".join(rng.choice(words)
+                     for _ in range(rng.randrange(0, 40)))
+        assert oracle(t) == kernel(t), t
