@@ -52,7 +52,7 @@ N_BUCKETS = 4 * CPUS  # fixed across all runs: same plan, same granularity
 SCALE_LOW = int(os.environ.get("BENCH_SCALE_LOW", "2"))
 SCALE_HIGH = 4 * SCALE_LOW
 TRIALS = int(os.environ.get("BENCH_TRIALS", "2"))
-SCALE_TRIALS = int(os.environ.get("BENCH_SCALE_TRIALS", "2"))
+SCALE_TRIALS = int(os.environ.get("BENCH_SCALE_TRIALS", "3"))
 QUERY_TRIALS = int(os.environ.get("BENCH_QUERY_TRIALS", "3"))
 
 
@@ -188,12 +188,27 @@ def main() -> None:
     scaling = None
     if os.environ.get("BENCH_SCALING", "1") != "0":
         scale_path = ensure_pages(max(2000, N_PAGES // 3))
-        low_wall, n_scale = timed_extraction(SCALE_LOW, scale_path,
-                                             trials=SCALE_TRIALS,
-                                             equalize_load=True)
-        high_wall_s, _ = timed_extraction(SCALE_HIGH, scale_path,
-                                          trials=SCALE_TRIALS,
-                                          equalize_load=True)
+        # INTERLEAVED pairs: each trial times low then high back-to-back
+        # so box-load drift hits both levels of a pair equally; the
+        # reported efficiency is the MEDIAN same-window pair (min-per-
+        # level across separate windows conflates drift with scaling,
+        # and max-of-pairs can exceed 1.0 on one lucky high run —
+        # measured pair spread on this box is 0.77-1.04, so the median
+        # of three is the defensible robust estimator; the raw pairs
+        # ship in the JSON for transparency)
+        walls_low: list[float] = []
+        walls_high: list[float] = []
+        pair_effs: list[float] = []
+        n_scale = 0
+        for _ in range(SCALE_TRIALS):
+            lw, n_scale = timed_extraction(SCALE_LOW, scale_path,
+                                           trials=1, equalize_load=True)
+            hw, _ = timed_extraction(SCALE_HIGH, scale_path,
+                                     trials=1, equalize_load=True)
+            walls_low.append(lw)
+            walls_high.append(hw)
+            pair_effs.append(lw / (hw * (SCALE_HIGH / SCALE_LOW)))
+        low_wall, high_wall_s = min(walls_low), min(walls_high)
         tp_low = n_scale / low_wall
         tp_high = n_scale / high_wall_s
         scaling = {
@@ -202,8 +217,9 @@ def main() -> None:
             "secs_low": round(low_wall, 3), "secs_high": round(high_wall_s, 3),
             "docs_per_sec_low": round(tp_low, 1),
             "docs_per_sec_high": round(tp_high, 1),
-            "efficiency": round(tp_high / (tp_low * (SCALE_HIGH / SCALE_LOW)),
+            "efficiency": round(sorted(pair_effs)[len(pair_effs) // 2],
                                 4),
+            "efficiency_pairs": [round(p, 4) for p in pair_effs],
         }
 
     # headline throughput at full parallelism (best-of-TRIALS), then the
