@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -217,8 +218,9 @@ def main() -> None:
             "secs_low": round(low_wall, 3), "secs_high": round(high_wall_s, 3),
             "docs_per_sec_low": round(tp_low, 1),
             "docs_per_sec_high": round(tp_high, 1),
-            "efficiency": round(sorted(pair_effs)[len(pair_effs) // 2],
-                                4),
+            # statistics.median averages the middle two on even trial
+            # counts — upper-middle alone would report the lucky pair
+            "efficiency": round(statistics.median(pair_effs), 4),
             "efficiency_pairs": [round(p, 4) for p in pair_effs],
         }
 

@@ -1264,18 +1264,22 @@ def harvest_images(objs: "ObjMap | dict") -> list[dict]:
         d = obj.dict
         if str(_resolve(d.get("Subtype"), objs)) != "Image":
             continue
-        w = int(_resolve(d.get("Width"), objs) or 0)
-        h = int(_resolve(d.get("Height"), objs) or 0)
-        filters = _resolve(d.get("Filter"), objs)
-        if filters is None:
-            filters = []
-        if not isinstance(filters, list):
-            filters = [filters]
-        filters = [str(_resolve(f, objs)) for f in filters]
-        rec = {"num": num, "width": w, "height": h,
-               "filter": filters[-1] if filters else None,
+        rec = {"num": num, "width": 0, "height": 0, "filter": None,
                "data": None, "samples": None, "error": None}
+        # per-image contract: ANY malformation (garbage /Width, corrupt
+        # zlib/LZW data, bad filter chain) lands in the error field —
+        # one broken image must not raise past the healthy ones
         try:
+            w = int(_resolve(d.get("Width"), objs) or 0)
+            h = int(_resolve(d.get("Height"), objs) or 0)
+            rec["width"], rec["height"] = w, h
+            filters = _resolve(d.get("Filter"), objs)
+            if filters is None:
+                filters = []
+            if not isinstance(filters, list):
+                filters = [filters]
+            filters = [str(_resolve(f, objs)) for f in filters]
+            rec["filter"] = filters[-1] if filters else None
             if filters and filters[-1] == "DCTDecode":
                 # strip the terminal DCT stage; decode_stream applies
                 # decryption + the remaining cascade -> JPEG file bytes
@@ -1300,8 +1304,9 @@ def harvest_images(objs: "ObjMap | dict") -> list[dict]:
                     raise ValueError("image-data-short")
                 rec["samples"] = np.frombuffer(
                     data[:need], dtype=np.uint8).reshape(h, w, ncomp)
-        except ValueError as exc:
-            rec["error"] = str(exc)[:200]
+        except Exception as exc:                   # zlib.error, KeyError
+            rec["error"] = \
+                f"{type(exc).__name__}: {exc}"[:200]
         out.append(rec)
     return out
 

@@ -276,68 +276,95 @@ def pq_topk_join(codes_df: DataFrame, queries: DataFrame,
     from pyspark import StorageLevel
     spark = codes_df.sparkSession
     sc = spark.sparkContext
-    slim = (queries.select(F.col(id_col).cast("long").alias("qid"),
-                           F.col(vec_col).alias("qv"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
     bcs = []
     try:
-        n_q = slim.count()
-        if not n_q:
-            return _empty_topk(spark)
-        n_chunks = max(1, -(-n_q // chunk_size))
-        chunked = slim.withColumn(
-            "chunk", F.pmod(F.xxhash64(F.col("qid")), F.lit(n_chunks)))
-        m, dsub = codebook.m, codebook.dsub
-        cents = codebook.centroids
-        for c in range(n_chunks):
-            q_rows = chunked.where(F.col("chunk") == c) \
-                .select("qid", "qv").collect()
-            if not q_rows:
-                continue
-            q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
-            qx = _unit_rows(np.array([r["qv"] for r in q_rows],
-                                     dtype=np.float32))
-            _check_dim(qx, codebook, "pq_topk_join")
-            tables = np.stack([
-                qx[:, j * dsub:(j + 1) * dsub] @ cents[j].T
-                for j in range(m)], axis=1)       # (nq_chunk, m, 256)
-            bcs.append(sc.broadcast((q_ids, tables)))
-    finally:
-        slim.unpersist()
+        slim = (queries.select(F.col(id_col).cast("long").alias("qid"),
+                               F.col(vec_col).alias("qv"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        try:
+            n_q = slim.count()
+            if not n_q:
+                return _empty_topk(spark)
+            n_chunks = max(1, -(-n_q // chunk_size))
+            chunked = slim.withColumn(
+                "chunk", F.pmod(F.xxhash64(F.col("qid")),
+                                F.lit(n_chunks)))
+            m, dsub = codebook.m, codebook.dsub
+            cents = codebook.centroids
+            for c in range(n_chunks):
+                q_rows = chunked.where(F.col("chunk") == c) \
+                    .select("qid", "qv").collect()
+                if not q_rows:
+                    continue
+                q_ids = np.array([r["qid"] for r in q_rows],
+                                 dtype=np.int64)
+                qx = _unit_rows(np.array([r["qv"] for r in q_rows],
+                                         dtype=np.float32))
+                _check_dim(qx, codebook, "pq_topk_join")
+                tables = np.stack([
+                    qx[:, j * dsub:(j + 1) * dsub] @ cents[j].T
+                    for j in range(m)], axis=1)   # (nq_chunk, m, 256)
+                bcs.append(sc.broadcast((q_ids, tables)))
+        finally:
+            slim.unpersist()
 
-    table_bytes = max(1, chunk_size * m * 256 * 4)
-    cap = max(1, int(live_tables_mb * (1 << 20)) // table_bytes)
+        table_bytes = max(1, chunk_size * m * 256 * 4)
+        cap = max(1, int(live_tables_mb * (1 << 20)) // table_bytes)
 
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from collections import OrderedDict
-        live: "OrderedDict[int, tuple]" = OrderedDict()
+        def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from collections import OrderedDict
+            live: "OrderedDict[int, tuple]" = OrderedDict()
 
-        def _load(i: int) -> tuple:
-            v = live.pop(i, None)
-            if v is None:
-                v = bcs[i].value
-                if len(live) >= cap:              # evict LRU chunk
-                    old, _ = live.popitem(last=False)
-                    try:       # drop the cached deserialized value so
-                        del bcs[old]._value       # the memory is freed;
-                    except AttributeError:        # .value reloads from
-                        pass                      # the local file later
-            live[i] = v
-            return v
+            def _load(i: int) -> tuple:
+                v = live.pop(i, None)
+                if v is None:
+                    v = bcs[i].value
+                    if len(live) >= cap:          # evict a chunk
+                        old, _ = live.popitem(last=False)
+                        # drop the Broadcast's cached value ONLY in
+                        # file-backed mode (.value reloads from the
+                        # executor-local file). With spark.io
+                        # .encryption the value arrives eagerly over a
+                        # socket, _path is unset and the object pins it
+                        # regardless — deleting would make the next
+                        # access raise instead of freeing anything.
+                        if getattr(bcs[old], "_path", None) is not None:
+                            try:
+                                del bcs[old]._value
+                            except AttributeError:
+                                pass
+                live[i] = v
+                return v
 
-        for b in it:
-            codes = np.stack(
-                b["codes"].map(lambda c: np.frombuffer(c, dtype=np.uint8)))
-            ids = b["id"].to_numpy()
-            for i in range(len(bcs)):
-                b_ids, b_tables = _load(i)
-                yield _score_chunk(b_ids, b_tables, codes, ids, k, m)
+            flip = False
+            for b in it:
+                codes = np.stack(
+                    b["codes"].map(
+                        lambda c: np.frombuffer(c, dtype=np.uint8)))
+                ids = b["id"].to_numpy()
+                # boustrophedon chunk order: a fixed ascending sweep is
+                # LRU's pathological case once cap < n_chunks (100% miss
+                # every batch); alternating direction keeps the cap-1
+                # chunks at the turn-around hot across batch boundaries
+                order = range(len(bcs) - 1, -1, -1) if flip \
+                    else range(len(bcs))
+                flip = not flip
+                for i in order:
+                    b_ids, b_tables = _load(i)
+                    yield _score_chunk(b_ids, b_tables, codes, ids, k, m)
 
-    cands = (codes_df
-             .select(F.col("id"), F.col("codes"))
-             .mapInPandas(_batches, schema=_TOPK_SCHEMA)
-             .where(F.col("query_id") != F.col("neighbor_id"))
-             .localCheckpoint(eager=True))        # ONE corpus scan, here
+        cands = (codes_df
+                 .select(F.col("id"), F.col("codes"))
+                 .mapInPandas(_batches, schema=_TOPK_SCHEMA)
+                 .where(F.col("query_id") != F.col("neighbor_id"))
+                 .localCheckpoint(eager=True))    # ONE corpus scan, here
+    except BaseException:
+        for bc in bcs:                            # no torrent-blob leak
+            try:                                  # on a failed chunk
+                bc.destroy()                      # build or scan
+            except Exception:
+                pass
+        raise
     for bc in bcs:
         bc.destroy()
     return _rank_topk(cands, k)

@@ -613,7 +613,13 @@ def q_segment_stats(spark, sf_dir):
 
 SQL_SEGMENT_STATS = r"""
 WITH seg AS (
-  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+  -- token class mirrors Python \S exactly: RE2's \s is ASCII-only, so
+  -- \x0b, \x1c-\x1f, \x85 and the Unicode Z categories (NBSP, em-space,
+  -- line/para separators) are added by hand — validated char-by-char
+  -- against str.isspace() in the parity pytest
+  SELECT doc_id,
+    regexp_extract_all(text, '[^\s\x0b\x1c-\x1f\x85\p{Z}]+') AS toks
+  FROM documents),
 bnd AS (
   SELECT doc_id, len(toks) AS n,
     list_filter(range(1, len(toks)), i ->

@@ -153,37 +153,54 @@ def run_incremental_curated(spark: SparkSession, input_dir: str,
     appends to — the streaming analog of the batch pipeline's
     resume-safe slim-join dedup (``plans/pipeline.py``).
 
-    Protocol per invocation: catch-up extraction (availableNow) → mark
-    the NEW batches' rows against ``load_keeper_index`` → append the
-    surviving rows to ``out_dir/curated`` (dynamic overwrite scoped by
-    batch_id — retry-idempotent) → append the new keepers to the index
-    AFTER the data commit (crash between the two appends only re-marks
-    rows on retry; the index re-aggregates min() on read, so duplicate
-    appends are harmless). No new input → no-op with zeroed counters."""
+    Protocol per invocation: catch-up extraction (availableNow) →
+    PENDING = committed lineage batches minus batches already present
+    in ``out_dir/curated`` (NOT this invocation's lineage diff — the
+    streaming checkpoint commits independently of the curation writes,
+    so a crash between them would otherwise orphan the batch forever;
+    round-5 review) → mark the pending rows against
+    ``load_keeper_index`` → append the new keepers to the index FIRST,
+    then the surviving rows to ``curated`` (dynamic overwrite scoped by
+    batch_id). Crash between the two writes is safe in THIS order: the
+    batch stays pending (absent from curated), and the retry's marking
+    sees its own keepers as committed priors — priors win with the
+    identical deterministic min-url value, so the retry produces the
+    same curated rows and appends nothing new to the index. The index
+    re-aggregates min() on read, so duplicate appends are harmless.
+    No pending work → no-op with zeroed counters."""
     from ..operators import dedup as dedup_ops
 
     res = run_incremental(spark, input_dir, out_dir,
                           n_buckets=n_buckets, timeout_s=timeout_s)
     curated_path = os.path.join(out_dir, "curated")
     index_path = os.path.join(out_dir, "dedup_index")
+    committed = set(_lineage_batches(
+        spark, os.path.join(out_dir, "lineage")))
+    try:
+        done = {r["batch_id"] for r in spark.read.parquet(curated_path)
+                .select("batch_id").distinct().collect()}
+    except Exception:
+        done = set()
+    pending = sorted(committed - done)
     res.update({"curated_path": curated_path, "index_path": index_path,
+                "pending_batches": pending,
                 "curated_rows": 0, "dups_dropped": 0})
-    if not res["new_batches"]:
+    if not pending:
         return res
     delta = (spark.read.parquet(res["extracted_path"])
-             .where(F.col("batch_id").isin(res["new_batches"])))
+             .where(F.col("batch_id").isin(pending)))
     prior = dedup_ops.load_keeper_index(spark, index_path)
     marked, new_index = dedup_ops.mark_duplicates_incremental(
         delta, list(key_cols), "url", prior)
     curated = marked.where(~F.col("is_duplicate")).drop("is_duplicate")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    new_index.write.mode("append").parquet(index_path)
     curated.write.mode("overwrite").partitionBy("batch_id") \
         .parquet(curated_path)
-    new_index.write.mode("append").parquet(index_path)
     dedup_ops.unpersist_input(marked)
     n_delta = delta.count()
     n_curated = (spark.read.parquet(curated_path)
-                 .where(F.col("batch_id").isin(res["new_batches"]))
+                 .where(F.col("batch_id").isin(pending))
                  .count())
     res.update({"curated_rows": n_curated,
                 "dups_dropped": n_delta - n_curated})

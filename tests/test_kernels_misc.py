@@ -241,6 +241,11 @@ def test_segment_stats_oracle_parity_general_text():
         "num 3. 4 digits. Also 9. Ok.",
         "(paren.) Next. Inner (x.) Y.",
         "\u00c9. Unicode single letter guard. Real one.",
+        # Unicode whitespace: Python \\s is Unicode-aware, RE2's is
+        # ASCII — the oracle's token class adds \\p{Z} etc. by hand
+        "One sentence.\u00a0Next sentence here.",
+        "Em\u2003space. Between!\u2029Para separator. End.",
+        "tab\x1cseparated.\x85Next one.",
     ]
     for t in cases:
         assert oracle(t) == kernel(t), t
@@ -251,3 +256,9 @@ def test_segment_stats_oracle_parity_general_text():
         t = " ".join(rng.choice(words)
                      for _ in range(rng.randrange(0, 40)))
         assert oracle(t) == kernel(t), t
+    # every char Python considers whitespace, used as the boundary gap
+    ws = [chr(c) for c in range(0x3001) if chr(c).isspace()]
+    assert "\u00a0" in ws and len(ws) > 20
+    for ch in ws:
+        t = f"First one.{ch}Second sentence here."
+        assert oracle(t) == kernel(t), hex(ord(ch))

@@ -661,3 +661,38 @@ def test_pdf_image_features_spark_route(spark):
     # corrupt input degrades to an error row for the document
     bad = rows[("pdf://bad", None)]
     assert bad["error"]
+
+
+def test_harvest_images_corrupt_streams_become_error_records():
+    """Round-5 review: zlib.error from corrupt FlateDecode, LZW KeyError,
+    and garbage /Width must land in the per-image error field — one
+    broken image never takes down the healthy ones."""
+    import numpy as np
+    from pubscience_spark.kernels import jpeg
+    img = np.full((8, 8, 3), 99, dtype=np.uint8)
+    jpg = jpeg.encode_jpeg(img, quality=90)
+    out = bytearray(b"%PDF-1.5\n")
+    out += _classic_obj(1, {"Type": N("XObject"), "Subtype": N("Image"),
+                            "Width": 8, "Height": 8,
+                            "ColorSpace": N("DeviceRGB"),
+                            "BitsPerComponent": 8,
+                            "Filter": N("FlateDecode"),
+                            "Length": 9}, b"not zlib!")
+    out += _classic_obj(2, {"Type": N("XObject"), "Subtype": N("Image"),
+                            "Width": N("garbage"), "Height": 8,
+                            "ColorSpace": N("DeviceRGB"),
+                            "BitsPerComponent": 8,
+                            "Length": 3}, b"\x00\x01\x02")
+    out += _classic_obj(3, {"Type": N("XObject"), "Subtype": N("Image"),
+                            "Width": 8, "Height": 8,
+                            "ColorSpace": N("DeviceRGB"),
+                            "BitsPerComponent": 8,
+                            "Filter": N("DCTDecode"),
+                            "Length": len(jpg)}, jpg)
+    out += b"%%EOF\n"
+    images = pdfobj.harvest_images(pdfobj.parse_document(bytes(out)))
+    assert len(images) == 3
+    assert "error" in images[0] and images[0]["error"]      # zlib.error
+    assert images[1]["error"]                               # bad /Width
+    assert images[2]["error"] is None                       # healthy JPEG
+    assert images[2]["data"] is not None

@@ -306,3 +306,45 @@ def test_run_incremental_curated_cross_run_dedup(spark, tmp_path):
     assert r3["curated_rows"] == 0 and r3["dups_dropped"] == 0
     assert spark.read.parquet(r3["curated_path"]).count() \
         == r1["curated_rows"] + r2["curated_rows"]
+
+
+def test_run_incremental_curated_recovers_orphaned_batches(spark, tmp_path):
+    """Round-5 review: the streaming checkpoint commits independently of
+    the curation writes, so pending work must be derived from
+    lineage-minus-curated, not the invocation's own lineage diff.
+    Scenario A: extraction committed, curation never ran (crash before
+    both writes). Scenario B: index written, curated partition lost
+    (crash between the two writes) — retry is idempotent."""
+    import shutil
+
+    from pubscience_spark.datagen.pages import write_pages_parquet
+    from pubscience_spark.streaming.extract_stream import (
+        run_incremental, run_incremental_curated)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    write_pages_parquet(str(in_dir / "a.parquet"), 25, seed=21)
+    # scenario A: plain incremental run = checkpoint committed, no curation
+    r0 = run_incremental(spark, str(in_dir), out, n_buckets=4)
+    assert r0["rows_written"] > 0
+    r1 = run_incremental_curated(spark, str(in_dir), out, n_buckets=4)
+    assert r1["rows_written"] == 0                # stream had nothing new
+    assert r1["pending_batches"] == sorted(r0["new_batches"])
+    assert r1["curated_rows"] > 0                 # orphans recovered
+    cur = spark.read.parquet(r1["curated_path"])
+    n_before = cur.count()
+    keys_before = sorted(r["sha256"] for r in cur.select("sha256").collect())
+
+    # scenario B: kill one curated batch partition (index already has its
+    # keepers) and retry — identical rows come back, index grows nothing
+    bid = r1["pending_batches"][0]
+    shutil.rmtree(f"{r1['curated_path']}/batch_id={bid}")
+    idx_before = spark.read.parquet(r1["index_path"]).count()
+    r2 = run_incremental_curated(spark, str(in_dir), out, n_buckets=4)
+    assert r2["pending_batches"] == [bid]
+    cur2 = spark.read.parquet(r2["curated_path"])
+    assert cur2.count() == n_before
+    assert sorted(r["sha256"] for r in cur2.select("sha256").collect()) \
+        == keys_before
+    assert spark.read.parquet(r2["index_path"]).count() == idx_before
