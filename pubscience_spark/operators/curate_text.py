@@ -143,6 +143,78 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
                         _top_ngram_char_fraction(words, 3, max_words)))
 
 
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                     "with")
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher/MassiveText QUALITY signal set (the companion of
+    :func:`gopher_repetition`'s repetition rules), all native HOF
+    expressions — embarrassingly parallel, no shuffle, survives any
+    scale-up:
+
+    - ``n_words`` (Gopher keeps 50..100,000)
+    - ``mean_word_len`` (keeps 3..10)
+    - ``symbol_word_ratio`` — '#' or '…'/'...' occurrences per word
+      (keeps ≤ 0.1)
+    - ``bullet_line_frac`` — lines starting with a bullet (keeps ≤ 0.9)
+    - ``ellipsis_line_frac`` — lines ending with an ellipsis
+      (keeps ≤ 0.3)
+    - ``alpha_word_frac`` — words containing at least one alphabetic
+      character (keeps ≥ 0.8)
+    - ``n_required_stopwords`` — how many of Gopher's eight stop words
+      appear (keeps ≥ 2)
+    - ``gopher_quality_pass`` — the published thresholds applied, as a
+      convenience; the signal columns stay so callers can re-threshold.
+    """
+    col = F.col(text_col)
+    words = _words(col)
+    lines = _lines(col)
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    total_word_chars = F.aggregate(
+        words, F.lit(0), lambda a, w: a + F.length(w))
+    mean_wl = F.when(n_words > 0,
+                     total_word_chars / n_words).otherwise(F.lit(0.0))
+    n_symbols = (F.size(F.split(col, r"#", -1)) - 1
+                 + F.size(F.split(col, r"\.\.\.", -1)) - 1
+                 + F.size(F.split(col, "…", -1)) - 1)
+    sym_ratio = F.when(n_words > 0,
+                       n_symbols / n_words).otherwise(F.lit(0.0))
+    bullet = F.size(F.filter(
+        lines, lambda ln: F.trim(ln)
+        .rlike(r"^([•‣▪●⁃\-\*])\s")))
+    bullet_frac = F.when(n_lines > 0,
+                         bullet / n_lines).otherwise(F.lit(0.0))
+    ellipsis = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln)
+        .rlike(r"(\.\.\.|…)$")))
+    ellipsis_frac = F.when(n_lines > 0,
+                           ellipsis / n_lines).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0,
+                        alpha / n_words).otherwise(F.lit(0.0))
+    n_stop = F.size(F.array_intersect(       # _words already lowercases
+        words, F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])))
+    out = (df
+           .withColumn("n_words", n_words.cast("long"))
+           .withColumn("mean_word_len", F.round(mean_wl, 6))
+           .withColumn("symbol_word_ratio", F.round(sym_ratio, 6))
+           .withColumn("bullet_line_frac", F.round(bullet_frac, 6))
+           .withColumn("ellipsis_line_frac", F.round(ellipsis_frac, 6))
+           .withColumn("alpha_word_frac", F.round(alpha_frac, 6))
+           .withColumn("n_required_stopwords", n_stop.cast("long")))
+    return out.withColumn(
+        "gopher_quality_pass",
+        (F.col("n_words").between(50, 100_000)
+         & F.col("mean_word_len").between(3.0, 10.0)
+         & (F.col("symbol_word_ratio") <= 0.1)
+         & (F.col("bullet_line_frac") <= 0.9)
+         & (F.col("ellipsis_line_frac") <= 0.3)
+         & (F.col("alpha_word_frac") >= 0.8)
+         & (F.col("n_required_stopwords") >= 2)))
+
+
 def ngram_hashes(df: DataFrame, id_col: str, text_col: str = "text",
                  n: int = 13) -> DataFrame:
     """Slim ``(id, ngram_hash)`` rows: xxhash64 over each word n-gram.

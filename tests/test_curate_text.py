@@ -208,3 +208,65 @@ def test_curation_funnel_paragraph_dedup_stage(spark, tmp_path):
     m2 = curate_corpus(spark, docs, os.path.join(str(tmp_path), "pd2"),
                        min_chars=50, min_words=10, neardup_threshold=0.99)
     assert m2["paragraph_dedup"] is None
+
+
+def test_gopher_quality_signals_bruteforce(spark):
+    """Native gopher_quality signals vs a per-doc python reimplementation
+    of the published MassiveText C1 rules."""
+    import re
+
+    from pubscience_spark.operators.curate_text import gopher_quality
+
+    good = ("The quick brown fox jumps over the lazy dog and then "
+            "continues to run with great speed across the field. " * 4)
+    docs = {
+        1: good,
+        2: "short text",                               # < 50 words
+        3: "- item one\n- item two\n- item three\nnot a bullet line",
+        4: "Trailing thought...\nAnother one…\nplain line\nplain too",
+        5: "#tag #tag #tag " + good,
+        6: "12 34 56 78 " * 30,                        # numeric words
+        7: "",
+    }
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+
+    def brute(t):
+        words = t.strip().lower().split()
+        lines = [ln.strip() for ln in t.split("\n") if ln.strip()]
+        n_w, n_l = len(words), len(lines)
+        mean_wl = sum(map(len, words)) / n_w if n_w else 0.0
+        n_sym = t.count("#") + t.count("...") + t.count("…")
+        bullets = sum(bool(re.match(r"^([•‣▪●⁃\-\*])\s", ln))
+                      for ln in lines)
+        ells = sum(ln.endswith("...") or ln.endswith("…")
+                   for ln in lines)
+        alpha = sum(bool(re.search(r"[a-z]", w)) for w in words)
+        stops = len(set(words) & {"the", "be", "to", "of", "and",
+                                  "that", "have", "with"})
+        return {
+            "n_words": n_w,
+            "mean_word_len": round(mean_wl, 6),
+            "symbol_word_ratio": round(n_sym / n_w, 6) if n_w else 0.0,
+            "bullet_line_frac": round(bullets / n_l, 6) if n_l else 0.0,
+            "ellipsis_line_frac": round(ells / n_l, 6) if n_l else 0.0,
+            "alpha_word_frac": round(alpha / n_w, 6) if n_w else 0.0,
+            "n_required_stopwords": stops,
+        }
+
+    for did, t in docs.items():
+        want = brute(t)
+        got = {k: rows[did][k] for k in want}
+        assert got == want, (did, got, want)
+    assert rows[1]["gopher_quality_pass"] is True
+    for did in (2, 3, 6, 7):
+        assert rows[did]["gopher_quality_pass"] is False, did
+
+
+def test_gopher_quality_plan_is_native(spark):
+    from pubscience_spark.operators.curate_text import gopher_quality
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = gopher_quality(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
