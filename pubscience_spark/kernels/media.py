@@ -2,7 +2,8 @@
 
 The container has no Pillow/soundfile/ffmpeg, but the formats that matter
 need no codec library — PNG is zlib (stdlib) + per-scanline filters, BMP
-and PGM/PPM are raw pixels, WAV is framed PCM, and JPEG (the dominant
+and PGM/PPM are raw pixels, TIFF is strips of raw/LZW/Deflate/PackBits
+samples (:mod:`.tiff`), WAV is framed PCM, and JPEG (the dominant
 web format — baseline AND progressive, multi-scan, Adobe CMYK/YCCK) is
 implemented from the public T.81 spec in :mod:`.jpeg` (markers →
 Huffman entropy decode → vectorized IDCT → chroma upsample). Remaining
@@ -212,6 +213,9 @@ def decode_image(raw: bytes) -> np.ndarray:
     if raw[:6] in (b"GIF87a", b"GIF89a"):
         from .gif import decode_gif
         return decode_gif(raw)
+    if raw[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+        return decode_tiff(raw)
     raise UnsupportedFormat("unsupported-format: "
                             + (raw[:4].hex() if raw else "empty"))
 

@@ -1,0 +1,181 @@
+"""Baseline TIFF 6.0 decoder — stdlib (zlib) + numpy + the LZW kernel.
+
+TIFF is the remaining common still-image container after PNG/BMP/PNM/
+JPEG/GIF (scanned documents, print pipelines, and the EXIF structure
+itself is a TIFF IFD). Supported, per the public TIFF 6.0 spec:
+
+- both byte orders (II/MM), classic 32-bit offsets,
+- strip organization (RowsPerStrip + StripOffsets/StripByteCounts),
+- compression: 1 none, 5 LZW (the PDF ``LZWDecode`` algorithm —
+  :func:`kernels.pdfobj.lzw_decode` is reused), 8 / 32946 Deflate,
+  32773 PackBits,
+- Predictor 2 (horizontal differencing),
+- PhotometricInterpretation 0 (WhiteIsZero, inverted), 1 (BlackIsZero),
+  2 (RGB); 8-bit samples, chunky planar config, 1 / 3 / 4 samples per
+  pixel (4 = RGB + unassociated alpha, alpha dropped).
+
+Anything else (tiles, 16-bit, palette, CCITT, JPEG-in-TIFF, planar) is
+a named :class:`TiffError` — the error-column contract.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+class TiffError(ValueError):
+    pass
+
+
+# (tag) -> short name, for errors only
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8}
+
+
+def _read_ifd(raw: bytes, e: str, off: int) -> dict[int, list[int]]:
+    if off + 2 > len(raw):
+        raise TiffError("tiff-truncated-ifd")
+    n = struct.unpack(e + "H", raw[off:off + 2])[0]
+    tags: dict[int, list[int]] = {}
+    for k in range(n):
+        p = off + 2 + 12 * k
+        ent = raw[p:p + 12]
+        if len(ent) < 12:
+            raise TiffError("tiff-truncated-ifd")
+        tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+        size = _TYPE_SIZES.get(typ)
+        if size is None:
+            continue
+        total = size * cnt
+        data = ent[8:12] if total <= 4 else None
+        if data is None:
+            voff = struct.unpack(e + "I", ent[8:12])[0]
+            data = raw[voff:voff + total]
+            if len(data) < total:
+                raise TiffError("tiff-truncated-value")
+        if typ in (3,):                            # SHORT
+            vals = list(struct.unpack(e + "H" * cnt, data[:2 * cnt]))
+        elif typ in (4, 9):                        # LONG/SLONG
+            vals = list(struct.unpack(e + "I" * cnt, data[:4 * cnt]))
+        elif typ in (1, 2, 6, 7):                  # BYTE-ish
+            vals = list(data[:cnt])
+        else:                                      # RATIONAL etc: skip
+            continue
+        tags[tag] = vals
+    return tags
+
+
+def _unpackbits(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expect:
+        c = data[i]
+        i += 1
+        if c < 128:                                # literal run
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:                              # replicate run
+            if i >= n:
+                raise TiffError("tiff-truncated-packbits")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # 128 = no-op
+    return bytes(out)
+
+
+def decode_tiff(raw: bytes) -> np.ndarray:
+    """(H, W, C) uint8 (C = 1 gray or 3 RGB). Raises :class:`TiffError`
+    on malformed or unsupported input, never IndexError & co."""
+    try:
+        return _decode(raw)
+    except TiffError:
+        raise
+    except (IndexError, KeyError, ValueError, struct.error,
+            zlib.error) as exc:
+        raise TiffError(f"tiff-corrupt: {type(exc).__name__}") from exc
+
+
+def _decode(raw: bytes) -> np.ndarray:
+    if raw[:4] == b"II*\x00":
+        e = "<"
+    elif raw[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise TiffError("not-a-tiff")
+    ifd_off = struct.unpack(e + "I", raw[4:8])[0]
+    t = _read_ifd(raw, e, ifd_off)
+
+    def one(tag, default=None):
+        v = t.get(tag)
+        if v is None:
+            if default is None:
+                raise TiffError(f"tiff-missing-tag-{tag}")
+            return default
+        return v[0]
+
+    w = one(256)
+    h = one(257)
+    if not (w and h):
+        raise TiffError("tiff-zero-dims")
+    spp = one(277, 1)
+    bits = t.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise TiffError(f"tiff-{bits[0]}bit-unsupported")
+    comp = one(259, 1)
+    photo = one(262, 1)
+    planar = one(284, 1)
+    predictor = one(317, 1)
+    if planar != 1:
+        raise TiffError("tiff-planar-unsupported")
+    if 322 in t or 323 in t:
+        raise TiffError("tiff-tiles-unsupported")
+    if 320 in t or photo == 3:
+        raise TiffError("tiff-palette-unsupported")
+    if photo not in (0, 1, 2):
+        raise TiffError(f"tiff-photometric-{photo}-unsupported")
+    if spp not in (1, 3, 4):
+        raise TiffError(f"tiff-{spp}-samples-unsupported")
+    offsets = t.get(273)
+    counts = t.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise TiffError("tiff-missing-strips")
+    rows_per_strip = one(278, h)
+
+    row_bytes = w * spp
+    out = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        data = raw[off:off + cnt]
+        if len(data) < cnt:
+            raise TiffError("tiff-truncated-strip")
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        expect = nrows * row_bytes
+        if comp == 1:
+            chunk = data[:expect]
+        elif comp == 5:
+            from .pdfobj import lzw_decode
+            chunk = lzw_decode(data, early_change=1)[:expect]
+        elif comp in (8, 32946):
+            chunk = zlib.decompress(data)[:expect]
+        elif comp == 32773:
+            chunk = _unpackbits(data, expect)
+        else:
+            raise TiffError(f"tiff-compression-{comp}-unsupported")
+        if len(chunk) < expect:
+            raise TiffError("tiff-short-strip")
+        out += chunk
+
+    arr = np.frombuffer(bytes(out), dtype=np.uint8) \
+        .reshape(h, w, spp).copy()
+    if predictor == 2:                             # horizontal diff
+        np.cumsum(arr, axis=1, dtype=np.uint8, out=arr)
+    elif predictor != 1:
+        raise TiffError(f"tiff-predictor-{predictor}-unsupported")
+    if photo == 0:                                 # WhiteIsZero
+        arr = 255 - arr
+    if spp == 4:                                   # drop alpha
+        arr = np.ascontiguousarray(arr[:, :, :3])
+    return arr

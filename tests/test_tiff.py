@@ -1,0 +1,263 @@
+"""TIFF 6.0 decoder (kernels/tiff): exact round trips against an
+in-test writer for every supported compression (none / LZW / Deflate /
+PackBits), Predictor 2, both byte orders, WhiteIsZero, RGBA, multi-
+strip layouts, and the named error paths. TIFF is lossless, so every
+round trip is exact equality, not PSNR."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from pubscience_spark.kernels import media, tiff
+from pubscience_spark.kernels.pdfobj import lzw_decode
+
+
+# ----------------------------------------------------- mini writer ----
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF/PDF LZW (early-change variable width); the decoder round
+    trip in the tests is the alignment proof."""
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+
+    d = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    put(256, width)
+    prev = b""
+    for b in data:
+        nxt = prev + bytes([b])
+        if nxt in d:
+            prev = nxt
+            continue
+        put(d[prev], width)
+        d[nxt] = next_code
+        next_code += 1
+        # the encoder's next_code runs one emission AHEAD of the
+        # decoder's, so early-change alignment needs no +1 here
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        prev = bytes([b])
+        if next_code >= 4093:
+            put(256, width)
+            d = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+    if prev:
+        put(d[prev], width)
+    put(257, width)
+    if nbits:
+        put(0, 8 - nbits)
+    return bytes(out)
+
+
+def _write_tiff(arr: np.ndarray, *, comp: int = 1, endian: str = "<",
+                photometric: int | None = None,
+                predictor: int = 1,
+                rows_per_strip: int | None = None) -> bytes:
+    h, w = arr.shape[:2]
+    spp = arr.shape[2] if arr.ndim == 3 else 1
+    data = arr.reshape(h, w * spp)
+    if predictor == 2:
+        # first sample of each row stays raw; the rest become deltas
+        px = data.reshape(h, w, spp).astype(np.int16)
+        data = np.diff(px, axis=1,
+                       prepend=np.zeros((h, 1, spp), dtype=np.int16)) \
+            .astype(np.uint8).reshape(h, w * spp)
+    if photometric is None:
+        photometric = 1 if spp == 1 else 2
+    if photometric == 0:
+        data = 255 - data
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        raw_strip = data[y0:y0 + rps].tobytes()
+        if comp == 1:
+            strips.append(raw_strip)
+        elif comp == 5:
+            strips.append(_lzw_encode(raw_strip))
+        elif comp in (8, 32946):
+            strips.append(zlib.compress(raw_strip))
+        elif comp == 32773:
+            # naive packbits: literal runs of ≤128 + replicate runs
+            sb = bytearray()
+            i = 0
+            s = raw_strip
+            while i < len(s):
+                j = i
+                while j + 1 < len(s) and s[j + 1] == s[j] \
+                        and j - i < 127:
+                    j += 1
+                if j > i:                           # replicate run
+                    sb += bytes([257 - (j - i + 1), s[i]])
+                    i = j + 1
+                else:
+                    j = i
+                    while j < len(s) and j - i < 128 \
+                            and not (j + 1 < len(s)
+                                     and s[j + 1] == s[j]):
+                        j += 1
+                    sb += bytes([j - i - 1]) + s[i:j]
+                    i = j
+            strips.append(bytes(sb))
+        else:
+            raise AssertionError(comp)
+
+    e = endian
+    header_mag = b"II*\x00" if e == "<" else b"MM\x00*"
+    n_strips = len(strips)
+    tags = [(256, 3, 1, w), (257, 3, 1, h), (258, 3, spp, None),
+            (259, 3, 1, comp), (262, 3, 1, photometric),
+            (273, 4, n_strips, None), (277, 3, 1, spp),
+            (278, 3, 1, rps), (279, 4, n_strips, None),
+            (284, 3, 1, 1), (317, 3, 1, predictor)]
+    # layout: header(8) + IFD + value arrays + strip data
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(tags) + 4
+    extra_off = ifd_off + ifd_size
+    extras = bytearray()
+
+    def arr_value(typ, values):
+        nonlocal extras
+        fmt = "H" if typ == 3 else "I"
+        size = 2 if typ == 3 else 4
+        packed = b"".join(struct.pack(e + fmt, v) for v in values)
+        if len(packed) <= 4:
+            return None, packed.ljust(4, b"\x00")
+        off = extra_off + len(extras)
+        extras += packed
+        return off, None
+
+    strip_data_off = None  # patched later
+    body = bytearray()
+    body += struct.pack(e + "H", len(tags))
+    deferred = {}
+    for tag, typ, cnt, val in tags:
+        if tag == 258:
+            values = [8] * spp
+        elif tag == 273:
+            values = [0] * n_strips                 # patch later
+            deferred[273] = len(body) + 8
+        elif tag == 279:
+            values = [len(s) for s in strips]
+        else:
+            values = [val]
+        off, inline = arr_value(typ, values)
+        body += struct.pack(e + "HHI", tag, typ, cnt)
+        if inline is not None:
+            if tag == 273:
+                deferred[273] = ("inline", len(body))
+            body += inline
+        else:
+            if tag == 273:
+                deferred[273] = ("extra", off - extra_off)
+            body += struct.pack(e + "I", off)
+    body += struct.pack(e + "I", 0)                 # next IFD
+
+    strip_base = extra_off + len(extras)
+    offs = []
+    pos = strip_base
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    kind, where = deferred[273]
+    packed = b"".join(struct.pack(e + "I", o) for o in offs)
+    if kind == "inline":
+        body[where:where + 4] = packed.ljust(4, b"\x00")
+    else:
+        extras[where:where + len(packed)] = packed
+    return header_mag + struct.pack(e + "I", ifd_off) + bytes(body) \
+        + bytes(extras) + b"".join(strips)
+
+
+def _img(h=23, w=31, c=3, seed=5):
+    rng = np.random.RandomState(seed)
+    base = np.linspace(0, 255, w)[None, :, None] * np.ones((h, 1, c))
+    noise = rng.randint(0, 40, (h, w, c))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------------- tests ----
+
+def test_lzw_encoder_roundtrips_through_kernel_decoder():
+    rng = np.random.RandomState(1)
+    cases = [b"", b"a", b"ab" * 3000, bytes(rng.randint(0, 8, 20000,
+                                                        dtype=np.uint8)),
+             bytes(rng.randint(0, 256, 6000, dtype=np.uint8)),
+             bytes(10000)]
+    for data in cases:
+        assert lzw_decode(_lzw_encode(data), early_change=1) == data
+
+
+def test_roundtrip_all_compressions():
+    img = _img()
+    for comp in (1, 5, 8, 32946, 32773):
+        raw = _write_tiff(img, comp=comp)
+        dec = tiff.decode_tiff(raw)
+        assert np.array_equal(dec, img), comp
+
+
+def test_roundtrip_big_endian_and_gray():
+    g = _img(c=1)
+    for e in ("<", ">"):
+        assert np.array_equal(tiff.decode_tiff(_write_tiff(g, endian=e)),
+                              g)
+
+
+def test_white_is_zero_inverts():
+    g = _img(c=1)
+    raw = _write_tiff(g, photometric=0)
+    assert np.array_equal(tiff.decode_tiff(raw), g)
+
+
+def test_predictor2_horizontal_differencing():
+    img = _img()
+    for comp in (5, 8):
+        raw = _write_tiff(img, comp=comp, predictor=2)
+        assert np.array_equal(tiff.decode_tiff(raw), img), comp
+
+
+def test_multi_strip_layouts():
+    img = _img(h=37)
+    for rps in (1, 5, 16, 37):
+        for comp in (1, 5, 32773):
+            raw = _write_tiff(img, comp=comp, rows_per_strip=rps)
+            assert np.array_equal(tiff.decode_tiff(raw), img), (rps, comp)
+
+
+def test_rgba_drops_alpha():
+    img4 = _img(c=4)
+    dec = tiff.decode_tiff(_write_tiff(img4))
+    assert np.array_equal(dec, img4[:, :, :3])
+
+
+def test_media_dispatch_and_features():
+    img = _img()
+    arr = media.decode_image(_write_tiff(img, comp=8))
+    assert np.array_equal(arr, img)
+    feats = media.image_feature_vec(arr)
+    assert len(feats) > 0 and all(np.isfinite(feats))
+
+
+def test_error_paths():
+    with pytest.raises(tiff.TiffError, match="not-a-tiff"):
+        tiff.decode_tiff(b"nope")
+    raw = bytearray(_write_tiff(_img()))
+    with pytest.raises(tiff.TiffError):
+        tiff.decode_tiff(bytes(raw[:40]))           # truncated
+    # unsupported compression id -> named error
+    bad = bytearray(_write_tiff(_img(), comp=1))
+    i = bad.find(struct.pack("<HHI", 259, 3, 1))
+    bad[i + 8:i + 10] = struct.pack("<H", 7)        # JPEG-in-TIFF
+    with pytest.raises(tiff.TiffError, match="compression-7"):
+        tiff.decode_tiff(bytes(bad))
