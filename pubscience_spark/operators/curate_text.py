@@ -167,6 +167,18 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``gopher_quality_pass`` — the published thresholds applied, as a
       convenience; the signal columns stay so callers can re-threshold.
     """
+    sig = gopher_quality_signals(text_col)
+    out = df
+    for name, expr in sig.items():
+        out = out.withColumn(name, expr)
+    return out.withColumn("gopher_quality_pass",
+                          gopher_quality_pass(sig))
+
+
+def gopher_quality_signals(text_col: str = "text") -> dict:
+    """The signal expressions as a name → Column dict — composable into
+    a gate predicate without materializing columns (the curation funnel
+    path, where input tables may already carry same-named columns)."""
     col = F.col(text_col)
     words = _words(col)
     lines = _lines(col)
@@ -196,23 +208,28 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
                         alpha / n_words).otherwise(F.lit(0.0))
     n_stop = F.size(F.array_intersect(       # _words already lowercases
         words, F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])))
-    out = (df
-           .withColumn("n_words", n_words.cast("long"))
-           .withColumn("mean_word_len", F.round(mean_wl, 6))
-           .withColumn("symbol_word_ratio", F.round(sym_ratio, 6))
-           .withColumn("bullet_line_frac", F.round(bullet_frac, 6))
-           .withColumn("ellipsis_line_frac", F.round(ellipsis_frac, 6))
-           .withColumn("alpha_word_frac", F.round(alpha_frac, 6))
-           .withColumn("n_required_stopwords", n_stop.cast("long")))
-    return out.withColumn(
-        "gopher_quality_pass",
-        (F.col("n_words").between(50, 100_000)
-         & F.col("mean_word_len").between(3.0, 10.0)
-         & (F.col("symbol_word_ratio") <= 0.1)
-         & (F.col("bullet_line_frac") <= 0.9)
-         & (F.col("ellipsis_line_frac") <= 0.3)
-         & (F.col("alpha_word_frac") >= 0.8)
-         & (F.col("n_required_stopwords") >= 2)))
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(mean_wl, 6),
+        "symbol_word_ratio": F.round(sym_ratio, 6),
+        "bullet_line_frac": F.round(bullet_frac, 6),
+        "ellipsis_line_frac": F.round(ellipsis_frac, 6),
+        "alpha_word_frac": F.round(alpha_frac, 6),
+        "n_required_stopwords": n_stop.cast("long"),
+    }
+
+
+def gopher_quality_pass(sig: dict):
+    """Published Gopher C1 thresholds over a signal dict (either the
+    expressions from :func:`gopher_quality_signals` or the materialized
+    columns)."""
+    return (sig["n_words"].between(50, 100_000)
+            & sig["mean_word_len"].between(3.0, 10.0)
+            & (sig["symbol_word_ratio"] <= 0.1)
+            & (sig["bullet_line_frac"] <= 0.9)
+            & (sig["ellipsis_line_frac"] <= 0.3)
+            & (sig["alpha_word_frac"] >= 0.8)
+            & (sig["n_required_stopwords"] >= 2))
 
 
 def ngram_hashes(df: DataFrame, id_col: str, text_col: str = "text",

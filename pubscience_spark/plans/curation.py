@@ -74,6 +74,7 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
                   max_word_len: float = 12.0,
                   min_stop_ratio: float = 0.01,
                   gopher_max: dict | None = None,
+                  gopher_quality_gate: bool = False,
                   para_dedup: bool = False,
                   para_min_chars: int = 30,
                   decontam_eval: DataFrame | None = None,
@@ -87,6 +88,11 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     :data:`GOPHER_DEFAULT_MAX` for the published values). Still one
     aggregation pass — the signals are native expressions, so the gate
     is just another boolean flag.
+    ``gopher_quality_gate`` (opt-in) folds the published Gopher C1
+    QUALITY thresholds (word-count bounds, mean word length, symbol
+    ratio, bullet/ellipsis lines, alpha words, required stopwords —
+    :func:`operators.curate_text.gopher_quality_pass`) into the quality
+    flag, expression-composed so no signal columns are materialized.
     ``neardup_mode``: ``"pairs"`` (default) drops the higher id of every
     verified near-dup pair; ``"cluster"`` computes transitive CLUSTERS
     over the pair graph (large-star/small-star connected components,
@@ -124,6 +130,14 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
         "__q_ok", _quality_ok(text_col, min_alpha_ratio=min_alpha_ratio,
                               max_word_len=max_word_len,
                               min_stop_ratio=min_stop_ratio))
+    if gopher_quality_gate:
+        # expression-composed (no added columns — input tables may carry
+        # same-named signal columns); published C1 thresholds
+        from ..operators.curate_text import (gopher_quality_pass,
+                                             gopher_quality_signals)
+        flagged = flagged.withColumn(
+            "__q_ok", F.col("__q_ok")
+            & gopher_quality_pass(gopher_quality_signals(text_col)))
     if gopher_max:
         from ..operators.curate_text import gopher_repetition
         flagged = gopher_repetition(flagged, text_col)

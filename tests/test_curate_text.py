@@ -270,3 +270,40 @@ def test_gopher_quality_plan_is_native(spark):
     plan = gopher_quality(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_curation_funnel_gopher_quality_gate(spark, tmp_path):
+    """Opt-in Gopher C1 quality gate in curate_corpus: a doc passing the
+    base quality predicate but failing a published C1 rule (numeric
+    words → alpha_word_frac < 0.8) is dropped only when the gate is on."""
+    import os
+
+    from pubscience_spark.plans.curation import curate_corpus
+    base = ("solid prose content with the usual stopwords and a view of "
+            "analysis that is long enough to pass all of the gates in "
+            "this small curation test corpus for sure ") * 3
+    rows = [(f"d{i}", base + f"variation token {i} " * 5) for i in range(6)]
+    # teaser-listicle doc: normal words/stopwords (base gate passes) but
+    # most lines trail off with an ellipsis → ellipsis_line_frac > 0.3,
+    # a rule only the Gopher C1 set checks
+    teaser = "\n".join(
+        f"the number {i} reason people love spark engines is that..."
+        if i % 2 else
+        f"a plain line of prose about the engine number {i} here"
+        for i in range(12))
+    rows.append(("d_numeric", teaser))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    m_off = curate_corpus(spark, docs,
+                          os.path.join(str(tmp_path), "off"),
+                          min_chars=50, min_words=10,
+                          neardup_threshold=0.995)
+    m_on = curate_corpus(spark, docs, os.path.join(str(tmp_path), "on"),
+                         min_chars=50, min_words=10,
+                         gopher_quality_gate=True,
+                         neardup_threshold=0.995)
+    ids_off = {r["doc_id"] for r in spark.read.parquet(
+        m_off["corpus_path"]).select("doc_id").collect()}
+    ids_on = {r["doc_id"] for r in spark.read.parquet(
+        m_on["corpus_path"]).select("doc_id").collect()}
+    assert "d_numeric" in ids_off and "d_numeric" not in ids_on
+    assert ids_off - ids_on == {"d_numeric"}
