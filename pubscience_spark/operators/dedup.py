@@ -181,6 +181,108 @@ def load_keeper_index(spark, path: str) -> DataFrame | None:
     return raw.groupBy("key_name", "key").agg(F.min("keeper").alias("keeper"))
 
 
+def minhash_index_udf(num_perm: int = 128, bands: int = 16, k: int = 3,
+                      seed: int = 42):
+    """Factory: text → struct(sig array<long>, bands array<string>) in
+    one Arrow pass (the incremental near-dup index needs both)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([
+        StructField("sig", ArrayType(LongType())),
+        StructField("bands", ArrayType(StringType())),
+    ])
+
+    @pandas_udf(schema)
+    def _index(s: pd.Series) -> pd.DataFrame:
+        sigs, bnds = [], []
+        for t in s:
+            sig = H.minhash_signature(t or "", num_perm=num_perm, k=k,
+                                      seed=seed)
+            sigs.append([int(v) for v in sig])
+            bnds.append(H.minhash_bands(sig, bands=bands))
+        return pd.DataFrame({"sig": sigs, "bands": bnds})
+
+    return _index
+
+
+def minhash_neardup_incremental(df: DataFrame, id_col: str,
+                                text_col: str = "text", *,
+                                threshold: float = 0.8,
+                                num_perm: int = 128, bands: int = 16,
+                                index_df: DataFrame | None = None,
+                                flag_col: str = "is_neardup"
+                                ) -> tuple[DataFrame, DataFrame]:
+    """Near-dup marking that honors documents committed by EARLIER runs
+    — the fuzzy analog of :func:`mark_duplicates_incremental`.
+
+    ``index_df`` is the persistent signature index ``(doc_id, sig
+    array<long>, bands array<string>)`` holding every previously KEPT
+    document (~1 KB/doc at num_perm=128 — signatures, never text).
+    A new document is flagged when it near-matches a prior document
+    (LSH band collision → signature-agreement fraction ≥ ``threshold``,
+    the datasketch criterion; prior text is gone so exact Jaccard is
+    not available — signature agreement is an unbiased estimator of
+    it) or a lower-id document of its own run (the exact-verified
+    in-run path, :func:`minhash_neardup`).
+
+    Returns ``(marked_df, new_index_rows)`` — append the new rows (the
+    run's SURVIVORS only, so the index stays dup-free) after the data
+    write commits. Scale shape: band-exploded equi-join against the
+    index (slim ids + band strings), signatures joined in only for the
+    candidate pairs."""
+    spark = df.sparkSession
+    udf = minhash_index_udf(num_perm=num_perm, bands=bands)
+    from pyspark.storagelevel import StorageLevel
+    withsig = (df.withColumn("__mi", udf(F.col(text_col)))
+               .withColumn("__sig", F.col("__mi.sig"))
+               .withColumn("__bands", F.col("__mi.bands"))
+               .drop("__mi")
+               .persist(StorageLevel.MEMORY_AND_DISK))
+
+    # in-run pairs (exact-verified) → higher id of each pair is a dup
+    pairs = minhash_neardup(df, id_col, text_col, threshold=threshold,
+                            bands=bands, num_perm=num_perm)
+    run_dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
+
+    if index_df is not None:
+        new_b = (withsig.select(F.col(id_col), F.col("__sig"),
+                                F.explode("__bands").alias("__band")))
+        prior_b = (index_df.select(
+            F.col("doc_id").alias("__prior"),
+            F.col("sig").alias("__psig"),
+            F.explode("bands").alias("__band")))
+        cand = (new_b.join(prior_b, "__band")
+                .select(id_col, "__sig", "__prior", "__psig")
+                .dropDuplicates([id_col, "__prior"]))
+        agree = (F.size(F.filter(
+            F.zip_with("__sig", "__psig", lambda a, b: a == b),
+            lambda v: v)) / F.size("__sig"))
+        prior_dups = (cand.where(agree >= F.lit(threshold))
+                      .select(id_col).distinct())
+        run_dups = run_dups.unionByName(prior_dups).distinct()
+
+    flags = run_dups.withColumn(flag_col, F.lit(True))
+    marked = (withsig.join(flags, id_col, "left")
+              .withColumn(flag_col, F.coalesce(flag_col, F.lit(False))))
+    new_index = (marked.where(~F.col(flag_col))
+                 .select(F.col(id_col).cast("long").alias("doc_id"),
+                         F.col("__sig").alias("sig"),
+                         F.col("__bands").alias("bands")))
+    marked = marked.drop("__sig", "__bands")
+    marked._ps_persisted_input = withsig
+    return marked, new_index
+
+
+def load_minhash_index(spark, path: str) -> DataFrame | None:
+    """Read the near-dup signature index; duplicate appends (crash
+    retries) collapse to one row per doc."""
+    try:
+        raw = spark.read.parquet(path)
+    except Exception:
+        return None
+    return raw.dropDuplicates(["doc_id"])
+
+
 def minhash_bands_udf(num_perm: int = 128, bands: int = 16, k: int = 3,
                       seed: int = 42):
     """Factory: banding is tuned to the target threshold t ≈ (1/b)^(b/n)

@@ -236,3 +236,54 @@ def test_kmeans_constant_width_high_dim(spark):
     ub = base / np.linalg.norm(base, axis=1, keepdims=True)
     sims = np.array(cents) @ ub.T
     assert (sims.max(axis=1) > 0.95).sum() >= 3
+
+
+def test_minhash_neardup_incremental_cross_run(spark, tmp_path):
+    """Fuzzy analog of the exact keeper index: a near-copy arriving one
+    RUN later is flagged against the persistent signature index; the
+    index holds survivors only and collapses duplicate appends."""
+    from pubscience_spark.operators.dedup import (
+        load_minhash_index, minhash_neardup_incremental, unpersist_input)
+
+    base = ("the spark engine shuffles data between stages and the "
+            "optimizer chooses join strategies based on statistics "
+            "collected during the scan of the underlying parquet files "
+            "which makes the whole pipeline adaptive ")
+    other = ("completely different subject matter entirely about the "
+             "migration patterns of arctic birds across the northern "
+             "hemisphere during the long polar winter season months ")
+    idx_path = str(tmp_path / "nd_index")
+
+    run1 = spark.createDataFrame([(1, base), (2, other)],
+                                 "doc_id long, text string")
+    m1, idx1 = minhash_neardup_incremental(run1, "doc_id",
+                                           threshold=0.7)
+    assert {r["doc_id"]: r["is_neardup"] for r in m1.collect()} \
+        == {1: False, 2: False}
+    idx1.write.mode("append").parquet(idx_path)
+    unpersist_input(m1)
+
+    # run 2: a near-copy of run-1 doc 1, a fresh doc, and an IN-RUN
+    # near-dup pair (4 ~ 14) on the fresh text
+    near1 = base.replace("adaptive", "responsive") + "tail words here "
+    fresh = ("novel content about distributed consensus protocols and "
+             "the raft leader election timeout randomization that "
+             "prevents split votes in small quorum clusters entirely ")
+    near4 = fresh.replace("small", "large")
+    run2 = spark.createDataFrame(
+        [(3, near1), (4, fresh), (14, near4)],
+        "doc_id long, text string")
+    prior = load_minhash_index(spark, idx_path)
+    m2, idx2 = minhash_neardup_incremental(run2, "doc_id",
+                                           threshold=0.7,
+                                           index_df=prior)
+    flags = {r["doc_id"]: r["is_neardup"] for r in m2.collect()}
+    assert flags == {3: True, 4: False, 14: True}
+    # survivors only enter the index
+    assert {r["doc_id"] for r in idx2.collect()} == {4}
+    idx2.write.mode("append").parquet(idx_path)
+    # duplicate append collapses on read
+    idx2.write.mode("append").parquet(idx_path)
+    loaded = load_minhash_index(spark, idx_path)
+    assert loaded.count() == 3
+    unpersist_input(m2)
