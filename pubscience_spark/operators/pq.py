@@ -370,6 +370,153 @@ def pq_topk_join(codes_df: DataFrame, queries: DataFrame,
     return _rank_topk(cands, k)
 
 
+def ivfpq_topk_join(corpus: DataFrame, queries: DataFrame, *,
+                    k: int = 10, n_lists: int = 16, n_probe: int = 4,
+                    m: int = 8, n_train: int = 20_000,
+                    pq_iter: int = 10, kmeans_iter: int = 5,
+                    chunk_size: int = 1024,
+                    live_tables_mb: float = 256,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """:func:`ivfpq_topk` for UNBOUNDED query sets: queries are never
+    collected whole, and the coded corpus is scanned exactly ONCE.
+
+    Same chunked-broadcast scheme as :func:`pq_topk_join`, with the IVF
+    prune carried INSIDE the scan: each chunk's broadcast holds the ADC
+    tables plus an (nq_chunk × n_lists) boolean probe matrix, and per
+    Arrow batch the scores of rows whose ``list_id`` a query did not
+    probe are masked to −inf before the batch-local top-(k+1) prune —
+    semantically identical to the probe equi-join, without a per-chunk
+    corpus pass. Raw (non-residual) encoding only: the residual recipe
+    needs a per-row ``q·c_list`` term that is in the mask path anyway —
+    probe-all equivalence is test-pinned against :func:`ivfpq_topk`."""
+    from pyspark import StorageLevel
+
+    from .similarity import kmeans_centroids
+    spark = corpus.sparkSession
+    sc = spark.sparkContext
+    cents = kmeans_centroids(corpus, n_lists, n_iter=kmeans_iter,
+                             id_col=id_col, vec_col=vec_col)
+    cmat = _unit_rows(np.array(cents, dtype=np.float32))
+    dim = len(corpus.select(vec_col).first()[0])
+    codebook = train_pq(corpus, dim=dim, m=m, n_train=n_train,
+                        n_iter=pq_iter, id_col=id_col, vec_col=vec_col)
+    coded = encode_pq(corpus, codebook, id_col, vec_col)
+    slim_corpus = corpus.select(F.col(id_col), F.col(vec_col))
+    if n_lists > 64:
+        from .similarity import ivf_assign_join
+        assigned = ivf_assign_join(slim_corpus, cents, vec_col, id_col)
+    else:
+        from .similarity import ivf_assign
+        assigned = ivf_assign(slim_corpus, cents, vec_col)
+    coded = coded.join(
+        assigned.select(F.col(id_col).cast("long").alias("id"),
+                        "list_id"), "id")
+
+    mm, dsub = codebook.m, codebook.dsub
+    bcs = []
+    try:
+        slim = (queries.select(F.col(id_col).cast("long").alias("qid"),
+                               F.col(vec_col).alias("qv"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        try:
+            n_q = slim.count()
+            if not n_q:
+                return _empty_topk(spark)
+            n_chunks = max(1, -(-n_q // chunk_size))
+            chunked = slim.withColumn(
+                "chunk", F.pmod(F.xxhash64(F.col("qid")),
+                                F.lit(n_chunks)))
+            for c in range(n_chunks):
+                q_rows = chunked.where(F.col("chunk") == c) \
+                    .select("qid", "qv").collect()
+                if not q_rows:
+                    continue
+                q_ids = np.array([r["qid"] for r in q_rows],
+                                 dtype=np.int64)
+                qx = _unit_rows(np.array([r["qv"] for r in q_rows],
+                                         dtype=np.float32))
+                _check_dim(qx, codebook, "ivfpq_topk_join")
+                tables = np.stack([
+                    qx[:, j * dsub:(j + 1) * dsub]
+                    @ codebook.centroids[j].T
+                    for j in range(mm)], axis=1)
+                qdotc = qx @ cmat.T               # (nq_chunk, n_lists)
+                probe = np.zeros_like(qdotc, dtype=bool)
+                top = np.argsort(-qdotc, axis=1)[:, :n_probe]
+                probe[np.arange(len(q_ids))[:, None], top] = True
+                bcs.append(sc.broadcast((q_ids, tables, probe)))
+        finally:
+            slim.unpersist()
+
+        table_bytes = max(1, chunk_size * (mm * 256 * 4 + n_lists))
+        cap = max(1, int(live_tables_mb * (1 << 20)) // table_bytes)
+
+        def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from collections import OrderedDict
+            live: "OrderedDict[int, tuple]" = OrderedDict()
+
+            def _load(i: int) -> tuple:
+                v = live.pop(i, None)
+                if v is None:
+                    v = bcs[i].value
+                    if len(live) >= cap:
+                        old, _ = live.popitem(last=False)
+                        if getattr(bcs[old], "_path", None) is not None:
+                            try:
+                                del bcs[old]._value
+                            except AttributeError:
+                                pass
+                live[i] = v
+                return v
+
+            flip = False
+            for b in it:
+                codes = np.stack(
+                    b["codes"].map(
+                        lambda c: np.frombuffer(c, dtype=np.uint8)))
+                ids = b["id"].to_numpy()
+                lists = b["list_id"].to_numpy()
+                order = range(len(bcs) - 1, -1, -1) if flip \
+                    else range(len(bcs))
+                flip = not flip
+                for i in order:
+                    b_ids, b_tables, b_probe = _load(i)
+                    scores = b_tables[:, np.arange(mm)[None, :],
+                                      codes].sum(axis=2)
+                    allowed = b_probe[:, lists]   # (nq_chunk, nrows)
+                    scores = np.where(allowed, scores, -np.inf)
+                    kk = min(k + 1, scores.shape[1])
+                    out_q, out_n, out_s = [], [], []
+                    for qi in range(len(b_ids)):
+                        sel = np.lexsort((ids, -scores[qi]))[:kk]
+                        sel = sel[np.isfinite(scores[qi, sel])]
+                        out_q.extend([b_ids[qi]] * len(sel))
+                        out_n.extend(ids[sel])
+                        out_s.extend(scores[qi, sel])
+                    yield pd.DataFrame(
+                        {"query_id": np.asarray(out_q, dtype=np.int64),
+                         "neighbor_id": np.asarray(out_n,
+                                                   dtype=np.int64),
+                         "score": np.asarray(out_s, dtype=np.float64)})
+
+        cands = (coded
+                 .select(F.col("id"), F.col("list_id"), F.col("codes"))
+                 .mapInPandas(_batches, schema=_TOPK_SCHEMA)
+                 .where(F.col("query_id") != F.col("neighbor_id"))
+                 .localCheckpoint(eager=True))    # ONE corpus scan
+    except BaseException:
+        for bc in bcs:
+            try:
+                bc.destroy()
+            except Exception:
+                pass
+        raise
+    for bc in bcs:
+        bc.destroy()
+    return _rank_topk(cands, k)
+
+
 def _train_pq_residual(corpus: DataFrame, cmat: np.ndarray, m: int,
                        n_train: int, n_iter: int, id_col: str,
                        vec_col: str) -> PQCodebook:
