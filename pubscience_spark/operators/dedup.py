@@ -239,9 +239,25 @@ def minhash_neardup_incremental(df: DataFrame, id_col: str,
                .drop("__mi")
                .persist(StorageLevel.MEMORY_AND_DISK))
 
-    # in-run pairs (exact-verified) → higher id of each pair is a dup
-    pairs = minhash_neardup(df, id_col, text_col, threshold=threshold,
-                            bands=bands, num_perm=num_perm)
+    # in-run pairs (exact-verified, same semantics as minhash_neardup)
+    # built from the ALREADY-computed bands — signatures are hashed
+    # once per doc, not once per tier
+    banded = withsig.select(F.col(id_col).alias("id"),
+                            F.explode("__bands").alias("band"))
+    cand_pairs = (banded.alias("x").join(banded.alias("y"), "band")
+                  .where(F.col("x.id") < F.col("y.id"))
+                  .select(F.col("x.id").alias("id_a"),
+                          F.col("y.id").alias("id_b")).distinct())
+    texts = df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("t"))
+    pairs = (cand_pairs
+             .join(texts.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("t", "t_a"), "id_a")
+             .join(texts.withColumnRenamed("id", "id_b")
+                   .withColumnRenamed("t", "t_b"), "id_b")
+             .withColumn("jaccard", _jaccard_pair_udf(F.col("t_a"),
+                                                      F.col("t_b")))
+             .where(F.col("jaccard") >= threshold))
     run_dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
 
     if index_df is not None:
