@@ -84,7 +84,9 @@ def _unpackbits(data: bytes, expect: int) -> bytes:
             out += bytes([data[i]]) * (257 - c)
             i += 1
         # 128 = no-op
-    return bytes(out)
+    # tolerate writers whose final run pads past the strip boundary
+    # (libtiff accepts these) — the caller sized ``expect`` exactly
+    return bytes(out[:expect])
 
 
 def decode_tiff(raw: bytes) -> np.ndarray:

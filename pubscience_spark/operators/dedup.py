@@ -215,8 +215,8 @@ def minhash_neardup_incremental(df: DataFrame, id_col: str,
     """Near-dup marking that honors documents committed by EARLIER runs
     — the fuzzy analog of :func:`mark_duplicates_incremental`.
 
-    ``index_df`` is the persistent signature index ``(doc_id, sig
-    array<long>, bands array<string>)`` holding every previously KEPT
+    ``index_df`` is the persistent signature index ``(doc_id string,
+    sig array<long>, bands array<string>)`` holding every previously KEPT
     document (~1 KB/doc at num_perm=128 — signatures, never text).
     A new document is flagged when it near-matches a prior document
     (LSH band collision → signature-agreement fraction ≥ ``threshold``,
@@ -230,10 +230,25 @@ def minhash_neardup_incremental(df: DataFrame, id_col: str,
     write commits. Scale shape: band-exploded equi-join against the
     index (slim ids + band strings), signatures joined in only for the
     candidate pairs."""
-    spark = df.sparkSession
+    if index_df is not None:
+        # fail fast on a parameter mismatch: an index written at other
+        # num_perm/bands values hashes different band chunks, so the
+        # equi-join silently stops colliding and prior near-dups pass
+        # unflagged (round-5 review)
+        probe = index_df.select(F.size("sig").alias("np"),
+                                F.size("bands").alias("nb")).first()
+        if probe is not None and (probe["np"] != num_perm
+                                  or probe["nb"] != bands):
+            raise ValueError(
+                f"minhash_neardup_incremental: index was built at "
+                f"num_perm={probe['np']}, bands={probe['nb']} but this "
+                f"run uses num_perm={num_perm}, bands={bands} — "
+                f"signatures are incomparable across parameter changes")
     udf = minhash_index_udf(num_perm=num_perm, bands=bands)
     from pyspark.storagelevel import StorageLevel
-    withsig = (df.withColumn("__mi", udf(F.col(text_col)))
+
+    from .util import spread
+    withsig = (spread(df).withColumn("__mi", udf(F.col(text_col)))
                .withColumn("__sig", F.col("__mi.sig"))
                .withColumn("__bands", F.col("__mi.bands"))
                .drop("__mi")
@@ -248,8 +263,8 @@ def minhash_neardup_incremental(df: DataFrame, id_col: str,
                   .where(F.col("x.id") < F.col("y.id"))
                   .select(F.col("x.id").alias("id_a"),
                           F.col("y.id").alias("id_b")).distinct())
-    texts = df.select(F.col(id_col).alias("id"),
-                      F.col(text_col).alias("t"))
+    texts = withsig.select(F.col(id_col).alias("id"),
+                           F.col(text_col).alias("t"))
     pairs = (cand_pairs
              .join(texts.withColumnRenamed("id", "id_a")
                    .withColumnRenamed("t", "t_a"), "id_a")
@@ -280,8 +295,11 @@ def minhash_neardup_incremental(df: DataFrame, id_col: str,
     flags = run_dups.withColumn(flag_col, F.lit(True))
     marked = (withsig.join(flags, id_col, "left")
               .withColumn(flag_col, F.coalesce(flag_col, F.lit(False))))
+    # string ids, like the exact keeper index — a long cast would throw
+    # (ANSI) or NULL out (legacy) on non-numeric doc ids, and the index
+    # id is only an identity, never joined back numerically
     new_index = (marked.where(~F.col(flag_col))
-                 .select(F.col(id_col).cast("long").alias("doc_id"),
+                 .select(F.col(id_col).cast("string").alias("doc_id"),
                          F.col("__sig").alias("sig"),
                          F.col("__bands").alias("bands")))
     marked = marked.drop("__sig", "__bands")

@@ -164,22 +164,80 @@ def _empty_topk(spark) -> DataFrame:
 
 def _score_chunk(b_ids: np.ndarray, tables: np.ndarray,
                  codes: np.ndarray, ids: np.ndarray,
-                 k: int, m: int) -> pd.DataFrame:
+                 k: int, m: int,
+                 mask: "np.ndarray | None" = None) -> pd.DataFrame:
     """ADC-score one query chunk against one Arrow batch of codes and
     keep each query's batch-local top-(k+1) — see _adc_candidates for
-    why k+1 and why ties break on ascending id."""
+    why k+1 and why ties break on ascending id. ``mask`` (nq × nrows
+    bool) suppresses rows a query must not see (the IVF probe prune);
+    masked rows score −inf and are dropped after the prune."""
     # scores[q, n] = Σ_j tables[q, j, codes[n, j]]
     scores = tables[:, np.arange(m)[None, :], codes].sum(axis=2)
+    if mask is not None:
+        scores = np.where(mask, scores, -np.inf)
     kk = min(k + 1, scores.shape[1])
     out_q, out_n, out_s = [], [], []
     for qi in range(len(b_ids)):
         sel = np.lexsort((ids, -scores[qi]))[:kk]
+        if mask is not None:
+            sel = sel[np.isfinite(scores[qi, sel])]
         out_q.extend([b_ids[qi]] * len(sel))
         out_n.extend(ids[sel])
         out_s.extend(scores[qi, sel])
     return pd.DataFrame({"query_id": np.asarray(out_q, dtype=np.int64),
                          "neighbor_id": np.asarray(out_n, dtype=np.int64),
                          "score": np.asarray(out_s, dtype=np.float64)})
+
+
+def _lru_chunk_scan(codes_df: DataFrame, cols: list, bcs: list,
+                    cap: int, prep, emit) -> DataFrame:
+    """ONE ``mapInPandas`` pass over ``codes_df`` that pages the chunk
+    broadcasts in ``bcs`` through a per-worker LRU of capacity ``cap``
+    (the shared engine of :func:`pq_topk_join` /
+    :func:`ivfpq_topk_join` — the eviction and ordering subtleties live
+    in exactly one place).
+
+    - Eviction drops the Broadcast's cached value ONLY in file-backed
+      mode (``.value`` reloads from the executor-local file). With
+      ``spark.io.encryption`` the value arrives eagerly over a socket,
+      ``_path`` is unset and the object pins it regardless — deleting
+      would make the next access raise instead of freeing anything.
+    - Chunk order alternates per batch (boustrophedon): a fixed
+      ascending sweep is LRU's pathological case once cap < n_chunks
+      (100% miss every batch); alternating keeps the chunks at the
+      turn-around hot across batch boundaries.
+
+    ``prep(batch_df)`` parses the Arrow batch once; ``emit(chunk_value,
+    prep_state)`` scores one chunk against it."""
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import OrderedDict
+        live: "OrderedDict[int, tuple]" = OrderedDict()
+
+        def _load(i: int) -> tuple:
+            v = live.pop(i, None)
+            if v is None:
+                v = bcs[i].value
+                if len(live) >= cap:
+                    old, _ = live.popitem(last=False)
+                    if getattr(bcs[old], "_path", None) is not None:
+                        try:
+                            del bcs[old]._value
+                        except AttributeError:
+                            pass
+            live[i] = v
+            return v
+
+        flip = False
+        for b in it:
+            st = prep(b)
+            order = range(len(bcs) - 1, -1, -1) if flip \
+                else range(len(bcs))
+            flip = not flip
+            for i in order:
+                yield emit(_load(i), st)
+
+    return codes_df.select(*cols).mapInPandas(_batches,
+                                              schema=_TOPK_SCHEMA)
 
 
 def _adc_candidates(codes_df: DataFrame, q_ids: np.ndarray,
@@ -311,51 +369,19 @@ def pq_topk_join(codes_df: DataFrame, queries: DataFrame,
         table_bytes = max(1, chunk_size * m * 256 * 4)
         cap = max(1, int(live_tables_mb * (1 << 20)) // table_bytes)
 
-        def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from collections import OrderedDict
-            live: "OrderedDict[int, tuple]" = OrderedDict()
+        def _prep(b: pd.DataFrame) -> tuple:
+            codes = np.stack(
+                b["codes"].map(lambda c: np.frombuffer(c,
+                                                       dtype=np.uint8)))
+            return codes, b["id"].to_numpy()
 
-            def _load(i: int) -> tuple:
-                v = live.pop(i, None)
-                if v is None:
-                    v = bcs[i].value
-                    if len(live) >= cap:          # evict a chunk
-                        old, _ = live.popitem(last=False)
-                        # drop the Broadcast's cached value ONLY in
-                        # file-backed mode (.value reloads from the
-                        # executor-local file). With spark.io
-                        # .encryption the value arrives eagerly over a
-                        # socket, _path is unset and the object pins it
-                        # regardless — deleting would make the next
-                        # access raise instead of freeing anything.
-                        if getattr(bcs[old], "_path", None) is not None:
-                            try:
-                                del bcs[old]._value
-                            except AttributeError:
-                                pass
-                live[i] = v
-                return v
+        def _emit(v: tuple, st: tuple) -> pd.DataFrame:
+            b_ids, b_tables = v
+            codes, ids = st
+            return _score_chunk(b_ids, b_tables, codes, ids, k, m)
 
-            flip = False
-            for b in it:
-                codes = np.stack(
-                    b["codes"].map(
-                        lambda c: np.frombuffer(c, dtype=np.uint8)))
-                ids = b["id"].to_numpy()
-                # boustrophedon chunk order: a fixed ascending sweep is
-                # LRU's pathological case once cap < n_chunks (100% miss
-                # every batch); alternating direction keeps the cap-1
-                # chunks at the turn-around hot across batch boundaries
-                order = range(len(bcs) - 1, -1, -1) if flip \
-                    else range(len(bcs))
-                flip = not flip
-                for i in order:
-                    b_ids, b_tables = _load(i)
-                    yield _score_chunk(b_ids, b_tables, codes, ids, k, m)
-
-        cands = (codes_df
-                 .select(F.col("id"), F.col("codes"))
-                 .mapInPandas(_batches, schema=_TOPK_SCHEMA)
+        cands = (_lru_chunk_scan(codes_df, [F.col("id"), F.col("codes")],
+                                 bcs, cap, _prep, _emit)
                  .where(F.col("query_id") != F.col("neighbor_id"))
                  .localCheckpoint(eager=True))    # ONE corpus scan, here
     except BaseException:
@@ -452,57 +478,22 @@ def ivfpq_topk_join(corpus: DataFrame, queries: DataFrame, *,
         table_bytes = max(1, chunk_size * (mm * 256 * 4 + n_lists))
         cap = max(1, int(live_tables_mb * (1 << 20)) // table_bytes)
 
-        def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from collections import OrderedDict
-            live: "OrderedDict[int, tuple]" = OrderedDict()
+        def _prep(b: pd.DataFrame) -> tuple:
+            codes = np.stack(
+                b["codes"].map(lambda c: np.frombuffer(c,
+                                                       dtype=np.uint8)))
+            return codes, b["id"].to_numpy(), b["list_id"].to_numpy()
 
-            def _load(i: int) -> tuple:
-                v = live.pop(i, None)
-                if v is None:
-                    v = bcs[i].value
-                    if len(live) >= cap:
-                        old, _ = live.popitem(last=False)
-                        if getattr(bcs[old], "_path", None) is not None:
-                            try:
-                                del bcs[old]._value
-                            except AttributeError:
-                                pass
-                live[i] = v
-                return v
+        def _emit(v: tuple, st: tuple) -> pd.DataFrame:
+            b_ids, b_tables, b_probe = v
+            codes, ids, lists = st
+            return _score_chunk(b_ids, b_tables, codes, ids, k, mm,
+                                mask=b_probe[:, lists])
 
-            flip = False
-            for b in it:
-                codes = np.stack(
-                    b["codes"].map(
-                        lambda c: np.frombuffer(c, dtype=np.uint8)))
-                ids = b["id"].to_numpy()
-                lists = b["list_id"].to_numpy()
-                order = range(len(bcs) - 1, -1, -1) if flip \
-                    else range(len(bcs))
-                flip = not flip
-                for i in order:
-                    b_ids, b_tables, b_probe = _load(i)
-                    scores = b_tables[:, np.arange(mm)[None, :],
-                                      codes].sum(axis=2)
-                    allowed = b_probe[:, lists]   # (nq_chunk, nrows)
-                    scores = np.where(allowed, scores, -np.inf)
-                    kk = min(k + 1, scores.shape[1])
-                    out_q, out_n, out_s = [], [], []
-                    for qi in range(len(b_ids)):
-                        sel = np.lexsort((ids, -scores[qi]))[:kk]
-                        sel = sel[np.isfinite(scores[qi, sel])]
-                        out_q.extend([b_ids[qi]] * len(sel))
-                        out_n.extend(ids[sel])
-                        out_s.extend(scores[qi, sel])
-                    yield pd.DataFrame(
-                        {"query_id": np.asarray(out_q, dtype=np.int64),
-                         "neighbor_id": np.asarray(out_n,
-                                                   dtype=np.int64),
-                         "score": np.asarray(out_s, dtype=np.float64)})
-
-        cands = (coded
-                 .select(F.col("id"), F.col("list_id"), F.col("codes"))
-                 .mapInPandas(_batches, schema=_TOPK_SCHEMA)
+        cands = (_lru_chunk_scan(
+                     coded,
+                     [F.col("id"), F.col("list_id"), F.col("codes")],
+                     bcs, cap, _prep, _emit)
                  .where(F.col("query_id") != F.col("neighbor_id"))
                  .localCheckpoint(eager=True))    # ONE corpus scan
     except BaseException:

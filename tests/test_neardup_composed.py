@@ -279,11 +279,27 @@ def test_minhash_neardup_incremental_cross_run(spark, tmp_path):
                                            index_df=prior)
     flags = {r["doc_id"]: r["is_neardup"] for r in m2.collect()}
     assert flags == {3: True, 4: False, 14: True}
-    # survivors only enter the index
-    assert {r["doc_id"] for r in idx2.collect()} == {4}
+    # survivors only enter the index (ids stored as strings — the
+    # index is identity-only and must not choke on non-numeric ids)
+    assert {r["doc_id"] for r in idx2.collect()} == {"4"}
     idx2.write.mode("append").parquet(idx_path)
     # duplicate append collapses on read
     idx2.write.mode("append").parquet(idx_path)
     loaded = load_minhash_index(spark, idx_path)
     assert loaded.count() == 3
     unpersist_input(m2)
+    # parameter mismatch against a committed index fails fast
+    import pytest
+    with pytest.raises(ValueError, match="num_perm"):
+        minhash_neardup_incremental(run2, "doc_id", threshold=0.7,
+                                    num_perm=64, bands=8,
+                                    index_df=loaded)
+    # string ids work end-to-end (round-5 review: a long cast here
+    # would throw under ANSI)
+    srun = spark.createDataFrame([("a1", "short text one here"),
+                                  ("b2", "short text two there")],
+                                 "doc_id string, text string")
+    sm, sidx = minhash_neardup_incremental(srun, "doc_id",
+                                           threshold=0.7)
+    assert {r["doc_id"] for r in sidx.collect()} == {"a1", "b2"}
+    unpersist_input(sm)
