@@ -1,0 +1,119 @@
+"""WARC ingestion (kernels/warc + sources.read_warc): record framing,
+HTTP payload handling (status, chunked, content-encoding), malformed-
+record skip counters, and the end-to-end Common-Crawl story — a gzip
+WARC segment driven through read_warc into run_extraction."""
+
+from __future__ import annotations
+
+import gzip
+
+from pubscience_spark.kernels import warc as W
+
+
+def _http(body: bytes, *, ctype: str = "text/html",
+          chunked: bool = False, gzipped: bool = False) -> bytes:
+    hdrs = [b"HTTP/1.1 200 OK", f"Content-Type: {ctype}".encode()]
+    if gzipped:
+        body = gzip.compress(body)
+        hdrs.append(b"Content-Encoding: gzip")
+    if chunked:
+        hdrs.append(b"Transfer-Encoding: chunked")
+        mid = len(body) // 2
+        body = (f"{mid:x}\r\n".encode() + body[:mid] + b"\r\n"
+                + f"{len(body) - mid:x}\r\n".encode() + body[mid:]
+                + b"\r\n0\r\n\r\n")
+    return b"\r\n".join(hdrs) + b"\r\n\r\n" + body
+
+
+def _segment(compress=True):
+    recs = [
+        {"type": "warcinfo", "uri": "", "date": "2024-01-01T00:00:00Z",
+         "block": b"software: test"},
+        {"type": "response", "uri": "http://a.example/plain",
+         "date": "2024-01-01T00:00:01Z",
+         "block": _http(b"<html><body><p>Plain page body text here."
+                        b"</p></body></html>")},
+        {"type": "response", "uri": "http://a.example/chunked",
+         "date": "2024-01-01T00:00:02Z",
+         "block": _http(b"<html><body><p>Chunked transfer body."
+                        b"</p></body></html>", chunked=True)},
+        {"type": "response", "uri": "http://a.example/gz",
+         "date": "2024-01-01T00:00:03Z",
+         "block": _http(b"<html><body><p>Gzip content encoding."
+                        b"</p></body></html>", gzipped=True)},
+        {"type": "request", "uri": "http://a.example/plain",
+         "date": "2024-01-01T00:00:01Z",
+         "block": b"GET /plain HTTP/1.1\r\n\r\n"},
+    ]
+    return W.write_warc(recs, compress=compress)
+
+
+def test_iter_records_plain_and_gzip():
+    for compress in (False, True):
+        recs = list(W.iter_warc_records(_segment(compress)))
+        assert [r["type"] for r in recs] == \
+            ["warcinfo", "response", "response", "response", "request"]
+        assert recs[1]["uri"] == "http://a.example/plain"
+        assert all(r["skipped"] == 0 for r in recs)
+
+
+def test_http_payload_decoding():
+    recs = [r for r in W.iter_warc_records(_segment())
+            if r["type"] == "response"]
+    for rec, want in zip(recs, (b"Plain page body", b"Chunked transfer",
+                                b"Gzip content")):
+        status, mime, body = W.parse_http_response(rec["block"])
+        assert status == 200 and mime == "text/html"
+        assert want in body
+
+
+def test_malformed_records_skipped_and_counted():
+    good = _segment(compress=False)
+    # garbage between records + a record with a broken Content-Length
+    broken = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+              b"WARC-Target-URI: http://bad\r\n"
+              b"Content-Length: nope\r\n\r\n")
+    blob = broken + b"JUNKJUNK" + good
+    recs = list(W.iter_warc_records(blob))
+    assert [r["type"] for r in recs][:2] == ["warcinfo", "response"]
+    assert recs[0]["skipped"] >= 1                # the broken one counted
+    # truncated final record is dropped, earlier ones survive
+    recs2 = list(W.iter_warc_records(good[: len(good) - 40]))
+    assert len(recs2) >= 1
+
+
+def test_dechunk_broken_framing_returns_input():
+    assert W._dechunk(b"not chunked at all") == b"not chunked at all"
+    assert W._dechunk(b"5\r\nhello\r\n0\r\n\r\n") == b"hello"
+
+
+def test_read_warc_to_extraction_end_to_end(spark, tmp_path):
+    """The Common-Crawl story: gzip WARC segments on disk → read_warc →
+    run_extraction produces extracted text per url."""
+    import os
+
+    from pubscience_spark.plans.pipeline import run_extraction
+    from pubscience_spark.sources.readers import read_warc
+
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    (seg_dir / "seg-00000.warc.gz").write_bytes(_segment())
+    (seg_dir / "seg-00001.warc.gz").write_bytes(_segment())
+
+    pages = read_warc(spark, str(seg_dir))
+    rows = {r["url"]: r for r in pages.collect()}
+    # 3 responses per segment; request/warcinfo filtered
+    assert len(rows) == 3 and all(r["http_status"] == 200
+                                  for r in rows.values())
+    assert rows["http://a.example/gz"]["warc_ts"] is not None
+    assert b"Gzip content" in bytes(rows["http://a.example/gz"]["html"])
+
+    res = run_extraction(
+        spark,
+        pages.select("url", "warc_ts", "html").dropDuplicates(["url"]),
+        os.path.join(str(tmp_path), "out"), n_buckets=2)
+    assert res["rows_written"] == 3
+    ext = spark.read.parquet(res["extracted_path"])
+    texts = {r["url"]: r["extracted_text"] for r in ext.collect()}
+    assert "Chunked transfer body." in texts["http://a.example/chunked"]
+    assert "Gzip content encoding." in texts["http://a.example/gz"]
