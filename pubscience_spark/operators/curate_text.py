@@ -232,6 +232,52 @@ def gopher_quality_pass(sig: dict):
             & (sig["n_required_stopwords"] >= 2))
 
 
+def c4_clean(df: DataFrame, text_col: str = "text", *,
+             min_words_per_line: int = 5,
+             min_sentences: int = 3,
+             out_col: str | None = None) -> DataFrame:
+    """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2),
+    all native HOF expressions — with Gopher quality/repetition, CCNet
+    LM quality, and RefinedWeb paragraph dedup this completes the
+    published curation-recipe stack:
+
+    - keep only lines ending in terminal punctuation (. ! ? "),
+    - drop lines with fewer than ``min_words_per_line`` words,
+    - drop lines containing the word "javascript" (case-insensitive),
+    - page-level ``c4_keep``: False when the cleaned page has fewer
+      than ``min_sentences`` sentences (terminal-punctuation count) or
+      the ORIGINAL page contains "lorem ipsum" or a curly brace.
+
+    Emits the cleaned text (``out_col``, default ``<text_col>_c4``),
+    ``c4_keep``, and ``n_lines_kept`` / ``n_lines_dropped`` counters —
+    signals + rewritten text, dropping is the caller's choice (the
+    funnel's convention). The dirty-word list from the paper is an
+    external resource and is NOT bundled; pass your own via a plain
+    ``rlike`` gate on top."""
+    out_col = out_col or f"{text_col}_c4"
+    col = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(col, r"\n"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0)
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(r'[.!?"]$')
+        & (F.size(F.split(ln, r"\s+")) >= min_words_per_line)
+        & ~F.lower(ln).rlike(r"\bjavascript\b"))
+    cleaned = F.array_join(kept, "\n")
+    # sentence count over the CLEANED text: terminal-punct occurrences
+    n_sent = F.size(F.split(cleaned, r"[.!?]", -1)) - 1
+    page_ok = ((n_sent >= min_sentences)
+               & ~F.lower(col).contains("lorem ipsum")
+               & ~col.contains("{"))
+    return (df
+            .withColumn(out_col, cleaned)
+            .withColumn("c4_keep", page_ok)
+            .withColumn("n_lines_kept", F.size(kept).cast("long"))
+            .withColumn("n_lines_dropped",
+                        (F.size(lines) - F.size(kept)).cast("long")))
+
+
 def ngram_hashes(df: DataFrame, id_col: str, text_col: str = "text",
                  n: int = 13) -> DataFrame:
     """Slim ``(id, ngram_hash)`` rows: xxhash64 over each word n-gram.

@@ -307,3 +307,55 @@ def test_curation_funnel_gopher_quality_gate(spark, tmp_path):
         m_on["corpus_path"]).select("doc_id").collect()}
     assert "d_numeric" in ids_off and "d_numeric" not in ids_on
     assert ids_off - ids_on == {"d_numeric"}
+
+
+def test_c4_clean_matches_bruteforce(spark):
+    """C4 §2.2 line rules vs a python reimplementation."""
+    import re
+
+    from pubscience_spark.operators.curate_text import c4_clean
+
+    docs = {
+        1: 'Good sentence one stays right here.\nshort line.\n'
+           'No terminal punctuation so dropped\n'
+           'This javascript line is dropped for the word.\n'
+           'Another proper sentence with enough words!\n'
+           'Quoted sentences also count as terminal here."',
+        2: "Lorem Ipsum dolor sit amet consectetur adipiscing elit.\n"
+           "A second proper sentence right here now.\n"
+           "And a third proper sentence right here too.",
+        3: "function f() { return 1; }\nA fine sentence with words here."
+           "\nAnother fine sentence with many words here.\n"
+           "And one more fine sentence with words here.",
+        4: "Only one proper sentence with enough words here.",
+        5: "",
+    }
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in c4_clean(df).collect()}
+
+    def brute(t):
+        lines = [ln.strip() for ln in t.split("\n") if ln.strip()]
+        kept = [ln for ln in lines
+                if re.search(r'[.!?"]$', ln)
+                and len(ln.split()) >= 5
+                and not re.search(r"\bjavascript\b", ln.lower())]
+        cleaned = "\n".join(kept)
+        n_sent = len(re.split(r"[.!?]", cleaned)) - 1
+        keep = (n_sent >= 3 and "lorem ipsum" not in t.lower()
+                and "{" not in t)
+        return cleaned, keep, len(kept), len(lines) - len(kept)
+
+    for did, t in docs.items():
+        c, k, nk, nd = brute(t)
+        r = rows[did]
+        got = (r["text_c4"], r["c4_keep"], r["n_lines_kept"],
+               r["n_lines_dropped"])
+        assert got == (c, k, nk, nd), (did, got, (c, k, nk, nd))
+    assert rows[1]["c4_keep"] is True
+    assert rows[2]["c4_keep"] is False          # lorem ipsum page
+    assert rows[3]["c4_keep"] is False          # curly brace page
+    assert rows[4]["c4_keep"] is False          # < 3 sentences
+    # the plan stays JVM-side
+    plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
