@@ -497,10 +497,70 @@ WHERE j >= 0.5
 """
 
 
-def q_simhash(spark, sf_dir):
-    """SimHash 64-bit signatures (rows-only)."""
-    return dedup_ops.simhash_keys(_docs_spread(spark, sf_dir)) \
-        .select("doc_id", "simhash")
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/MassiveText C1 quality signals (round 5) — all native HOF
+    expressions, ORACLE-checked: the DuckDB oracle mirrors every signal
+    with list functions over a token class matching Spark's Java-regex
+    ``\\s`` (ASCII + vertical tab). Takes the battery slot of the old
+    ``simhash`` entry (its per-doc keys now ride ``simhash_neardup`` —
+    the group_sizes→group_concat merge precedent)."""
+    from .operators.curate_text import gopher_quality
+    return (gopher_quality(_docs_spread(spark, sf_dir))
+            .select("doc_id", "n_words", "mean_word_len",
+                    "symbol_word_ratio", "bullet_line_frac",
+                    "ellipsis_line_frac", "alpha_word_frac",
+                    "n_required_stopwords",
+                    F.col("gopher_quality_pass").alias("quality_pass")))
+
+
+SQL_GOPHER_QUALITY = r"""
+WITH tok AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(lower(text)),
+                                    '[\t\n\x0b\f\r ]+') END AS words,
+    list_filter(list_transform(string_split(text, chr(10)),
+                               s -> trim(s)),
+                s -> length(s) > 0) AS lines
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    round(CASE WHEN len(words) > 0 THEN
+      list_aggregate(list_transform(words, w -> length(w)), 'sum')
+        * 1.0 / len(words) ELSE 0.0 END, 6) AS mean_word_len,
+    round(CASE WHEN len(words) > 0 THEN
+      (len(string_split(text, '#')) - 1
+       + len(string_split(text, '...')) - 1
+       + len(string_split(text, '…')) - 1) * 1.0 / len(words)
+      ELSE 0.0 END, 6) AS symbol_word_ratio,
+    round(CASE WHEN len(lines) > 0 THEN
+      len(list_filter(lines,
+                      ln -> regexp_matches(ln, '^([•‣▪●⁃\-\*])\s')))
+        * 1.0 / len(lines) ELSE 0.0 END, 6) AS bullet_line_frac,
+    round(CASE WHEN len(lines) > 0 THEN
+      len(list_filter(lines,
+                      ln -> regexp_matches(ln, '(\.\.\.|…)$')))
+        * 1.0 / len(lines) ELSE 0.0 END, 6) AS ellipsis_line_frac,
+    round(CASE WHEN len(words) > 0 THEN
+      len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+        * 1.0 / len(words) ELSE 0.0 END, 6) AS alpha_word_frac,
+    CAST(len(list_intersect(words,
+      ['the','be','to','of','and','that','have','with']))
+      AS BIGINT) AS n_required_stopwords
+  FROM tok)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+  n_required_stopwords,
+  (n_words BETWEEN 50 AND 100000
+   AND mean_word_len BETWEEN 3.0 AND 10.0
+   AND symbol_word_ratio <= 0.1
+   AND bullet_line_frac <= 0.9
+   AND ellipsis_line_frac <= 0.3
+   AND alpha_word_frac >= 0.8
+   AND n_required_stopwords >= 2) AS quality_pass
+FROM sig
+"""
 
 
 def q_mint_ids(spark, sf_dir):
@@ -515,9 +575,21 @@ def q_simhash_neardup(spark, sf_dir):
     """SimHash hamming-neighbor join: 4×16-bit banded self-join, verify
     hamming ≤ 3 (rows-only — the simhash kernel is not SQL; recall of the
     banding is EXACT by pigeonhole, equality vs brute force is pytest-
-    enforced in test_operators_spark)."""
-    return dedup_ops.simhash_neardup(_docs(spark, sf_dir), "doc_id",
-                                     max_hamming=3)
+    enforced in test_operators_spark). Since round 5 this entry ALSO
+    carries each side's 64-bit key (the former standalone ``simhash``
+    entry, merged to free a slot for the oracle-checked
+    ``gopher_quality`` — battery stays exactly 50)."""
+    keys = dedup_ops.simhash_keys(_docs_spread(spark, sf_dir)) \
+        .select("doc_id", "simhash")
+    pairs = dedup_ops.simhash_neardup(_docs(spark, sf_dir), "doc_id",
+                                      max_hamming=3)
+    return (pairs
+            .join(keys.select(F.col("doc_id").alias("id_a"),
+                              F.col("simhash").alias("simhash_a")),
+                  "id_a")
+            .join(keys.select(F.col("doc_id").alias("id_b"),
+                              F.col("simhash").alias("simhash_b")),
+                  "id_b"))
 
 
 def q_langid(spark, sf_dir):
@@ -1335,7 +1407,7 @@ QUERIES = {
     # INVARIANT: len(QUERIES) == 50 — the driver's correctness harness
     # records at most 50 entries (see q_segment_stats docstring); adding
     # a 51st query silently drops the last one from the report.
-    "simhash": q_simhash,
+    "gopher_quality": q_gopher_quality,
     "simhash_neardup": q_simhash_neardup,
     "mint_ids": q_mint_ids,
     "segment_stats": q_segment_stats,
@@ -1388,4 +1460,5 @@ ORACLES = {
     "langid": _langid_oracle_sql(),
     "label_docs": SQL_LABEL_DOCS,
     "segment_stats": SQL_SEGMENT_STATS,
+    "gopher_quality": SQL_GOPHER_QUALITY,
 }
