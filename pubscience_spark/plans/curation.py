@@ -75,6 +75,7 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
                   min_stop_ratio: float = 0.01,
                   gopher_max: dict | None = None,
                   gopher_quality_gate: bool = False,
+                  c4: bool = False,
                   para_dedup: bool = False,
                   para_min_chars: int = 30,
                   decontam_eval: DataFrame | None = None,
@@ -88,6 +89,11 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     :data:`GOPHER_DEFAULT_MAX` for the published values). Still one
     aggregation pass — the signals are native expressions, so the gate
     is just another boolean flag.
+    ``c4`` (opt-in) runs the C4 §2.2 line-level cleanup FIRST
+    (:func:`operators.curate_text.c4_clean`): the text every later gate
+    sees is the line-filtered rewrite, and pages failing C4's
+    page-level rule (lorem ipsum / curly brace / too few sentences)
+    drop at their own funnel stage (``after_c4_gate``).
     ``gopher_quality_gate`` (opt-in) folds the published Gopher C1
     QUALITY thresholds (word-count bounds, mean word length, symbol
     ratio, bullet/ellipsis lines, alpha words, required stopwords —
@@ -111,6 +117,15 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
         raise ValueError(f"neardup_mode {neardup_mode!r}: "
                          "expected 'pairs' or 'cluster'")
     # ---- stage flags (cheap predicates; one aggregation pass) ----------
+    if c4:
+        from ..operators.curate_text import c4_clean
+        docs = (c4_clean(docs, text_col, out_col="__c4t")
+                .withColumn("__c4_ok", F.col("c4_keep"))
+                .drop(text_col, "c4_keep", "n_lines_kept",
+                      "n_lines_dropped")
+                .withColumnRenamed("__c4t", text_col))
+    else:
+        docs = docs.withColumn("__c4_ok", F.lit(True))
     flagged = (docs
                .withColumn("__len_ok",
                            (F.length(text_col) >= min_chars)
@@ -153,7 +168,8 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
 
     # exact-dedup keeper per sha256 among gate survivors (min() agg —
     # map-side combine, viral-duplicate safe)
-    gated = flagged.where("__len_ok AND __lang_ok AND __q_ok AND __rep_ok")
+    gated = flagged.where(
+        "__c4_ok AND __len_ok AND __lang_ok AND __q_ok AND __rep_ok")
     keepers = (gated
                .select(F.sha2(F.col(text_col), 256).alias("__sha"), id_col)
                .groupBy("__sha").agg(F.min(id_col).alias("__keep")))
@@ -213,22 +229,29 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
 
     # ---- one-pass funnel counts + write -------------------------------
     z = F.lit(0)          # sum() over zero rows is NULL — pin to 0
+    c4c = F.col("__c4_ok")
     funnel_row = flagged.agg(
         F.count(F.lit(1)).alias("input"),
-        F.coalesce(F.sum(F.when(F.col("__len_ok"), 1).otherwise(0)), z)
-        .alias("len_ok"),
-        F.coalesce(F.sum(F.when(F.col("__len_ok") & F.col("__lang_ok"), 1)
+        F.coalesce(F.sum(F.when(c4c, 1).otherwise(0)), z)
+        .alias("c4_ok"),
+        F.coalesce(F.sum(F.when(c4c & F.col("__len_ok"), 1)
+                         .otherwise(0)), z).alias("len_ok"),
+        F.coalesce(F.sum(F.when(c4c & F.col("__len_ok")
+                                & F.col("__lang_ok"), 1)
                          .otherwise(0)), z).alias("lang_ok"),
-        F.coalesce(F.sum(F.when(F.col("__len_ok") & F.col("__lang_ok")
+        F.coalesce(F.sum(F.when(c4c & F.col("__len_ok")
+                                & F.col("__lang_ok")
                                 & F.col("__q_ok"), 1).otherwise(0)), z)
         .alias("quality_ok"),
-        F.coalesce(F.sum(F.when(F.col("__len_ok") & F.col("__lang_ok")
+        F.coalesce(F.sum(F.when(c4c & F.col("__len_ok")
+                                & F.col("__lang_ok")
                                 & F.col("__q_ok") & F.col("__rep_ok"), 1)
                          .otherwise(0)), z)
         .alias("repetition_ok")).collect()[0]
     corpus_path = os.path.join(out_dir, "corpus")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out = kept.drop("__len_ok", "__lang_ok", "__q_ok", "__rep_ok")
+    out = kept.drop("__c4_ok", "__len_ok", "__lang_ok", "__q_ok",
+                    "__rep_ok")
     out.write.mode("overwrite").partitionBy("split").parquet(corpus_path)
     # dynamic overwrite writes no files for an empty result — read back
     # only when data exists (zero-input runs yield an empty manifest).
@@ -251,6 +274,7 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
         hit_ids.unpersist()
     manifest = {
         "input": funnel_row["input"],
+        "after_c4_gate": funnel_row["c4_ok"],
         "after_length_gate": funnel_row["len_ok"],
         "after_lang_gate": funnel_row["lang_ok"],
         "after_quality_gate": funnel_row["quality_ok"],

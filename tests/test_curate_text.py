@@ -359,3 +359,38 @@ def test_c4_clean_matches_bruteforce(spark):
     # the plan stays JVM-side
     plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_curation_funnel_c4_stage(spark, tmp_path):
+    """Opt-in C4 stage: text is line-cleaned BEFORE the other gates and
+    pages failing the C4 page rule drop at their own funnel stage."""
+    import os
+
+    from pubscience_spark.plans.curation import curate_corpus
+    base = ("This is solid prose content with the usual stopwords here. "
+            "It has a view of analysis that is long enough to pass the "
+            "gates of this small curation corpus for sure. ") * 3
+    rows = [(f"d{i}", base + f"This is variation sentence {i} here. " * 3)
+            for i in range(6)]
+    # page with a curly brace → fails C4's page rule only
+    rows.append(("d_brace", base + " if (x) { return; }"))
+    # page whose lines lack terminal punctuation → C4 empties it
+    rows.append(("d_noterm", ("just words with no ending punctuation "
+                              "on any line here at all " * 8)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    m = curate_corpus(spark, docs, os.path.join(str(tmp_path), "out"),
+                      min_chars=50, min_words=10, c4=True,
+                      neardup_threshold=0.995, neardup_bands=4)
+    assert m["input"] == 8
+    assert m["after_c4_gate"] <= 7                # d_brace dropped at c4
+    ids = {r["doc_id"] for r in spark.read.parquet(m["corpus_path"])
+           .select("doc_id").collect()}
+    assert "d_brace" not in ids and "d_noterm" not in ids
+    assert ids == {f"d{i}" for i in range(6)}
+    # without c4, the brace page passes straight through
+    m2 = curate_corpus(spark, docs, os.path.join(str(tmp_path), "out2"),
+                       min_chars=50, min_words=10,
+                       neardup_threshold=0.995, neardup_bands=4)
+    ids2 = {r["doc_id"] for r in spark.read.parquet(m2["corpus_path"])
+            .select("doc_id").collect()}
+    assert "d_brace" in ids2
