@@ -24,7 +24,6 @@ is Common-Crawl-style web pages.
 from __future__ import annotations
 
 import gzip
-import io
 import zlib
 from typing import Iterator
 
@@ -110,22 +109,28 @@ def parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
 def _gunzip_members(raw: bytes) -> bytes:
     """Concatenate every member of a multi-member gzip stream (the CC
     segment layout — one member per record). Plain input passes
-    through."""
+    through. Decompression is PER MEMBER, so a corrupt/truncated member
+    or trailing garbage loses only that member — every record decoded
+    before it survives (round-5 review: a whole-stream ``GzipFile.read``
+    raised after the fact and discarded the entire segment)."""
     if raw[:2] != b"\x1f\x8b":
         return raw
     out = bytearray()
-    bio = io.BytesIO(raw)
-    while True:
-        start = bio.tell()
-        if start >= len(raw):
-            break
+    pos = 0
+    n = len(raw)
+    while pos < n and raw[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(31)                 # one gzip member
         try:
-            with gzip.GzipFile(fileobj=bio) as gz:
-                out += gz.read()
-        except (OSError, EOFError, zlib.error):
-            break                                  # trailing garbage
-        if bio.tell() == start:                    # no forward progress
-            break
+            member = d.decompress(raw[pos:])
+        except zlib.error:
+            break                                  # corrupt member
+        out += member
+        if not d.eof:
+            break                                  # truncated tail
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:
+            break                                  # no forward progress
+        pos += consumed
     return bytes(out)
 
 
@@ -156,9 +161,12 @@ def iter_warc_records(raw: bytes) -> Iterator[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            skipped += 1
-            i = hdr_end + sep_len
-            continue
+            length = -1
+        if length < 0:                             # missing/garbage/
+            skipped += 1                           # negative length:
+            i = hdr_end + sep_len                  # a negative value
+            continue                               # would rewind the
+                                                   # scan index forever
         block_start = hdr_end + sep_len
         block = data[block_start:block_start + length]
         i = block_start + length

@@ -29,16 +29,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ws_trim(col):
+    """Full-whitespace trim (``F.trim`` strips SPACES only — a leading
+    tab or trailing \\r would survive it and corrupt word/line counts;
+    round-5 review)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def _words(col):
-    t = F.trim(F.lower(col))
+    t = _ws_trim(F.lower(col))
     return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
         .otherwise(F.split(t, r"\s+"))
 
 
 def _lines(col):
-    # non-empty trimmed lines
+    # non-empty whitespace-trimmed lines; \r?\n so CRLF text (which the
+    # WARC path feeds directly) splits identically to LF text
     return F.filter(
-        F.transform(F.split(col, r"\n"), lambda s: F.trim(s)),
+        F.transform(F.split(col, r"\r?\n"), lambda s: _ws_trim(s)),
         lambda s: F.length(s) > 0)
 
 
@@ -256,9 +264,7 @@ def c4_clean(df: DataFrame, text_col: str = "text", *,
     ``rlike`` gate on top."""
     out_col = out_col or f"{text_col}_c4"
     col = F.col(text_col)
-    lines = F.filter(
-        F.transform(F.split(col, r"\n"), lambda s: F.trim(s)),
-        lambda s: F.length(s) > 0)
+    lines = _lines(col)
     kept = F.filter(
         lines,
         lambda ln: ln.rlike(r'[.!?"]$')

@@ -414,7 +414,8 @@ def simhash_keys(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def simhash_neardup(df: DataFrame, id_col: str, text_col: str = "text",
                     max_hamming: int = 3, chunks: int = 4,
-                    n_rows: int | None = None) -> DataFrame:
+                    n_rows: int | None = None,
+                    keys_df: DataFrame | None = None) -> DataFrame:
     """SimHash hamming-neighbor pairs: band the 64-bit key into ``chunks``
     equal bit-slices, self-join on (chunk index, slice value), verify
     ``bit_count(a XOR b) <= max_hamming`` on candidates.
@@ -452,9 +453,15 @@ def simhash_neardup(df: DataFrame, id_col: str, text_col: str = "text",
     warn_band_capacity(n_rows, 2 ** (q * width),
                        "simhash_neardup", "chunks")
     from .util import spread
-    keyed = (spread(df.select(F.col(id_col).alias("id"),
-                              F.col(text_col).alias("t")))
-             .withColumn("sim", _simhash_udf(F.col("t"))).drop("t"))
+    if keys_df is not None:
+        # precomputed (id_col, simhash) keys — callers that already ran
+        # simhash_keys skip a second pUDF pass over the corpus
+        keyed = keys_df.select(F.col(id_col).alias("id"),
+                               F.col("simhash").alias("sim"))
+    else:
+        keyed = (spread(df.select(F.col(id_col).alias("id"),
+                                  F.col(text_col).alias("t")))
+                 .withColumn("sim", _simhash_udf(F.col("t"))).drop("t"))
 
     def _slice(i: int) -> str:
         return f"(shiftright(sim, {i * width}) & {(1 << width) - 1}L)"

@@ -515,13 +515,22 @@ def q_gopher_quality(spark, sf_dir):
 
 SQL_GOPHER_QUALITY = r"""
 WITH tok AS (
+  -- tokenization mirrors the Spark expressions exactly: FULL-whitespace
+  -- trim (Java \s = ASCII ws + vertical tab — spelled out because RE2's
+  -- \s lacks \x0b), CRLF-safe lines (the \r next to the \n trims away)
   SELECT doc_id, text,
-    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
-         ELSE regexp_split_to_array(trim(lower(text)),
-                                    '[\t\n\x0b\f\r ]+') END AS words,
-    list_filter(list_transform(string_split(text, chr(10)),
-                               s -> trim(s)),
-                s -> length(s) > 0) AS lines
+    CASE WHEN regexp_replace(lower(text),
+           '^[\t\n\x0b\f\r ]+|[\t\n\x0b\f\r ]+$', '', 'g') = ''
+         THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(
+           regexp_replace(lower(text),
+             '^[\t\n\x0b\f\r ]+|[\t\n\x0b\f\r ]+$', '', 'g'),
+           '[\t\n\x0b\f\r ]+') END AS words,
+    list_filter(
+      list_transform(string_split(text, chr(10)),
+        s -> regexp_replace(s,
+               '^[\t\n\x0b\f\r ]+|[\t\n\x0b\f\r ]+$', '', 'g')),
+      s -> length(s) > 0) AS lines
   FROM documents),
 sig AS (
   SELECT doc_id,
@@ -536,7 +545,8 @@ sig AS (
       ELSE 0.0 END, 6) AS symbol_word_ratio,
     round(CASE WHEN len(lines) > 0 THEN
       len(list_filter(lines,
-                      ln -> regexp_matches(ln, '^([•‣▪●⁃\-\*])\s')))
+                      ln -> regexp_matches(ln,
+                        '^([•‣▪●⁃\-\*])[\t\n\x0b\f\r ]')))
         * 1.0 / len(lines) ELSE 0.0 END, 6) AS bullet_line_frac,
     round(CASE WHEN len(lines) > 0 THEN
       len(list_filter(lines,
@@ -581,8 +591,10 @@ def q_simhash_neardup(spark, sf_dir):
     ``gopher_quality`` — battery stays exactly 50)."""
     keys = dedup_ops.simhash_keys(_docs_spread(spark, sf_dir)) \
         .select("doc_id", "simhash")
+    from pyspark.storagelevel import StorageLevel
+    keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = dedup_ops.simhash_neardup(_docs(spark, sf_dir), "doc_id",
-                                      max_hamming=3)
+                                      max_hamming=3, keys_df=keys)
     return (pairs
             .join(keys.select(F.col("doc_id").alias("id_a"),
                               F.col("simhash").alias("simhash_a")),

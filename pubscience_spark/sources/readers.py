@@ -200,25 +200,35 @@ def read_warc(spark: SparkSession, path: str,
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_SCHEMA.fields]
-        for b in it:
+        chunk = 256          # bounded rows per Arrow batch: a multi-GB
+        for b in it:         # segment must not pile into ONE DataFrame
             rows = []
             for content in b["content"]:
+                pending_skips = 0    # skips attached to filtered-out
                 for rec in W.iter_warc_records(bytes(content)):
-                    if rec["type"] not in keep:
+                    pending_skips += rec["skipped"]
+                    if rec["type"] not in keep:    # types still count
                         continue
                     status, mime, body = \
                         W.parse_http_response(rec["block"])
                     try:
                         ts = _dt.datetime.fromisoformat(
-                            rec["date"].replace("Z", "+00:00")) \
-                            .replace(tzinfo=None)
+                            rec["date"].replace("Z", "+00:00"))
+                        if ts.tzinfo is not None:  # convert, don't drop
+                            ts = ts.astimezone(_dt.timezone.utc) \
+                                .replace(tzinfo=None)
                     except ValueError:
                         ts = None
                     rows.append({"url": rec["uri"], "warc_ts": ts,
                                  "html": body, "http_status": status,
                                  "mime": mime,
-                                 "n_skipped": rec["skipped"]})
-            yield pd.DataFrame(rows, columns=cols)
+                                 "n_skipped": pending_skips})
+                    pending_skips = 0
+                    if len(rows) >= chunk:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     return files.select("content").mapInPandas(_batches,
                                                schema=WARC_SCHEMA)

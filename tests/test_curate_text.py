@@ -329,6 +329,12 @@ def test_c4_clean_matches_bruteforce(spark):
            "And one more fine sentence with words here.",
         4: "Only one proper sentence with enough words here.",
         5: "",
+        # CRLF + tab-indented lines (what the WARC path feeds): Spark's
+        # space-only trim and Java's $-before-\r both bit here (r5 review)
+        6: "A proper crlf sentence with enough words here.\r\n"
+           "\tAnother tab indented proper sentence right here.\r\n"
+           "one two three four.\r\n"
+           "And a third full sentence with plenty of words.\r\n",
     }
     df = spark.createDataFrame(list(docs.items()),
                                "doc_id long, text string")
@@ -382,7 +388,9 @@ def test_curation_funnel_c4_stage(spark, tmp_path):
                       min_chars=50, min_words=10, c4=True,
                       neardup_threshold=0.995, neardup_bands=4)
     assert m["input"] == 8
-    assert m["after_c4_gate"] <= 7                # d_brace dropped at c4
+    # exactly both pages fail the C4 page rule: d_brace (curly brace)
+    # and d_noterm (cleaned text has 0 sentences < 3)
+    assert m["after_c4_gate"] == 6
     ids = {r["doc_id"] for r in spark.read.parquet(m["corpus_path"])
            .select("doc_id").collect()}
     assert "d_brace" not in ids and "d_noterm" not in ids

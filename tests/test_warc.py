@@ -117,3 +117,42 @@ def test_read_warc_to_extraction_end_to_end(spark, tmp_path):
     texts = {r["url"]: r["extracted_text"] for r in ext.collect()}
     assert "Chunked transfer body." in texts["http://a.example/chunked"]
     assert "Gzip content encoding." in texts["http://a.example/gz"]
+
+
+def test_gunzip_members_survive_corruption():
+    """Round-5 review (execution-confirmed bugs): a truncated tail or
+    trailing garbage must lose only the bad member; a negative
+    Content-Length must not loop the record scanner forever."""
+    good = gzip.compress(b"A" * 100)
+    # trailing garbage
+    assert W._gunzip_members(good + b"JUNKJUNK") == b"A" * 100
+    # truncated second member: first survives
+    two = good + gzip.compress(b"B" * 50)[:-8]
+    assert W._gunzip_members(two).startswith(b"A" * 100)
+    # corrupt middle member: members before it survive
+    mid = bytearray(gzip.compress(b"C" * 80))
+    mid[15] ^= 0xFF
+    assert W._gunzip_members(good + bytes(mid)) == b"A" * 100
+    # negative Content-Length: generator terminates with a skip
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x\r\n"
+           b"Content-Length: -1000\r\n\r\n")
+    recs = list(W.iter_warc_records(bad + _segment(compress=False)))
+    assert [r["type"] for r in recs][:1] == ["warcinfo"]
+    assert recs[0]["skipped"] >= 1
+
+
+def test_read_warc_skip_counts_survive_type_filter(spark, tmp_path):
+    """Skips attached to filtered-out record types (warcinfo/request)
+    must ride the next kept row, not vanish."""
+    from pubscience_spark.sources.readers import read_warc
+    broken = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+              b"WARC-Target-URI: http://bad\r\n"
+              b"Content-Length: nope\r\n\r\n")
+    seg = broken + _segment(compress=False)
+    d = tmp_path / "seg"
+    d.mkdir()
+    (d / "s.warc").write_bytes(seg)
+    rows = sorted(read_warc(spark, str(d)).collect(),
+                  key=lambda r: r["url"])
+    assert sum(r["n_skipped"] for r in rows) >= 1
