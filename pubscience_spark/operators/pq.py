@@ -165,28 +165,52 @@ def _empty_topk(spark) -> DataFrame:
 def _score_chunk(b_ids: np.ndarray, tables: np.ndarray,
                  codes: np.ndarray, ids: np.ndarray,
                  k: int, m: int,
-                 mask: "np.ndarray | None" = None) -> pd.DataFrame:
+                 mask: "np.ndarray | None" = None,
+                 add: "np.ndarray | None" = None) -> pd.DataFrame:
     """ADC-score one query chunk against one Arrow batch of codes and
     keep each query's batch-local top-(k+1) — see _adc_candidates for
     why k+1 and why ties break on ascending id. ``mask`` (nq × nrows
     bool) suppresses rows a query must not see (the IVF probe prune);
-    masked rows score −inf and are dropped after the prune."""
-    # scores[q, n] = Σ_j tables[q, j, codes[n, j]]
-    scores = tables[:, np.arange(m)[None, :], codes].sum(axis=2)
+    masked rows score −inf and are dropped after the prune. ``add``
+    (nq × nrows) is summed into the scores before pruning — the
+    residual-PQ ``q·c_list`` term.
+
+    Prune shape (round-6, replacing a per-query Python lexsort loop):
+    one ``argpartition`` along axis 1 finds each row's kk-th score, a
+    ``>= threshold`` mask collects the top-kk PLUS any boundary ties,
+    and one flattened :func:`_local_topk_keep` lexsort over only those
+    candidate rows applies the exact (score desc, id asc) tie-break —
+    O(nq·n + C log C) for C ≈ nq·kk candidates instead of
+    O(nq · n log n)."""
+    # scores[q, n] = Σ_j tables[q, j, codes[n, j]] — accumulated one
+    # subspace at a time: the one-shot fancy gather materializes an
+    # (nq, n, m) intermediate (~327 MB at 1024×10k×8) and ran 14×
+    # slower; sequential j-order accumulation is bitwise-identical to
+    # numpy's sum over axis for m ≤ 128 (pairwise-sum block size)
+    scores = np.zeros((len(b_ids), len(ids)), dtype=np.float32)
+    for j in range(m):
+        scores += tables[:, j, codes[:, j]]
+    if add is not None:
+        scores = scores + add
     if mask is not None:
         scores = np.where(mask, scores, -np.inf)
-    kk = min(k + 1, scores.shape[1])
-    out_q, out_n, out_s = [], [], []
-    for qi in range(len(b_ids)):
-        sel = np.lexsort((ids, -scores[qi]))[:kk]
-        if mask is not None:
-            sel = sel[np.isfinite(scores[qi, sel])]
-        out_q.extend([b_ids[qi]] * len(sel))
-        out_n.extend(ids[sel])
-        out_s.extend(scores[qi, sel])
-    return pd.DataFrame({"query_id": np.asarray(out_q, dtype=np.int64),
-                         "neighbor_id": np.asarray(out_n, dtype=np.int64),
-                         "score": np.asarray(out_s, dtype=np.float64)})
+    nq, n = scores.shape
+    kk = min(k + 1, n)
+    if kk < n:
+        part = np.argpartition(scores, n - kk, axis=1)[:, n - kk:]
+        thresh = scores[np.arange(nq)[:, None], part].min(axis=1)
+        cand = scores >= thresh[:, None]      # top-kk + boundary ties
+    else:
+        cand = np.ones_like(scores, dtype=bool)
+    if mask is not None:
+        cand &= np.isfinite(scores)           # −inf is never a result
+    qi_c, col_c = np.nonzero(cand)
+    keep = _local_topk_keep(qi_c, scores[qi_c, col_c], kk, ids[col_c])
+    sel_q, sel_c = qi_c[keep], col_c[keep]
+    return pd.DataFrame({"query_id": b_ids[sel_q].astype("int64"),
+                         "neighbor_id": ids[sel_c].astype("int64"),
+                         "score": scores[sel_q, sel_c]
+                         .astype(np.float64)})
 
 
 def _lru_chunk_scan(codes_df: DataFrame, cols: list, bcs: list,
@@ -212,6 +236,31 @@ def _lru_chunk_scan(codes_df: DataFrame, cols: list, bcs: list,
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from collections import OrderedDict
         live: "OrderedDict[int, tuple]" = OrderedDict()
+        warned = False
+
+        def _evict(bc) -> None:
+            # Eviction leans on PySpark Broadcast internals (_path /
+            # _value). If a PySpark upgrade renames them, say so ONCE
+            # per worker instead of silently stopping to free memory
+            # (ADVICE r5: the degraded mode must be visible); a version
+            # pin test asserts the attributes exist on the running
+            # PySpark.
+            nonlocal warned
+            if not hasattr(bc, "_path"):
+                if not warned:
+                    warned = True
+                    import warnings
+                    warnings.warn(
+                        "pq chunk-LRU: pyspark.Broadcast has no _path "
+                        "attribute on this version - chunk tables can "
+                        "no longer be evicted; live_tables_mb is NOT "
+                        "being enforced", RuntimeWarning)
+                return
+            if bc._path is not None:       # file-backed: .value reloads
+                try:
+                    del bc._value
+                except AttributeError:
+                    pass
 
         def _load(i: int) -> tuple:
             v = live.pop(i, None)
@@ -219,11 +268,7 @@ def _lru_chunk_scan(codes_df: DataFrame, cols: list, bcs: list,
                 v = bcs[i].value
                 if len(live) >= cap:
                     old, _ = live.popitem(last=False)
-                    if getattr(bcs[old], "_path", None) is not None:
-                        try:
-                            del bcs[old]._value
-                        except AttributeError:
-                            pass
+                    _evict(bcs[old])
             live[i] = v
             return v
 
@@ -398,7 +443,8 @@ def pq_topk_join(codes_df: DataFrame, queries: DataFrame,
 
 def ivfpq_topk_join(corpus: DataFrame, queries: DataFrame, *,
                     k: int = 10, n_lists: int = 16, n_probe: int = 4,
-                    m: int = 8, n_train: int = 20_000,
+                    m: int = 8, residual: bool = False,
+                    n_train: int = 20_000,
                     pq_iter: int = 10, kmeans_iter: int = 5,
                     chunk_size: int = 1024,
                     live_tables_mb: float = 256,
@@ -413,9 +459,14 @@ def ivfpq_topk_join(corpus: DataFrame, queries: DataFrame, *,
     Arrow batch the scores of rows whose ``list_id`` a query did not
     probe are masked to −inf before the batch-local top-(k+1) prune —
     semantically identical to the probe equi-join, without a per-chunk
-    corpus pass. Raw (non-residual) encoding only: the residual recipe
-    needs a per-row ``q·c_list`` term that is in the mask path anyway —
-    probe-all equivalence is test-pinned against :func:`ivfpq_topk`."""
+    corpus pass.
+
+    ``residual=True`` (the faiss-default recipe — round 6) quantizes
+    ``v − coarse_centroid``; the chunk broadcast then also carries the
+    (nq_chunk × n_lists) ``q·c_list`` matrix (already computed for the
+    probe selection) and it is added per candidate row inside the scan
+    — scores match :func:`ivfpq_topk(residual=True)` exactly
+    (test-pinned at probe-all AND pruned settings)."""
     from pyspark import StorageLevel
 
     from .similarity import kmeans_centroids
@@ -424,20 +475,28 @@ def ivfpq_topk_join(corpus: DataFrame, queries: DataFrame, *,
     cents = kmeans_centroids(corpus, n_lists, n_iter=kmeans_iter,
                              id_col=id_col, vec_col=vec_col)
     cmat = _unit_rows(np.array(cents, dtype=np.float32))
-    dim = len(corpus.select(vec_col).first()[0])
-    codebook = train_pq(corpus, dim=dim, m=m, n_train=n_train,
-                        n_iter=pq_iter, id_col=id_col, vec_col=vec_col)
-    coded = encode_pq(corpus, codebook, id_col, vec_col)
-    slim_corpus = corpus.select(F.col(id_col), F.col(vec_col))
-    if n_lists > 64:
-        from .similarity import ivf_assign_join
-        assigned = ivf_assign_join(slim_corpus, cents, vec_col, id_col)
+    if residual:
+        codebook = _train_pq_residual(corpus, cmat, m, n_train,
+                                      pq_iter, id_col, vec_col)
+        coded = _encode_residual(corpus, codebook, cmat, id_col,
+                                 vec_col)     # list_id rides the pass
     else:
-        from .similarity import ivf_assign
-        assigned = ivf_assign(slim_corpus, cents, vec_col)
-    coded = coded.join(
-        assigned.select(F.col(id_col).cast("long").alias("id"),
-                        "list_id"), "id")
+        dim = len(corpus.select(vec_col).first()[0])
+        codebook = train_pq(corpus, dim=dim, m=m, n_train=n_train,
+                            n_iter=pq_iter, id_col=id_col,
+                            vec_col=vec_col)
+        coded = encode_pq(corpus, codebook, id_col, vec_col)
+        slim_corpus = corpus.select(F.col(id_col), F.col(vec_col))
+        if n_lists > 64:
+            from .similarity import ivf_assign_join
+            assigned = ivf_assign_join(slim_corpus, cents, vec_col,
+                                       id_col)
+        else:
+            from .similarity import ivf_assign
+            assigned = ivf_assign(slim_corpus, cents, vec_col)
+        coded = coded.join(
+            assigned.select(F.col(id_col).cast("long").alias("id"),
+                            "list_id"), "id")
 
     mm, dsub = codebook.m, codebook.dsub
     bcs = []
@@ -471,7 +530,9 @@ def ivfpq_topk_join(corpus: DataFrame, queries: DataFrame, *,
                 probe = np.zeros_like(qdotc, dtype=bool)
                 top = np.argsort(-qdotc, axis=1)[:, :n_probe]
                 probe[np.arange(len(q_ids))[:, None], top] = True
-                bcs.append(sc.broadcast((q_ids, tables, probe)))
+                bcs.append(sc.broadcast(
+                    (q_ids, tables, probe,
+                     qdotc if residual else None)))
         finally:
             slim.unpersist()
 
@@ -485,10 +546,12 @@ def ivfpq_topk_join(corpus: DataFrame, queries: DataFrame, *,
             return codes, b["id"].to_numpy(), b["list_id"].to_numpy()
 
         def _emit(v: tuple, st: tuple) -> pd.DataFrame:
-            b_ids, b_tables, b_probe = v
+            b_ids, b_tables, b_probe, b_qdotc = v
             codes, ids, lists = st
-            return _score_chunk(b_ids, b_tables, codes, ids, k, mm,
-                                mask=b_probe[:, lists])
+            return _score_chunk(
+                b_ids, b_tables, codes, ids, k, mm,
+                mask=b_probe[:, lists],
+                add=None if b_qdotc is None else b_qdotc[:, lists])
 
         cands = (_lru_chunk_scan(
                      coded,

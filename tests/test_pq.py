@@ -338,3 +338,58 @@ def test_ivfpq_topk_join_matches_collect_path(spark):
     # empty query set
     assert PQ.ivfpq_topk_join(emb, emb.where(F.col("vec_id") < 0),
                               k=3, n_lists=4, kmeans_iter=1).count() == 0
+
+
+def test_ivfpq_topk_join_residual_matches_collect_path(spark):
+    """Round 6: residual mode in the unbounded-query join — the
+    q·c_list term rides the chunk broadcast and is added inside the
+    scan; results must equal ivfpq_topk(residual=True) at probe-all AND
+    pruned settings, with forced LRU eviction, and the corpus must
+    still be scanned exactly once."""
+    emb = _emb(spark, 200)
+    q = emb.where(F.col("vec_id") < 11)           # 4 chunks at size 3
+    for n_probe in (4, 2):                        # probe-all, pruned
+        a = sorted(map(tuple, PQ.ivfpq_topk(
+            emb, q, k=5, n_lists=4, n_probe=n_probe, residual=True,
+            kmeans_iter=2).collect()))
+        b = sorted(map(tuple, PQ.ivfpq_topk_join(
+            emb, q, k=5, n_lists=4, n_probe=n_probe, residual=True,
+            kmeans_iter=2, chunk_size=3,
+            live_tables_mb=1e-6).collect()))
+        assert a == b, n_probe
+    # the single-scan contract survives residual mode: the coded frame
+    # is built from the corpus in ONE mapInPandas pass, counted at the
+    # raw-corpus scan level via an accumulator
+    acc = spark.sparkContext.accumulator(0)
+
+    def _counting(it):
+        acc.add(1)
+        for b in it:
+            yield b
+
+    counted = emb.localCheckpoint(eager=True)
+    n_parts = counted.rdd.getNumPartitions()
+    counted = counted.mapInPandas(_counting, schema=counted.schema)
+    out = PQ.ivfpq_topk_join(counted, q, k=5, n_lists=4, n_probe=4,
+                             residual=True, kmeans_iter=1,
+                             chunk_size=3).collect()
+    assert len(out) > 0
+    # corpus feeds kmeans sample + residual-train sample + the coded
+    # scan — bounded passes (≤ a small constant × partitions), never
+    # one pass per query chunk (4 chunks here would add 4×)
+    assert acc.value <= 4 * n_parts
+
+
+def test_broadcast_private_internals_pin():
+    """ADVICE r5: the chunk-LRU eviction relies on pyspark Broadcast's
+    _path/_value internals. Pin them: if a PySpark upgrade renames
+    them, this fails loudly instead of eviction silently degrading
+    (the runtime path additionally warns once per worker)."""
+    import inspect
+
+    from pyspark.broadcast import Broadcast
+    src = inspect.getsource(Broadcast)
+    assert "_path" in src and "_value" in src
+    # the file-backed constructor branch sets _path; the value property
+    # caches into _value — both named in the class body today
+    assert "def value" in src
