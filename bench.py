@@ -255,12 +255,15 @@ def main() -> None:
         # could not distinguish a real 2x regression from box load
         import __spark_entry__ as entrymod
         qtimes: dict[str, float] = {}
+        from pubscience_spark.operators.dedup import unpersist_input
         for name, fn in entrymod.queries().items():
             best = float("inf")
             for _ in range(QUERY_TRIALS):
                 t0 = time.perf_counter()
-                fn(spark, SF_DIR).collect()
+                df = fn(spark, SF_DIR)
+                df.collect()
                 best = min(best, time.perf_counter() - t0)
+                unpersist_input(df)   # drop any per-run persist handle
             qtimes[name] = round(best, 3)
     finally:
         spark.stop()

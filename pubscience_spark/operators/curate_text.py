@@ -214,8 +214,15 @@ def gopher_quality_signals(text_col: str = "text") -> dict:
     alpha = F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]")))
     alpha_frac = F.when(n_words > 0,
                         alpha / n_words).otherwise(F.lit(0.0))
-    n_stop = F.size(F.array_intersect(       # _words already lowercases
-        words, F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])))
+    # stopword matching strips leading/trailing punctuation from each
+    # (already-lowercased) token first — 'the,' and 'of.' count, per the
+    # Gopher rule's intent (ADVICE r5: exact whitespace tokens failed
+    # punctuation-heavy prose). [^a-z0-9] is engine-portable: identical
+    # semantics in Java regex and DuckDB's RE2, unlike \p{P}.
+    n_stop = F.size(F.array_intersect(
+        F.transform(words, lambda w: F.regexp_replace(
+            w, "^[^a-z0-9]+|[^a-z0-9]+$", "")),
+        F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])))
     return {
         "n_words": n_words.cast("long"),
         "mean_word_len": F.round(mean_wl, 6),

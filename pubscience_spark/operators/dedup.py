@@ -209,6 +209,7 @@ def minhash_neardup_incremental(df: DataFrame, id_col: str,
                                 text_col: str = "text", *,
                                 threshold: float = 0.8,
                                 num_perm: int = 128, bands: int = 16,
+                                k: int = 3, seed: int = 42,
                                 index_df: DataFrame | None = None,
                                 flag_col: str = "is_neardup"
                                 ) -> tuple[DataFrame, DataFrame]:
@@ -216,8 +217,10 @@ def minhash_neardup_incremental(df: DataFrame, id_col: str,
     — the fuzzy analog of :func:`mark_duplicates_incremental`.
 
     ``index_df`` is the persistent signature index ``(doc_id string,
-    sig array<long>, bands array<string>)`` holding every previously KEPT
-    document (~1 KB/doc at num_perm=128 — signatures, never text).
+    sig array<long>, bands array<string>, k int, seed int)`` holding
+    every previously KEPT document (~1 KB/doc at num_perm=128 —
+    signatures, never text; k/seed are build-parameter metadata for the
+    mismatch fail-fast).
     A new document is flagged when it near-matches a prior document
     (LSH band collision → signature-agreement fraction ≥ ``threshold``,
     the datasketch criterion; prior text is gone so exact Jaccard is
@@ -234,17 +237,29 @@ def minhash_neardup_incremental(df: DataFrame, id_col: str,
         # fail fast on a parameter mismatch: an index written at other
         # num_perm/bands values hashes different band chunks, so the
         # equi-join silently stops colliding and prior near-dups pass
-        # unflagged (round-5 review)
-        probe = index_df.select(F.size("sig").alias("np"),
-                                F.size("bands").alias("nb")).first()
-        if probe is not None and (probe["np"] != num_perm
-                                  or probe["nb"] != bands):
+        # unflagged (round-5 review). k and seed change the SIGNATURES
+        # without changing array sizes — they ride the index as
+        # metadata columns so the same mismatch fails fast too
+        # (ADVICE r5; indexes written before round 6 lack the columns
+        # and are taken at the historical defaults k=3, seed=42).
+        cols = set(index_df.columns)
+        probe = index_df.select(
+            F.size("sig").alias("np"), F.size("bands").alias("nb"),
+            (F.col("k") if "k" in cols else F.lit(3)).alias("k"),
+            (F.col("seed") if "seed" in cols
+             else F.lit(42)).alias("seed")).first()
+        if probe is not None and (
+                probe["np"] != num_perm or probe["nb"] != bands
+                or probe["k"] != k or probe["seed"] != seed):
             raise ValueError(
                 f"minhash_neardup_incremental: index was built at "
-                f"num_perm={probe['np']}, bands={probe['nb']} but this "
-                f"run uses num_perm={num_perm}, bands={bands} — "
-                f"signatures are incomparable across parameter changes")
-    udf = minhash_index_udf(num_perm=num_perm, bands=bands)
+                f"num_perm={probe['np']}, bands={probe['nb']}, "
+                f"k={probe['k']}, seed={probe['seed']} but this run "
+                f"uses num_perm={num_perm}, bands={bands}, k={k}, "
+                f"seed={seed} — signatures are incomparable across "
+                f"parameter changes")
+    udf = minhash_index_udf(num_perm=num_perm, bands=bands, k=k,
+                            seed=seed)
     from pyspark.storagelevel import StorageLevel
 
     from .util import spread
@@ -301,7 +316,9 @@ def minhash_neardup_incremental(df: DataFrame, id_col: str,
     new_index = (marked.where(~F.col(flag_col))
                  .select(F.col(id_col).cast("string").alias("doc_id"),
                          F.col("__sig").alias("sig"),
-                         F.col("__bands").alias("bands")))
+                         F.col("__bands").alias("bands"),
+                         F.lit(k).alias("k"),
+                         F.lit(seed).alias("seed")))
     marked = marked.drop("__sig", "__bands")
     marked._ps_persisted_input = withsig
     return marked, new_index

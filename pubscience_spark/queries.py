@@ -555,7 +555,12 @@ sig AS (
     round(CASE WHEN len(words) > 0 THEN
       len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
         * 1.0 / len(words) ELSE 0.0 END, 6) AS alpha_word_frac,
-    CAST(len(list_intersect(words,
+    -- stopword tokens are punctuation-stripped first (round 6), same
+    -- [^a-z0-9] trim as the Spark expression; 'g' because Spark's
+    -- regexp_replace is global and DuckDB's defaults to first-match
+    CAST(len(list_intersect(
+      list_transform(words, w -> regexp_replace(w,
+        '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')),
       ['the','be','to','of','and','that','have','with']))
       AS BIGINT) AS n_required_stopwords
   FROM tok)
@@ -595,13 +600,18 @@ def q_simhash_neardup(spark, sf_dir):
     keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = dedup_ops.simhash_neardup(_docs(spark, sf_dir), "doc_id",
                                       max_hamming=3, keys_df=keys)
-    return (pairs
-            .join(keys.select(F.col("doc_id").alias("id_a"),
-                              F.col("simhash").alias("simhash_a")),
-                  "id_a")
-            .join(keys.select(F.col("doc_id").alias("id_b"),
-                              F.col("simhash").alias("simhash_b")),
-                  "id_b"))
+    out = (pairs
+           .join(keys.select(F.col("doc_id").alias("id_a"),
+                             F.col("simhash").alias("simhash_a")),
+                 "id_a")
+           .join(keys.select(F.col("doc_id").alias("id_b"),
+                             F.col("simhash").alias("simhash_b")),
+                 "id_b"))
+    # register the persist handle the way the dedup operators do, so a
+    # battery invocation does not leak one cached RDD per run
+    # (ADVICE r5); bench.py unpersists after materializing
+    out._ps_persisted_input = keys
+    return out
 
 
 def q_langid(spark, sf_dir):

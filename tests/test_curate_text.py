@@ -227,6 +227,9 @@ def test_gopher_quality_signals_bruteforce(spark):
         5: "#tag #tag #tag " + good,
         6: "12 34 56 78 " * 30,                        # numeric words
         7: "",
+        # punctuation-heavy: stopwords appear only as 'the,' / 'of.' /
+        # '(and)' — they must still count (ADVICE r5)
+        8: "Start of. sentence, the, end. (and) more! words here now.",
     }
     df = spark.createDataFrame(list(docs.items()),
                                "doc_id long, text string")
@@ -243,8 +246,12 @@ def test_gopher_quality_signals_bruteforce(spark):
         ells = sum(ln.endswith("...") or ln.endswith("…")
                    for ln in lines)
         alpha = sum(bool(re.search(r"[a-z]", w)) for w in words)
-        stops = len(set(words) & {"the", "be", "to", "of", "and",
-                                  "that", "have", "with"})
+        # round 6: tokens are punctuation-stripped before stopword
+        # matching, so 'the,' and 'of.' count (ADVICE r5)
+        stripped = {re.sub(r"^[^a-z0-9]+|[^a-z0-9]+$", "", w)
+                    for w in words}
+        stops = len(stripped & {"the", "be", "to", "of", "and",
+                                "that", "have", "with"})
         return {
             "n_words": n_w,
             "mean_word_len": round(mean_wl, 6),

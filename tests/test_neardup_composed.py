@@ -294,6 +294,22 @@ def test_minhash_neardup_incremental_cross_run(spark, tmp_path):
         minhash_neardup_incremental(run2, "doc_id", threshold=0.7,
                                     num_perm=64, bands=8,
                                     index_df=loaded)
+    # k / seed change signatures WITHOUT changing array sizes — the
+    # index carries them as metadata so the mismatch still fails fast
+    # (ADVICE r5)
+    assert {"k", "seed"} <= set(loaded.columns)
+    with pytest.raises(ValueError, match="k=5"):
+        minhash_neardup_incremental(run2, "doc_id", threshold=0.7,
+                                    k=5, index_df=loaded)
+    with pytest.raises(ValueError, match="seed=7"):
+        minhash_neardup_incremental(run2, "doc_id", threshold=0.7,
+                                    seed=7, index_df=loaded)
+    # a pre-round-6 index (no metadata columns) is taken at the
+    # historical defaults: defaults pass, an explicit k mismatch raises
+    legacy = loaded.drop("k", "seed")
+    with pytest.raises(ValueError, match="k=4"):
+        minhash_neardup_incremental(run2, "doc_id", threshold=0.7,
+                                    k=4, index_df=legacy)
     # string ids work end-to-end (round-5 review: a long cast here
     # would throw under ANSI)
     srun = spark.createDataFrame([("a1", "short text one here"),

@@ -61,7 +61,10 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            sdf = df.toPandas()
+            from pubscience_spark.operators.dedup import unpersist_input
+            unpersist_input(df)   # drop any per-run persist handle
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {exc}")
             failures += 1
