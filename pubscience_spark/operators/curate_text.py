@@ -25,8 +25,18 @@ join the eval hash set.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# badword-gate tokenization: collapse any non-alphanumeric run to one
+# space, both Python-side (list normalization) and expression-side
+_RE_NONALNUM = re.compile(r"[^a-z0-9]+")
+
+
+def _RE_NONALNUM_EXPR(col):
+    return F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")
 
 
 def _ws_trim(col):
@@ -250,6 +260,7 @@ def gopher_quality_pass(sig: dict):
 def c4_clean(df: DataFrame, text_col: str = "text", *,
              min_words_per_line: int = 5,
              min_sentences: int = 3,
+             badwords: list[str] | None = None,
              out_col: str | None = None) -> DataFrame:
     """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2),
     all native HOF expressions — with Gopher quality/repetition, CCNet
@@ -266,9 +277,20 @@ def c4_clean(df: DataFrame, text_col: str = "text", *,
     Emits the cleaned text (``out_col``, default ``<text_col>_c4``),
     ``c4_keep``, and ``n_lines_kept`` / ``n_lines_dropped`` counters —
     signals + rewritten text, dropping is the caller's choice (the
-    funnel's convention). The dirty-word list from the paper is an
-    external resource and is NOT bundled; pass your own via a plain
-    ``rlike`` gate on top."""
+    funnel's convention).
+
+    ``badwords`` (opt-in — the paper's dirty-word list is an external
+    resource and is NOT bundled; bring your own) applies C4's
+    page-level removal: a page containing ANY listed word is flagged.
+    Matching is case-insensitive on ``[a-z0-9]+`` word boundaries over
+    the ORIGINAL text — single-token entries via one ``arrays_overlap``
+    against a literal array (native, no regex blowup at hundreds of
+    terms); multi-token phrases via a space-joined token-sequence
+    ``contains`` (word-boundary exact, ``"ass"`` never matches
+    ``"class"``, ``"blow job"`` matches across any whitespace). Adds a
+    ``c4_badword`` column and folds ``~c4_badword`` into ``c4_keep``;
+    without the list neither the column nor the gate is added (schema
+    unchanged)."""
     out_col = out_col or f"{text_col}_c4"
     col = F.col(text_col)
     lines = _lines(col)
@@ -283,12 +305,32 @@ def c4_clean(df: DataFrame, text_col: str = "text", *,
     page_ok = ((n_sent >= min_sentences)
                & ~F.lower(col).contains("lorem ipsum")
                & ~col.contains("{"))
-    return (df
-            .withColumn(out_col, cleaned)
-            .withColumn("c4_keep", page_ok)
-            .withColumn("n_lines_kept", F.size(kept).cast("long"))
-            .withColumn("n_lines_dropped",
-                        (F.size(lines) - F.size(kept)).cast("long")))
+    bad = None
+    if badwords:
+        norm = sorted({" ".join(_RE_NONALNUM.sub(" ", w.lower()).split())
+                       for w in badwords} - {""})
+        singles = [w for w in norm if " " not in w]
+        phrases = [w for w in norm if " " in w]
+        toks = F.array_remove(
+            F.split(_RE_NONALNUM_EXPR(col), " "), "")
+        bad = F.lit(False)
+        if singles:
+            bad = F.arrays_overlap(toks, F.array(*map(F.lit, singles)))
+        if phrases:
+            padded = F.concat(F.lit(" "), F.array_join(toks, " "),
+                              F.lit(" "))
+            for p in phrases:
+                bad = bad | padded.contains(f" {p} ")
+        page_ok = page_ok & ~bad
+    out = (df
+           .withColumn(out_col, cleaned)
+           .withColumn("c4_keep", page_ok)
+           .withColumn("n_lines_kept", F.size(kept).cast("long"))
+           .withColumn("n_lines_dropped",
+                       (F.size(lines) - F.size(kept)).cast("long")))
+    if bad is not None:
+        out = out.withColumn("c4_badword", bad)
+    return out
 
 
 def ngram_hashes(df: DataFrame, id_col: str, text_col: str = "text",

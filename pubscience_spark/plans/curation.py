@@ -76,6 +76,7 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
                   gopher_max: dict | None = None,
                   gopher_quality_gate: bool = False,
                   c4: bool = False,
+                  c4_badwords: list[str] | None = None,
                   para_dedup: bool = False,
                   para_min_chars: int = 30,
                   decontam_eval: DataFrame | None = None,
@@ -94,6 +95,10 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     sees is the line-filtered rewrite, and pages failing C4's
     page-level rule (lorem ipsum / curly brace / too few sentences)
     drop at their own funnel stage (``after_c4_gate``).
+    ``c4_badwords`` (opt-in, requires ``c4``) adds the paper's
+    page-level dirty-word removal (bring your own list — see
+    :func:`operators.curate_text.c4_clean`); flagged pages fail the C4
+    stage and the manifest reports ``badword_pages`` separately.
     ``gopher_quality_gate`` (opt-in) folds the published Gopher C1
     QUALITY thresholds (word-count bounds, mean word length, symbol
     ratio, bullet/ellipsis lines, alpha words, required stopwords —
@@ -119,13 +124,19 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     # ---- stage flags (cheap predicates; one aggregation pass) ----------
     if c4:
         from ..operators.curate_text import c4_clean
-        docs = (c4_clean(docs, text_col, out_col="__c4t")
+        docs = c4_clean(docs, text_col, out_col="__c4t",
+                        badwords=c4_badwords)
+        docs = (docs.withColumnRenamed("c4_badword", "__c4_bad")
+                if c4_badwords else
+                docs.withColumn("__c4_bad", F.lit(False)))
+        docs = (docs
                 .withColumn("__c4_ok", F.col("c4_keep"))
                 .drop(text_col, "c4_keep", "n_lines_kept",
                       "n_lines_dropped")
                 .withColumnRenamed("__c4t", text_col))
     else:
-        docs = docs.withColumn("__c4_ok", F.lit(True))
+        docs = (docs.withColumn("__c4_ok", F.lit(True))
+                .withColumn("__c4_bad", F.lit(False)))
     flagged = (docs
                .withColumn("__len_ok",
                            (F.length(text_col) >= min_chars)
@@ -234,6 +245,8 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
         F.count(F.lit(1)).alias("input"),
         F.coalesce(F.sum(F.when(c4c, 1).otherwise(0)), z)
         .alias("c4_ok"),
+        F.coalesce(F.sum(F.when(F.col("__c4_bad"), 1).otherwise(0)), z)
+        .alias("badword_pages"),
         F.coalesce(F.sum(F.when(c4c & F.col("__len_ok"), 1)
                          .otherwise(0)), z).alias("len_ok"),
         F.coalesce(F.sum(F.when(c4c & F.col("__len_ok")
@@ -250,8 +263,8 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
         .alias("repetition_ok")).collect()[0]
     corpus_path = os.path.join(out_dir, "corpus")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out = kept.drop("__c4_ok", "__len_ok", "__lang_ok", "__q_ok",
-                    "__rep_ok")
+    out = kept.drop("__c4_ok", "__c4_bad", "__len_ok", "__lang_ok",
+                    "__q_ok", "__rep_ok")
     out.write.mode("overwrite").partitionBy("split").parquet(corpus_path)
     # dynamic overwrite writes no files for an empty result — read back
     # only when data exists (zero-input runs yield an empty manifest).
@@ -275,6 +288,7 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     manifest = {
         "input": funnel_row["input"],
         "after_c4_gate": funnel_row["c4_ok"],
+        "badword_pages": funnel_row["badword_pages"],
         "after_length_gate": funnel_row["len_ok"],
         "after_lang_gate": funnel_row["lang_ok"],
         "after_quality_gate": funnel_row["quality_ok"],
@@ -293,6 +307,8 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
                    "neardup_threshold": neardup_threshold,
                    "neardup_mode": neardup_mode,
                    "gopher_max": gopher_max,
+                   "c4_badwords_n": (len(c4_badwords)
+                                     if c4_badwords else 0),
                    "para_dedup": para_dedup,
                    "decontam_n": decontam_n if decontam_eval is not None
                    else None,

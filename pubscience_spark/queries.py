@@ -588,12 +588,15 @@ def q_mint_ids(spark, sf_dir):
 
 def q_simhash_neardup(spark, sf_dir):
     """SimHash hamming-neighbor join: 4×16-bit banded self-join, verify
-    hamming ≤ 3 (rows-only — the simhash kernel is not SQL; recall of the
-    banding is EXACT by pigeonhole, equality vs brute force is pytest-
-    enforced in test_operators_spark). Since round 5 this entry ALSO
-    carries each side's 64-bit key (the former standalone ``simhash``
-    entry, merged to free a slot for the oracle-checked
-    ``gopher_quality`` — battery stays exactly 50)."""
+    hamming ≤ 3. ORACLE-CHECKED since round 6: the simhash kernel is
+    seeded md5 + mod-2⁶⁴ positional mixing + per-bit majority — pure
+    integer arithmetic, so the DuckDB oracle reproduces the keys
+    EXACTLY (no float-order traps; see
+    :func:`_simhash_neardup_oracle_sql`) and brute-forces all pairs —
+    banding recall is exact by pigeonhole (max_hamming < chunks), so
+    the sets must be identical. Since round 5 this entry ALSO carries
+    each side's 64-bit key (the former standalone ``simhash`` entry,
+    merged to free a slot — battery stays exactly 50)."""
     keys = dedup_ops.simhash_keys(_docs_spread(spark, sf_dir)) \
         .select("doc_id", "simhash")
     from pyspark.storagelevel import StorageLevel
@@ -612,6 +615,80 @@ def q_simhash_neardup(spark, sf_dir):
     # (ADVICE r5); bench.py unpersists after materializing
     out._ps_persisted_input = keys
     return out
+
+
+def _simhash_neardup_oracle_sql() -> str:
+    """Generate the DuckDB oracle for ``simhash_neardup`` from the SAME
+    constants as the kernel (:mod:`kernels.hashing`) — the
+    ``_langid_oracle_sql`` precedent: one source of truth, no drift.
+
+    The kernel is integer-only, so the oracle is EXACT:
+
+    - word hash = little-endian uint64 of the first 8 md5 bytes — hex
+      pairs of DuckDB ``md5()`` parsed byte-by-byte;
+    - shingle hash = Σⱼ word_hash[i+j] · POS_MIX[j] mod 2⁶⁴ — the
+      wraparound multiply is a 32-bit lo/hi split in HUGEINT (DuckDB's
+      UBIGINT arithmetic raises on overflow instead of wrapping);
+    - simhash bit j set iff 2·(count of distinct shingle hashes with
+      bit j) > total — a per-bit list_filter majority;
+    - pairs are BRUTE-FORCED (all doc pairs, bit_count(xor) ≤ 3): the
+      Spark side's 4×16-bit banding has exact recall by pigeonhole, so
+      the two sets must be identical."""
+    from .kernels.hashing import _POS_MIX
+    two64, two32 = 1 << 64, 1 << 32
+    mix = [int(v) for v in _POS_MIX[:3]]
+
+    def le64(var: str) -> str:
+        return ("list_aggregate(list_transform(range(8), i -> "
+                f"CAST(CAST(('0x' || substr(md5({var}), "
+                "CAST(2*i+1 AS INT), 2)) AS UBIGINT) AS HUGEINT)"
+                " * (1::HUGEINT << CAST(8*i AS INT))), 'sum')")
+
+    def mulmod(a: str, const: int) -> str:
+        bh, bl = const >> 32, const & 0xFFFFFFFF
+        return (f"((({a}) % {two32}) * {bl}::HUGEINT"
+                f" + (((({a}) % {two32}) * {bh}::HUGEINT"
+                f" + (({a}) // {two32}) * {bl}::HUGEINT)"
+                f" % {two32}) * {two32}::HUGEINT)"
+                f" % {two64}::HUGEINT")
+
+    sh_sum = " + ".join(mulmod(f"h[i+{j}]", mix[j]) for j in range(3))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents),
+wh AS (
+  SELECT doc_id, w, list_transform(w, x -> {le64('x')}) AS h
+  FROM tok),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(h) = 0 THEN CAST([] AS HUGEINT[])
+         WHEN len(h) < 3 THEN [{le64("array_to_string(w, ' ')")}]
+         ELSE list_distinct(list_transform(range(1, len(h) - 1), i ->
+            (({sh_sum}) % {two64}::HUGEINT)))
+    END AS hs
+  FROM wh),
+sim AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN 0::HUGEINT
+    ELSE list_aggregate(list_transform(range(64), j ->
+        CASE WHEN 2 * len(list_filter(hs, v ->
+                 (v // (1::HUGEINT << CAST(j AS INT))) % 2 = 1))
+               > len(hs)
+             THEN (1::HUGEINT << CAST(j AS INT)) ELSE 0::HUGEINT END),
+      'sum') END AS s
+  FROM sh),
+keys AS (
+  SELECT doc_id,
+    CAST(CASE WHEN s >= (1::HUGEINT << 63) THEN s - {two64}::HUGEINT
+         ELSE s END AS BIGINT) AS s64
+  FROM sim)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.s64, b.s64)) AS BIGINT) AS hamming,
+  a.s64 AS simhash_a, b.s64 AS simhash_b
+FROM keys a JOIN keys b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s64, b.s64)) <= 3
+"""
 
 
 def q_langid(spark, sf_dir):
@@ -836,10 +913,60 @@ def q_ivfpq_topk(spark, sf_dir):
 
 
 def q_lsh_topk(spark, sf_dir):
-    """Sign-LSH bucketed ANN (scale path; rows-only — recall < 1 vs oracle)."""
+    """Sign-LSH bucketed ANN (scale path). ORACLE-CHECKED since round 6:
+    the hyperplanes are deterministic blake2b constants, so the oracle
+    replays the SAME algorithm (sign-bit bucket, bucket equi-join, exact
+    cosine, top-k) rather than comparing against exact ANN — recall < 1
+    by design is therefore not a mismatch source. Sign bits are float
+    comparisons, but |dot| sits ~13 orders of magnitude above the
+    summation-order error floor on real vectors (see
+    :func:`_lsh_topk_oracle_sql`)."""
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 10)
     return sim_ops.lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+
+
+def _lsh_topk_oracle_sql() -> str:
+    """DuckDB oracle for ``lsh_topk``, generated from the operator's own
+    plane constants (:func:`operators.similarity._hyperplanes` — blake2b
+    seed-stable, dim=64, n_planes=6, seed=42), the
+    ``_simhash_neardup_oracle_sql`` precedent: one source of truth.
+
+    Python float ``repr`` round-trips to the identical DOUBLE, so the
+    literal plane rows ARE the numpy matrix; the bucket string is the
+    same '1'/'0' sign concatenation the pandas UDF emits. numpy's
+    matmul may sum in a different order than ``list_dot_product``, but a
+    sign flip needs |dot| below the ~1e-13 relative error floor —
+    nonexistent on the test embeddings and vanishing on any real ones."""
+    from .operators.similarity import _hyperplanes
+    planes = _hyperplanes(64, 6, seed=42)
+    rows = ",\n    ".join(
+        "({}, [{}])".format(p, ", ".join(repr(float(x)) for x in row))
+        for p, row in enumerate(planes))
+    return f"""
+WITH planes(pid, pv) AS (VALUES
+    {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT vec_id, v,
+         string_agg(CASE WHEN list_dot_product(v, pv) > 0
+                         THEN '1' ELSE '0' END, '' ORDER BY pid) AS bucket
+  FROM e CROSS JOIN planes GROUP BY vec_id, v),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+  FROM sig c JOIN (SELECT * FROM sig WHERE vec_id < 10) q
+    ON c.bucket = q.bucket
+  WHERE q.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+FROM (SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1425,12 +1552,12 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "langid": q_langid,
     "label_docs": q_label_docs,
+    "gopher_quality": q_gopher_quality,
+    "simhash_neardup": q_simhash_neardup,
     # rows-only (not SQL-expressible): driver records weaker check.
     # INVARIANT: len(QUERIES) == 50 — the driver's correctness harness
     # records at most 50 entries (see q_segment_stats docstring); adding
     # a 51st query silently drops the last one from the report.
-    "gopher_quality": q_gopher_quality,
-    "simhash_neardup": q_simhash_neardup,
     "mint_ids": q_mint_ids,
     "segment_stats": q_segment_stats,
     "clean_sentences": q_clean_sentences,
@@ -1480,6 +1607,8 @@ ORACLES = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "langid": _langid_oracle_sql(),
+    "simhash_neardup": _simhash_neardup_oracle_sql(),
+    "lsh_topk": _lsh_topk_oracle_sql(),
     "label_docs": SQL_LABEL_DOCS,
     "segment_stats": SQL_SEGMENT_STATS,
     "gopher_quality": SQL_GOPHER_QUALITY,

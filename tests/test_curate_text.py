@@ -409,3 +409,67 @@ def test_curation_funnel_c4_stage(spark, tmp_path):
     ids2 = {r["doc_id"] for r in spark.read.parquet(m2["corpus_path"])
             .select("doc_id").collect()}
     assert "d_brace" in ids2
+
+
+def test_c4_badwords_gate(spark):
+    """Opt-in dirty-word page removal: word-boundary matching on alnum
+    tokens (never substrings), case/punct-insensitive, multi-token
+    phrases across whitespace; schema untouched without the list."""
+    from pubscience_spark.operators.curate_text import c4_clean
+
+    good = ("A perfectly fine sentence with enough words here. "
+            "Another fine sentence with enough words too.\n"
+            "And a third full sentence with plenty of words.")
+    docs = [
+        (1, good),
+        (2, good + "\nThis line mentions BADWORD, with punctuation."),
+        (3, good + "\nclassy classification unbadworded stays fine."),
+        (4, good + "\nA naughty phrase two appears right here."),
+        (5, good + "\nphrase  two split across   extra whitespace."),
+        (6, good + "\nphrase alone and two alone do not match."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           c4_clean(df, badwords=["BadWord", "phrase two"]).collect()}
+    assert [out[i]["c4_badword"] for i in (1, 2, 3, 4, 5, 6)] == \
+        [False, True, False, True, True, False]
+    for i in (2, 4, 5):
+        assert out[i]["c4_keep"] is False
+    assert out[1]["c4_keep"] is True and out[6]["c4_keep"] is True
+    # no list → no column, page rule unchanged
+    assert "c4_badword" not in c4_clean(df).columns
+    # the gate stays JVM-side (arrays_overlap + contains, no regex UDF)
+    plan = (c4_clean(df, badwords=["badword", "phrase two"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan
+
+
+def test_curation_funnel_badwords(spark, tmp_path):
+    """Funnel wiring: badword pages drop at the C4 stage and the
+    manifest counts them separately."""
+    import os
+
+    from pubscience_spark.plans.curation import curate_corpus
+    base = ("This is solid prose content with the usual stopwords here. "
+            "It has a view of analysis that is long enough to pass the "
+            "gates of this small curation corpus for sure. ") * 3
+    rows = [(f"d{i}", base + f"This is variation sentence {i} here. " * 3)
+            for i in range(5)]
+    rows.append(("d_bad", base + "This sentence contains scunthorpe."))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    m = curate_corpus(spark, docs, os.path.join(str(tmp_path), "bw"),
+                      min_chars=50, min_words=10, c4=True,
+                      c4_badwords=["scunthorpe"],
+                      neardup_threshold=0.995, neardup_bands=4)
+    assert m["input"] == 6
+    assert m["badword_pages"] == 1
+    assert m["after_c4_gate"] == 5
+    assert m["params"]["c4_badwords_n"] == 1
+    ids = {r["doc_id"] for r in spark.read.parquet(m["corpus_path"])
+           .select("doc_id").collect()}
+    assert "d_bad" not in ids
+    # no-c4 run still reports the counter (zero) for manifest stability
+    m2 = curate_corpus(spark, docs, os.path.join(str(tmp_path), "bw2"),
+                       min_chars=50, min_words=10,
+                       neardup_threshold=0.995, neardup_bands=4)
+    assert m2["badword_pages"] == 0

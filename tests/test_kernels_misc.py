@@ -262,3 +262,97 @@ def test_segment_stats_oracle_parity_general_text():
     for ch in ws:
         t = f"First one.{ch}Second sentence here."
         assert oracle(t) == kernel(t), hex(ord(ch))
+
+
+def test_simhash_oracle_parity_brute_force():
+    """The promoted simhash_neardup DuckDB oracle (round 6) rebuilds the
+    64-bit keys from the kernel's own constants (md5 word hashes,
+    _POS_MIX wraparound multiply in HUGEINT, per-bit majority) — exact
+    vs kernels.hashing.simhash on adversarial texts and under fuzz, and
+    its brute-forced pair set matches the kernel's."""
+    import itertools
+    import random
+
+    import duckdb
+
+    from pubscience_spark.kernels import hashing as H
+    from pubscience_spark.queries import _simhash_neardup_oracle_sql
+
+    con = duckdb.connect()
+    sql = _simhash_neardup_oracle_sql()
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def run(texts):
+        con.execute("CREATE OR REPLACE TEMP TABLE docs_t(doc_id BIGINT, "
+                    "text VARCHAR)")
+        con.executemany("INSERT INTO docs_t VALUES (?, ?)",
+                        list(enumerate(texts)))
+        got = sorted(tuple(r) for r in con.execute(
+            sql.replace("FROM documents", "FROM docs_t")).fetchall())
+        keys = {i: H.simhash(t) for i, t in enumerate(texts)}
+        want = sorted(
+            (a, b, H.hamming64(keys[a], keys[b]),
+             signed(keys[a]), signed(keys[b]))
+            for a, b in itertools.combinations(sorted(keys), 2)
+            if H.hamming64(keys[a], keys[b]) <= 3)
+        assert got == want
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    run([
+        base,
+        base + "extra tail words here",
+        "the quick brown fox jumps over a lazy dog " * 4,
+        "",                      # empty → key 0
+        "   \t\n ",              # whitespace-only → key 0
+        "one",                   # < k words → joined-words hash
+        "one two",
+        "one two three",         # exactly k
+        "ONE TWO THREE",         # case-folds to the same shingle
+        "punct,uation! split2 3tokens",
+        "é unicode is stripped by [a-z0-9]+",
+    ])
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "x9", "42", "word"]
+    run([" ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30)))
+         for _ in range(40)])
+
+
+def test_lsh_topk_oracle_parity_numpy():
+    """The promoted lsh_topk DuckDB oracle (round 6) replays the sign-LSH
+    algorithm with the operator's own blake2b plane constants — exact vs
+    a numpy reimplementation (same matmul the pandas UDF runs) on
+    synthetic embeddings, including the bucket strings themselves."""
+    import duckdb
+    import numpy as np
+
+    from pubscience_spark.operators.similarity import _hyperplanes
+    from pubscience_spark.queries import _lsh_topk_oracle_sql
+
+    rng = np.random.default_rng(11)
+    n, dim = 120, 64
+    vecs = rng.standard_normal((n, dim))
+    planes = _hyperplanes(dim, 6, seed=42)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, "
+                "embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)",
+                    [(i, [float(x) for x in vecs[i]]) for i in range(n)])
+    got = sorted(tuple(r) for r in
+                 con.execute(_lsh_topk_oracle_sql()).fetchall())
+
+    bits = (vecs @ planes.T) > 0
+    buckets = ["".join("1" if b else "0" for b in row) for row in bits]
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    want = []
+    for q in range(10):
+        cands = [(float(vecs[q] @ vecs[c]) / float(norms[q] * norms[c]),
+                  c) for c in range(n)
+                 if c != q and buckets[c] == buckets[q]]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, c) in enumerate(cands[:5], 1):
+            want.append((q, c, round(cos, 6), rank))
+    assert got == sorted(want)
+    assert len(got) > 0          # the fixture must exercise the join
