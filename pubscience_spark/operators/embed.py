@@ -13,8 +13,6 @@ Output plugs directly into the similarity operators
 
 from __future__ import annotations
 
-import hashlib
-import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -23,15 +21,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (ArrayType, FloatType, StringType, StructField,
                                StructType)
 
-from ..kernels.hashing import normalize_words
+from ..kernels.hashing import _hash64, normalize_words
 
 
 def embed_text(text: str, dim: int = 64) -> list[float]:
-    """Sequential reference implementation: hashed BoW, L2-normalized."""
+    """Sequential reference implementation: hashed BoW, L2-normalized.
+
+    The word hash is the kernel's md5-LE uint64 (``kernels.hashing``)
+    — round 6 switched from blake2b so the whole chain is replayable in
+    DuckDB (no blake2b there), making ``hash_embed_topk`` oracle-
+    checkable. Every arithmetic step stays cross-engine exact: bucket
+    counts are small integers (exact in float64 in any summation
+    order), the norm is sqrt of an exact integer, and the final
+    float32 cast is one IEEE rounding in both engines."""
     vec = np.zeros(dim, dtype=np.float64)
+    cache: dict[str, int] = {}
     for w in normalize_words(text):
-        d = hashlib.blake2b(w.encode(), digest_size=8).digest()
-        h = struct.unpack("<Q", d)[0]
+        h = cache.get(w)
+        if h is None:
+            h = cache[w] = _hash64(w)
         sign = 1.0 if (h >> 63) else -1.0
         vec[h % dim] += sign
     n = float(np.linalg.norm(vec))

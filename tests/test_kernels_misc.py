@@ -356,3 +356,172 @@ def test_lsh_topk_oracle_parity_numpy():
             want.append((q, c, round(cos, 6), rank))
     assert got == sorted(want)
     assert len(got) > 0          # the fixture must exercise the join
+
+
+def test_hash_embed_oracle_parity():
+    """The promoted hash_embed_topk DuckDB oracle (round 6) rebuilds the
+    md5-bucket BoW embedding — exact vs operators.embed.embed_text per
+    component (the float32 values themselves), including empty and
+    bucket-colliding inputs."""
+    import duckdb
+
+    from pubscience_spark.operators.embed import embed_text
+    from pubscience_spark.queries import _hash_embed_topk_oracle_sql
+
+    # pull just the vector-building CTEs out of the oracle
+    sql = _hash_embed_topk_oracle_sql()
+    head = sql[:sql.index("scored AS")]
+    probe = head + ("x AS (SELECT vec_id, v FROM fv)\n"
+                    "SELECT vec_id, v FROM x ORDER BY vec_id")
+
+    texts = [
+        "cardiac study results",
+        "cardiac cardiac cardiac study",      # repeated word counts
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "",                                   # zero vector stays zero
+        "punct,uation! and 42 numbers 42",
+        "é ünïcode words survive stripping",
+        " ".join(f"w{i}" for i in range(300)),  # forces bucket collisions
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(texts)))
+    got = con.execute(probe).fetchall()
+    assert len(got) == len(texts)
+    for vid, vec in got:
+        want = embed_text(texts[vid], 64)
+        assert vec == want, (vid, vec[:4], want[:4])
+
+
+def test_mint_ids_oracle_sha1_parity():
+    """The promoted mint_ids DuckDB oracle (round 6) implements SHA-1
+    from the FIPS 180 spec in SQL — fuzz-parity vs hashlib over random
+    printable-ASCII messages up to the 55-byte single-block bound, plus
+    the per-source row_number() minting semantics."""
+    import hashlib
+    import random
+    import string
+
+    import duckdb
+
+    from pubscience_spark.queries import _mint_ids_oracle_sql
+
+    rng = random.Random(13)
+    sources = ["", "abc", "src_07", "a" * 54] + [
+        "".join(rng.choice(string.printable[:95])
+                for _ in range(rng.randrange(0, 55)))
+        for _ in range(150)]
+    # distinct source per row → row_number()-1 == 0 → message = src + '0'
+    sources = list(dict.fromkeys(sources))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(sources)))
+    got = dict(con.execute(_mint_ids_oracle_sql()).fetchall())
+    for i, src in enumerate(sources):
+        want = hashlib.sha1((src + "0").encode()).hexdigest()
+        assert got[i] == want, (src, got[i], want)
+    # multi-row source: indices advance in doc_id order
+    con.execute("CREATE OR REPLACE TABLE documents(doc_id BIGINT, "
+                "source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    [(i, "dup") for i in range(12)])
+    got = dict(con.execute(_mint_ids_oracle_sql()).fetchall())
+    for i in range(12):
+        assert got[i] == hashlib.sha1(f"dup{i}".encode()).hexdigest()
+
+
+def test_clean_sentences_oracle_parity_fold():
+    """The promoted clean_sentences DuckDB oracle (round 6) replays the
+    per-line C1-C3 clean + C4 stateful sentence fold as a list_reduce —
+    exact vs kernels.textclean on multi-line adversarial inputs
+    (accumulation across delimiter-free lines, trailing partial drop,
+    digit masking, whitespace collapse, mojibake replaces)."""
+    import random
+
+    import duckdb
+
+    from pubscience_spark.kernels.textclean import sentence_fold
+    from pubscience_spark.queries import _clean_sentences_oracle_sql
+
+    texts = [
+        '{"k": 69}',
+        "no delimiter line\nstill none\nfinally a dot. done",
+        "acc builds\nacross lines;\nnext sentence starts\nhere too.",
+        "trailing partial never flushes\nno delims anywhere",
+        "",                         # split('\n') → [''] → no sentences
+        "\n\n\n",                   # empty lines skipped
+        "digits 123 mask. more 456;",
+        "double  spaces   collapse. ok:",
+        "Ã« mojibake fixed; plain.",
+        "unicode  gap. fine;",   # \s{2,} is Unicode in Python
+        "a.b.c many delims: yes; sure.",
+        None,
+    ]
+    rng = random.Random(19)
+    pieces = ["word", "x9", "end.", "mid;", "col:", "", "  ", "123"]
+    for _ in range(60):
+        texts.append("\n".join(" ".join(rng.choice(pieces)
+                                        for _ in range(rng.randrange(0, 6)))
+                               for _ in range(rng.randrange(0, 8))))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(event_id BIGINT, props VARCHAR)")
+    con.executemany("INSERT INTO events VALUES (?, ?)",
+                    list(enumerate(texts)))
+    got = {r[0]: (r[1], r[2]) for r in
+           con.execute(_clean_sentences_oracle_sql()).fetchall()}
+    for i, t in enumerate(texts):
+        ss = sentence_fold(t.split("\n")) if t is not None else []
+        if ss:
+            assert got[i] == (len(ss), sum(len(s) for s in ss)), (i, t)
+        else:
+            assert i not in got, (i, t)
+
+
+def test_translate_tagged_oracle_parity():
+    """The promoted translate_tagged DuckDB oracle (round 6) derives the
+    reassembled tag-translation length from per-sentence token/gap
+    prefix sums + the segment chunk fold — exact vs the kernel's
+    chunk_text reassembly on adversarial inputs (irregular whitespace,
+    zero-gap docs, hard-split >64-token sentences) and under fuzz."""
+    import random
+
+    import duckdb
+
+    from pubscience_spark.kernels.segment import chunk_text
+    from pubscience_spark.queries import _translate_tagged_oracle_sql
+
+    def want(t):
+        chunks = chunk_text(t if t is not None else "", 64)
+        return len(" ".join(f"[nl->en] {c}" for c in chunks))
+
+    texts = [
+        "Hello world. This is fine! Done?",
+        "Dr. Smith went home. OK then.",
+        "word " * 200,                      # hard split
+        "a  b   c. Next  one   here.",     # irregular internal gaps
+        "  leading ws. Tail here.",
+        "No terminators at all just words",
+        "", None, "   ", "one.",           # gapless single-token doc
+        ("A long sentence " + "word " * 100 + "end. Short one here. ") * 2,
+        "Wait... Really? Yes!",
+        "e.g. This merges. i.e. So does this. But not this one.",
+        "nbsp gap. Next sentence here.",   # NBSP: Python \s is Unicode
+        "tab\ttab\t\ttabs. More text here.",
+    ]
+    rng = random.Random(23)
+    words = ["foo", "Bar", "baz.", "Dr.", "e.g.", "X.", "qux!", "Wh?",
+             "3", "al.", "No", "yes...", "B", "word"]
+    for _ in range(120):
+        texts.append((" " * rng.randrange(0, 3)).join(
+            rng.choice(words) for _ in range(rng.randrange(0, 150))))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(texts)))
+    got = dict(con.execute(_translate_tagged_oracle_sql()).fetchall())
+    for i, t in enumerate(texts):
+        assert got[str(i)] == want(t), (i, repr((t or "")[:60]))
