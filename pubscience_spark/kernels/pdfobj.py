@@ -1242,6 +1242,40 @@ _N_COMPONENTS = {"DeviceRGB": 3, "CalRGB": 3, "DeviceGray": 1,
                  "CalGray": 1}
 
 
+def _ccitt_samples(payload: bytes, parm: dict, w: int, h: int,
+                   objs) -> "np.ndarray":
+    """CCITTFaxDecode terminal stage → (H, W, 1) uint8 SAMPLE values
+    (like the raw-decode path: 0/255 per the PDF bit semantics, before
+    any /Decode array): default ``BlackIs1 false`` means a 0 bit is
+    black (spec table 11), so black → 0; ``BlackIs1 true`` inverts."""
+    import numpy as np
+
+    from .ccitt import decode_g3_1d, decode_g4
+
+    def p(key, default):
+        v = _resolve(parm.get(key), objs) if isinstance(parm, dict) \
+            else None
+        return default if v is None else v
+
+    k = int(p("K", 0))
+    columns = int(p("Columns", 1728))
+    rows = int(p("Rows", 0)) or h
+    black_is_1 = bool(p("BlackIs1", False))
+    align = bool(p("EncodedByteAlign", False))
+    if k < 0:
+        black = decode_g4(payload, columns, rows, byte_align=align)
+    elif k == 0:
+        black = decode_g3_1d(payload, columns, rows, byte_align=align)
+    else:
+        raise ValueError("ccitt-k-positive-unsupported")  # 2-D G3 mix
+    if columns != w or black.shape[0] != h:
+        black = black[:h, :w]
+        if black.shape != (h, w):
+            raise ValueError("ccitt-dims-mismatch")
+    bit = black if black_is_1 else (1 - black)
+    return (bit.astype(np.uint8) * np.uint8(255)).reshape(h, w, 1)
+
+
 def harvest_images(objs: "ObjMap | dict") -> list[dict]:
     """Embedded image XObjects (the reference's fitz path reads these
     transparently — parse_pdfs.py:221-229): one record per /Subtype
@@ -1250,9 +1284,13 @@ def harvest_images(objs: "ObjMap | dict") -> list[dict]:
     - ``DCTDecode`` images yield the embedded JPEG file bytes in
       ``data`` (any preceding filters + document decryption applied) —
       decode with :mod:`kernels.jpeg` / ``media.decode_image``;
-    - Flate/LZW raw-sample images at 8 bpc DeviceRGB/DeviceGray yield
-      decoded ``samples`` (H, W, C) uint8 directly;
-    - anything else (JPX, JBIG2, CCITT, indexed palettes, 1/4-bit
+    - ``CCITTFaxDecode`` images (the dominant scanned-document codec)
+      decode through :mod:`kernels.ccitt` (round 6): G4 ``K < 0`` and
+      1-D G3 ``K = 0``, honoring Columns/Rows/BlackIs1/
+      EncodedByteAlign — ``samples`` (H, W, 1) uint8 sample space;
+    - Flate/LZW raw-sample images at 8 bpc DeviceRGB/DeviceGray and
+      1 bpc bilevel gray yield decoded ``samples`` (H, W, C) uint8;
+    - anything else (JPX, JBIG2, 2-D G3, indexed palettes, 2/4-bit
       depths) sets ``error`` — the error-column contract, never a
       raise."""
     import numpy as np
@@ -1280,30 +1318,55 @@ def harvest_images(objs: "ObjMap | dict") -> list[dict]:
                 filters = [filters]
             filters = [str(_resolve(f, objs)) for f in filters]
             rec["filter"] = filters[-1] if filters else None
-            if filters and filters[-1] == "DCTDecode":
-                # strip the terminal DCT stage; decode_stream applies
-                # decryption + the remaining cascade -> JPEG file bytes
+            if filters and filters[-1] in ("DCTDecode",
+                                           "CCITTFaxDecode"):
+                # strip the terminal stage; decode_stream applies
+                # decryption + the remaining cascade
                 pre = Stream(dict(d), obj.raw, obj.num, obj.gen)
                 pre.dict["Filter"] = filters[:-1]
                 parms = _resolve(d.get("DecodeParms")
                                  or d.get("DP"), objs)
+                last_parm = {}
                 if isinstance(parms, list):
                     pre.dict["DecodeParms"] = parms[:-1]
+                    if parms:
+                        last_parm = _resolve(parms[-1], objs) or {}
+                elif isinstance(parms, dict):
+                    last_parm = parms
                 pre.dict.pop("DP", None)
-                rec["data"] = decode_stream(pre, objs)
+                payload = decode_stream(pre, objs)
+                if filters[-1] == "DCTDecode":
+                    # JPEG file bytes — decode with kernels.jpeg
+                    rec["data"] = payload
+                else:
+                    rec["samples"] = _ccitt_samples(
+                        payload, last_parm, w, h, objs)
             else:
                 data = decode_stream(obj, objs)
                 bpc = int(_resolve(d.get("BitsPerComponent"), objs) or 8)
                 cs = _resolve(d.get("ColorSpace"), objs)
                 ncomp = _N_COMPONENTS.get(str(cs))
-                if bpc != 8 or ncomp is None:
+                if bpc == 1 and ncomp == 1:
+                    # bilevel raw samples: rows padded to whole bytes
+                    # (spec 8.9.5.2); 1 bit = white in DeviceGray
+                    row_bytes = (w + 7) // 8
+                    if len(data) < row_bytes * h:
+                        raise ValueError("image-data-short")
+                    bits = np.unpackbits(
+                        np.frombuffer(data[:row_bytes * h],
+                                      dtype=np.uint8)
+                        .reshape(h, row_bytes), axis=1)[:, :w]
+                    rec["samples"] = \
+                        (bits * np.uint8(255)).reshape(h, w, 1)
+                elif bpc != 8 or ncomp is None:
                     raise ValueError(
                         f"unsupported-image:{cs}/{bpc}bpc")
-                need = w * h * ncomp
-                if len(data) < need:
-                    raise ValueError("image-data-short")
-                rec["samples"] = np.frombuffer(
-                    data[:need], dtype=np.uint8).reshape(h, w, ncomp)
+                else:
+                    need = w * h * ncomp
+                    if len(data) < need:
+                        raise ValueError("image-data-short")
+                    rec["samples"] = np.frombuffer(
+                        data[:need], dtype=np.uint8).reshape(h, w, ncomp)
         except Exception as exc:                   # zlib.error, KeyError
             rec["error"] = \
                 f"{type(exc).__name__}: {exc}"[:200]

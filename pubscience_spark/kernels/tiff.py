@@ -8,14 +8,15 @@ itself is a TIFF IFD). Supported, per the public TIFF 6.0 spec:
 - strip organization (RowsPerStrip + StripOffsets/StripByteCounts),
 - compression: 1 none, 5 LZW (the PDF ``LZWDecode`` algorithm —
   :func:`kernels.pdfobj.lzw_decode` is reused), 8 / 32946 Deflate,
-  32773 PackBits,
+  32773 PackBits, 3 / 4 CCITT fax (T.4 1-D / T.6 G4 bilevel strips via
+  :mod:`kernels.ccitt`, round 6),
 - Predictor 2 (horizontal differencing),
 - PhotometricInterpretation 0 (WhiteIsZero, inverted), 1 (BlackIsZero),
   2 (RGB); 8-bit samples, chunky planar config, 1 / 3 / 4 samples per
   pixel (4 = RGB + unassociated alpha, alpha dropped).
 
-Anything else (tiles, 16-bit, palette, CCITT, JPEG-in-TIFF, planar) is
-a named :class:`TiffError` — the error-column contract.
+Anything else (tiles, 16-bit, palette, 2-D G3, JPEG-in-TIFF, planar)
+is a named :class:`TiffError` — the error-column contract.
 """
 
 from __future__ import annotations
@@ -101,6 +102,53 @@ def decode_tiff(raw: bytes) -> np.ndarray:
         raise TiffError(f"tiff-corrupt: {type(exc).__name__}") from exc
 
 
+def _decode_fax(raw: bytes, t: dict, one, comp: int) -> np.ndarray:
+    """Compression 3 (T.4 1-D) / 4 (T.6 G4) bilevel strips → (H, W, 1)
+    uint8 via :mod:`kernels.ccitt` (round 6). 2-D G3 (T4Options bit 0)
+    and uncompressed-mode G4 (T6Options bit 1) stay named errors."""
+    from .ccitt import CCITTError, decode_g3_1d, decode_g4
+    w, h = one(256), one(257)
+    if not (w and h):
+        raise TiffError("tiff-zero-dims")
+    if one(277, 1) != 1:
+        raise TiffError("tiff-fax-multisample-unsupported")
+    if t.get(258, [1]) != [1]:
+        raise TiffError("tiff-fax-bits-unsupported")
+    photo = one(262, 0)
+    if photo not in (0, 1):
+        raise TiffError(f"tiff-photometric-{photo}-unsupported")
+    if comp == 3 and one(292, 0) & 1:
+        raise TiffError("tiff-g3-2d-unsupported")
+    if comp == 4 and one(293, 0) & 2:
+        raise TiffError("tiff-g4-uncompressed-unsupported")
+    offsets = t.get(273)
+    counts = t.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise TiffError("tiff-missing-strips")
+    rows_per_strip = one(278, h)
+    planes = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        data = raw[off:off + cnt]
+        if len(data) < cnt:
+            raise TiffError("tiff-truncated-strip")
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        try:
+            if comp == 4:
+                black = decode_g4(data, w, nrows)
+            else:
+                black = decode_g3_1d(data, w, nrows)
+        except CCITTError as exc:
+            raise TiffError(str(exc)) from exc
+        planes.append(black)
+    black = np.concatenate(planes, axis=0)
+    # decode_tiff returns DISPLAY-space gray (the 8-bit path inverts
+    # photo 0 the same way): black → 0 under either fax photometric —
+    # WhiteIsZero stores black as max (inverted display), MinIsBlack
+    # stores black as 0 (direct display)
+    gray = (1 - black) * np.uint8(255)
+    return gray.astype(np.uint8).reshape(h, w, 1)
+
+
 def _decode(raw: bytes) -> np.ndarray:
     if raw[:4] == b"II*\x00":
         e = "<"
@@ -125,9 +173,11 @@ def _decode(raw: bytes) -> np.ndarray:
         raise TiffError("tiff-zero-dims")
     spp = one(277, 1)
     bits = t.get(258, [8])
+    comp = one(259, 1)
+    if comp in (3, 4):
+        return _decode_fax(raw, t, one, comp)
     if any(b != 8 for b in bits):
         raise TiffError(f"tiff-{bits[0]}bit-unsupported")
-    comp = one(259, 1)
     photo = one(262, 1)
     planar = one(284, 1)
     predictor = one(317, 1)

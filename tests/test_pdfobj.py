@@ -696,3 +696,82 @@ def test_harvest_images_corrupt_streams_become_error_records():
     assert images[1]["error"]                               # bad /Width
     assert images[2]["error"] is None                       # healthy JPEG
     assert images[2]["data"] is not None
+
+
+def _pdf_with_ccitt() -> tuple[bytes, "object"]:
+    """Classic-layout PDF embedding CCITTFaxDecode XObjects (round 6):
+    G4 with default BlackIs1 (false → 0 bit is black), G4 BlackIs1
+    true, a Flate+CCITT cascade, and a raw 1-bpc Flate bilevel image."""
+    import numpy as np
+    from pubscience_spark.kernels.ccitt import encode_g4
+    black = np.zeros((10, 20), dtype=np.uint8)
+    black[2:8, 3:15] = 1
+    black[5, :] = 0
+    g4 = encode_g4(black)
+    bits = np.packbits(
+        np.pad(1 - black, ((0, 0), (0, 4))), axis=1).tobytes()
+    out = bytearray(b"%PDF-1.5\n")
+    out += _classic_obj(1, {"Type": N("Catalog"), "Pages": R(2, 0)})
+    out += _classic_obj(2, {"Type": N("Pages"), "Kids": [R(3, 0)],
+                            "Count": 1})
+    out += _classic_obj(3, {"Type": N("Page"), "Parent": R(2, 0),
+                            "Resources": {"XObject": {
+                                "Im0": R(4, 0), "Im1": R(5, 0),
+                                "Im2": R(6, 0), "Im3": R(7, 0)}}})
+    base = {"Type": N("XObject"), "Subtype": N("Image"),
+            "Width": 20, "Height": 10, "ColorSpace": N("DeviceGray"),
+            "BitsPerComponent": 1}
+    parms = {"K": -1, "Columns": 20, "Rows": 10}
+    out += _classic_obj(4, {**base, "Filter": N("CCITTFaxDecode"),
+                            "DecodeParms": parms,
+                            "Length": len(g4)}, g4)
+    out += _classic_obj(5, {**base, "Filter": N("CCITTFaxDecode"),
+                            "DecodeParms": {**parms, "BlackIs1": True},
+                            "Length": len(g4)}, g4)
+    zg4 = zlib.compress(g4)
+    out += _classic_obj(6, {**base,
+                            "Filter": [N("FlateDecode"),
+                                       N("CCITTFaxDecode")],
+                            "DecodeParms": [None, parms],
+                            "Length": len(zg4)}, zg4)
+    zbits = zlib.compress(bits)
+    out += _classic_obj(7, {**base, "Filter": N("FlateDecode"),
+                            "Length": len(zbits)}, zbits)
+    out += b"%%EOF\n"
+    return bytes(out), black
+
+
+def test_harvest_images_ccitt():
+    """CCITT XObjects decode to sample-space (H, W, 1) uint8: default
+    BlackIs1=false puts black at 0; BlackIs1=true inverts; the filter
+    cascade applies Flate before the fax stage; raw 1-bpc images unpack
+    with row padding."""
+    import numpy as np
+    raw, black = _pdf_with_ccitt()
+    objs = pdfobj.parse_document(raw)
+    images = pdfobj.harvest_images(objs)
+    assert [im["error"] for im in images] == [None] * 4
+    assert [im["filter"] for im in images] == \
+        ["CCITTFaxDecode", "CCITTFaxDecode", "CCITTFaxDecode",
+         "FlateDecode"]
+    want = ((1 - black) * 255).reshape(10, 20, 1)
+    assert np.array_equal(images[0]["samples"], want)
+    assert np.array_equal(images[1]["samples"], 255 - want)
+    assert np.array_equal(images[2]["samples"], want)
+    assert np.array_equal(images[3]["samples"], want)
+
+
+def test_harvest_images_ccitt_corrupt_is_error_record():
+    import numpy as np
+    raw, _ = _pdf_with_ccitt()
+    # truncate the first image's stream bytes in place: find its
+    # stream section and zero the G4 data → CCITTError → error record
+    start = raw.index(b"stream\n") + len(b"stream\n")
+    end = raw.index(b"\nendstream", start)
+    corrupted = raw[:start] + b"\x00" * (end - start) + raw[end:]
+    images = pdfobj.harvest_images(pdfobj.parse_document(corrupted))
+    assert images[0]["error"] and "ccitt" in images[0]["error"].lower()
+    assert images[1]["error"] is None       # later images unaffected
+    assert np.array_equal(
+        images[3]["samples"][:, :, 0] > 0,
+        (1 - _pdf_with_ccitt()[1]) > 0)
