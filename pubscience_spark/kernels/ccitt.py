@@ -218,6 +218,66 @@ def _row_from_changes(changes: list, columns: int):
     return row
 
 
+def _decode_row_2d(br: _BitReader, ref: list, columns: int) -> list:
+    """One 2-D-coded row (shared by T.6 G4 and the 2-D rows of T.4
+    K>0): transition positions against the reference row's changing
+    elements."""
+    cur: list = []
+    a0 = -1
+    white = True
+    while a0 < columns:
+        # b1: first change in ref > a0 with opposite color to a0's
+        # (even index = white→black); b2: the next one after it
+        i = 0
+        while i < len(ref) and (ref[i] <= a0
+                                or (i % 2 == 0) != white):
+            i += 1
+        b1 = ref[i] if i < len(ref) else columns
+        b2 = ref[i + 1] if i + 1 < len(ref) else columns
+        if br.peek(1) == 1:                            # V0
+            br.skip(1); delta = 0
+        elif br.peek(3) == 0b011:                      # VR1
+            br.skip(3); delta = 1
+        elif br.peek(3) == 0b010:                      # VL1
+            br.skip(3); delta = -1
+        elif br.peek(3) == 0b001:                      # horizontal
+            br.skip(3)
+            start = a0 if a0 > 0 else 0
+            r1 = _read_run(br, white)
+            r2 = _read_run(br, not white)
+            cur.append(start + r1)
+            cur.append(start + r1 + r2)
+            a0 = start + r1 + r2
+            continue
+        elif br.peek(4) == 0b0001:                     # pass
+            br.skip(4)
+            a0 = b2
+            continue
+        elif br.peek(6) == 0b000011:                   # VR2
+            br.skip(6); delta = 2
+        elif br.peek(6) == 0b000010:                   # VL2
+            br.skip(6); delta = -2
+        elif br.peek(7) == 0b0000011:                  # VR3
+            br.skip(7); delta = 3
+        elif br.peek(7) == 0b0000010:                  # VL3
+            br.skip(7); delta = -3
+        elif br.peek(12) == _EOL[0]:
+            raise CCITTError("ccitt-unexpected-eol-in-2d-row")
+        elif br.exhausted():
+            raise CCITTError("ccitt-truncated")
+        else:
+            raise CCITTError(f"ccitt-bad-mode at bit {br.pos}")
+        a1 = b1 + delta
+        if a1 < 0 or a1 > columns:
+            raise CCITTError("ccitt-vertical-out-of-range")
+        cur.append(a1)
+        a0 = a1
+        white = not white
+    if any(cur[i] > cur[i + 1] for i in range(len(cur) - 1)):
+        raise CCITTError("ccitt-nonmonotonic-row")
+    return cur
+
+
 def decode_g4(data: bytes, columns: int, rows: int = 0, *,
               byte_align: bool = False) -> "np.ndarray":
     """T.6 MMR decode -> (H, W) uint8, 1 = black.
@@ -245,59 +305,7 @@ def decode_g4(data: bytes, columns: int, rows: int = 0, *,
             break
         if not rows and br.nbits - br.pos < 8 and br.peek(8) == 0:
             break                          # trailing byte-pad bits only
-        cur: list = []
-        a0 = -1
-        white = True
-        while a0 < columns:
-            # b1: first change in ref > a0 with opposite color to a0's
-            # (even index = white→black); b2: the next one after it
-            i = 0
-            while i < len(ref) and (ref[i] <= a0
-                                    or (i % 2 == 0) != white):
-                i += 1
-            b1 = ref[i] if i < len(ref) else columns
-            b2 = ref[i + 1] if i + 1 < len(ref) else columns
-            if br.peek(1) == 1:                            # V0
-                br.skip(1); delta = 0
-            elif br.peek(3) == 0b011:                      # VR1
-                br.skip(3); delta = 1
-            elif br.peek(3) == 0b010:                      # VL1
-                br.skip(3); delta = -1
-            elif br.peek(3) == 0b001:                      # horizontal
-                br.skip(3)
-                start = a0 if a0 > 0 else 0
-                r1 = _read_run(br, white)
-                r2 = _read_run(br, not white)
-                cur.append(start + r1)
-                cur.append(start + r1 + r2)
-                a0 = start + r1 + r2
-                continue
-            elif br.peek(4) == 0b0001:                     # pass
-                br.skip(4)
-                a0 = b2
-                continue
-            elif br.peek(6) == 0b000011:                   # VR2
-                br.skip(6); delta = 2
-            elif br.peek(6) == 0b000010:                   # VL2
-                br.skip(6); delta = -2
-            elif br.peek(7) == 0b0000011:                  # VR3
-                br.skip(7); delta = 3
-            elif br.peek(7) == 0b0000010:                  # VL3
-                br.skip(7); delta = -3
-            elif br.peek(12) == _EOL[0]:
-                raise CCITTError("ccitt-unexpected-eol-in-g4")
-            elif br.exhausted():
-                raise CCITTError("ccitt-truncated")
-            else:
-                raise CCITTError(f"ccitt-bad-mode at bit {br.pos}")
-            a1 = b1 + delta
-            if a1 < 0 or a1 > columns:
-                raise CCITTError("ccitt-vertical-out-of-range")
-            cur.append(a1)
-            a0 = a1
-            white = not white
-        if any(cur[i] > cur[i + 1] for i in range(len(cur) - 1)):
-            raise CCITTError("ccitt-nonmonotonic-row")
+        cur = _decode_row_2d(br, ref, columns)
         out.append(_row_from_changes(cur, columns))
         ref = [c for c in cur if c < columns]
     if rows and len(out) < rows:
@@ -336,17 +344,71 @@ def decode_g3_1d(data: bytes, columns: int, rows: int = 0, *,
             break
         if not rows and br.nbits - br.pos < 12 and br.peek(12) == 0:
             break                          # trailing pad
-        pos = 0
-        white = True
-        changes: list = []
-        while pos < columns:
-            run = _read_run(br, white)
-            pos += run
-            changes.append(pos)
-            white = not white
-        if pos != columns:
-            raise CCITTError("ccitt-row-overrun")
-        out.append(_row_from_changes(changes, columns))
+        out.append(_row_from_changes(_decode_row_1d(br, columns),
+                                     columns))
+    if rows and len(out) < rows:
+        raise CCITTError("ccitt-truncated")
+    if not out:
+        return np.zeros((0, columns), dtype=np.uint8)
+    return np.frombuffer(b"".join(bytes(r) for r in out),
+                         dtype=np.uint8).reshape(len(out), columns).copy()
+
+
+def _decode_row_1d(br: _BitReader, columns: int) -> list:
+    """One 1-D MH row: alternating white/black runs summing to exactly
+    ``columns``; returns the transition positions."""
+    pos = 0
+    white = True
+    changes: list = []
+    while pos < columns:
+        run = _read_run(br, white)
+        pos += run
+        changes.append(pos)
+        white = not white
+    if pos != columns:
+        raise CCITTError("ccitt-row-overrun")
+    return changes
+
+
+def decode_g3_2d(data: bytes, columns: int, rows: int = 0, *,
+                 byte_align: bool = False) -> "np.ndarray":
+    """T.4 2-D (mixed) decode — PDF ``K > 0`` / TIFF compression 3 with
+    T4Options bit 0: each row is preceded by EOL + one tag bit (1 =
+    the row is 1-D MH, 0 = 2-D coded against the previous row) ->
+    (H, W) uint8, 1 = black. Six consecutive EOLs (RTC) or data end
+    terminate when ``rows`` is 0."""
+    import numpy as np
+    if columns <= 0:
+        raise CCITTError("ccitt-bad-columns")
+    br = _BitReader(data)
+    out: list = []
+    ref: list = []
+    while True:
+        if rows and len(out) >= rows:
+            break
+        if byte_align:
+            br.byte_align()
+        # zero fill bits, then the row's EOL (T.4 writes an EOL before
+        # EVERY row, including the first)
+        while not br.exhausted() and br.peek(12) != _EOL[0]:
+            if br.peek(1) == 1:
+                raise CCITTError("ccitt-missing-eol-in-g3-2d")
+            br.skip(1)
+        if br.exhausted():
+            if rows:
+                raise CCITTError("ccitt-truncated")
+            break
+        br.skip(12)
+        tag = br.peek(1)
+        br.skip(1)
+        if tag == 1 and br.peek(12) == _EOL[0]:
+            break                          # RTC: EOL+1 then more EOLs
+        if tag == 1:
+            cur = _decode_row_1d(br, columns)
+        else:
+            cur = _decode_row_2d(br, ref, columns)
+        out.append(_row_from_changes(cur, columns))
+        ref = [c for c in cur if c < columns]
     if rows and len(out) < rows:
         raise CCITTError("ccitt-truncated")
     if not out:
@@ -408,41 +470,57 @@ def encode_g4(bitmap) -> bytes:
     ref: list = []
     for r in range(h):
         cur = _changes_of(bitmap[r])
-        a0 = -1
-        white = True
-        while a0 < w:
-            i = 0
-            while i < len(ref) and (ref[i] <= a0
-                                    or (i % 2 == 0) != white):
-                i += 1
-            b1 = ref[i] if i < len(ref) else w
-            b2 = ref[i + 1] if i + 1 < len(ref) else w
-            j = 0
-            while j < len(cur) and cur[j] <= a0:
-                j += 1
-            a1 = cur[j] if j < len(cur) else w
-            a2 = cur[j + 1] if j + 1 < len(cur) else w
-            if b2 < a1:                                    # pass
-                bw.put(0b0001, 4)
-                a0 = b2
-                continue
-            d = a1 - b1
-            if -3 <= d <= 3:                               # vertical
-                bw.put(*{0: (0b1, 1), 1: (0b011, 3), 2: (0b000011, 6),
-                         3: (0b0000011, 7), -1: (0b010, 3),
-                         -2: (0b000010, 6), -3: (0b0000010, 7)}[d])
-                a0 = a1
-                white = not white
-            else:                                          # horizontal
-                bw.put(0b001, 3)
-                start = a0 if a0 > 0 else 0
-                _put_run(bw, a1 - start, white)
-                _put_run(bw, a2 - a1, not white)
-                a0 = a2
+        _encode_row_2d(bw, cur, ref, w)
         ref = cur
     bw.put(_EOL[0], 12)
     bw.put(_EOL[0], 12)
     return bw.tobytes()
+
+
+def _encode_row_2d(bw: _BitWriter, cur: list, ref: list, w: int) -> None:
+    a0 = -1
+    white = True
+    while a0 < w:
+        i = 0
+        while i < len(ref) and (ref[i] <= a0
+                                or (i % 2 == 0) != white):
+            i += 1
+        b1 = ref[i] if i < len(ref) else w
+        b2 = ref[i + 1] if i + 1 < len(ref) else w
+        j = 0
+        while j < len(cur) and cur[j] <= a0:
+            j += 1
+        a1 = cur[j] if j < len(cur) else w
+        a2 = cur[j + 1] if j + 1 < len(cur) else w
+        if b2 < a1:                                    # pass
+            bw.put(0b0001, 4)
+            a0 = b2
+            continue
+        d = a1 - b1
+        if -3 <= d <= 3:                               # vertical
+            bw.put(*{0: (0b1, 1), 1: (0b011, 3), 2: (0b000011, 6),
+                     3: (0b0000011, 7), -1: (0b010, 3),
+                     -2: (0b000010, 6), -3: (0b0000010, 7)}[d])
+            a0 = a1
+            white = not white
+        else:                                          # horizontal
+            bw.put(0b001, 3)
+            start = a0 if a0 > 0 else 0
+            _put_run(bw, a1 - start, white)
+            _put_run(bw, a2 - a1, not white)
+            a0 = a2
+
+
+def _encode_row_1d(bw: _BitWriter, bitmap_row, w: int) -> None:
+    changes = _changes_of(bitmap_row) + [w]
+    pos = 0
+    white = True
+    for c in changes:
+        _put_run(bw, c - pos, white)
+        pos = c
+        white = not white
+        if pos >= w:
+            break
 
 
 def encode_g3_1d(bitmap) -> bytes:
@@ -451,13 +529,28 @@ def encode_g3_1d(bitmap) -> bytes:
     w = len(bitmap[0]) if h else 0
     bw = _BitWriter()
     for r in range(h):
-        changes = _changes_of(bitmap[r]) + [w]
-        pos = 0
-        white = True
-        for c in changes:
-            _put_run(bw, c - pos, white)
-            pos = c
-            white = not white
-            if pos >= w:
-                break
+        _encode_row_1d(bw, bitmap[r], w)
+    return bw.tobytes()
+
+
+def encode_g3_2d(bitmap, k: int = 4) -> bytes:
+    """T.4 2-D (mixed) encode: EOL + tag bit before every row; every
+    ``k``-th row is coded 1-D (the error-containment rule), the rest
+    2-D against the previous row. RTC (6 × EOL+1) terminated."""
+    h = len(bitmap)
+    w = len(bitmap[0]) if h else 0
+    bw = _BitWriter()
+    ref: list = []
+    for r in range(h):
+        bw.put(_EOL[0], 12)
+        if r % k == 0:
+            bw.put(1, 1)
+            _encode_row_1d(bw, bitmap[r], w)
+        else:
+            bw.put(0, 1)
+            _encode_row_2d(bw, _changes_of(bitmap[r]), ref, w)
+        ref = _changes_of(bitmap[r])
+    for _ in range(6):
+        bw.put(_EOL[0], 12)
+        bw.put(1, 1)
     return bw.tobytes()

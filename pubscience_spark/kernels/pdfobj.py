@@ -1242,6 +1242,73 @@ _N_COMPONENTS = {"DeviceRGB": 3, "CalRGB": 3, "DeviceGray": 1,
                  "CalGray": 1}
 
 
+def _unpack_values(data: bytes, w: int, h: int, ncomp: int,
+                   bpc: int) -> "np.ndarray":
+    """Raw image samples → (H, W, ncomp) ints. Rows are padded to whole
+    bytes (spec 8.9.5.2); bpc ∈ {1, 2, 4, 8}, MSB-first sub-byte
+    packing."""
+    import numpy as np
+    row_bits = w * ncomp * bpc
+    row_bytes = (row_bits + 7) // 8
+    if len(data) < row_bytes * h:
+        raise ValueError("image-data-short")
+    rows = np.frombuffer(data[:row_bytes * h],
+                         dtype=np.uint8).reshape(h, row_bytes)
+    if bpc == 8:
+        return rows[:, :w * ncomp].reshape(h, w, ncomp)
+    bits = np.unpackbits(rows, axis=1)[:, :row_bits]
+    weights = (1 << np.arange(bpc - 1, -1, -1)).astype(np.uint16)
+    vals = bits.reshape(h, w * ncomp, bpc) @ weights
+    return vals.reshape(h, w, ncomp)
+
+
+def _raw_samples(data: bytes, cs, bpc: int, w: int, h: int,
+                 decode, objs) -> "np.ndarray":
+    """Raw-sample (non-DCT/CCITT) image → (H, W, C) uint8 (round 6:
+    1/2/4-bit depths, /Indexed palettes, /Decode arrays — the remaining
+    common raw-image shapes):
+
+    - gray/RGB at bpc 1-8: values scale to 8-bit sample space; a
+      /Decode array remaps per component (e.g. ``[1 0]`` inversion);
+    - ``[/Indexed base hival lookup]``: stored samples are palette
+      indices (1 component), looked up in the (decoded) lookup table
+      over an 8-bpc base colorspace; out-of-range indices clamp per
+      spec; a nontrivial /Decode on indexed images is ignored (the
+      default identity covers real-world use)."""
+    import numpy as np
+    maxval = (1 << bpc) - 1
+    if bpc not in (1, 2, 4, 8):
+        raise ValueError(f"unsupported-image:{cs}/{bpc}bpc")
+    if isinstance(cs, list) and cs and \
+            str(_resolve(cs[0], objs)) == "Indexed" and len(cs) == 4:
+        base = _resolve(cs[1], objs)
+        hival = int(_resolve(cs[2], objs))
+        lut = _resolve(cs[3], objs)
+        if isinstance(lut, Stream):
+            lut = decode_stream(lut, objs)
+        nbase = _N_COMPONENTS.get(str(base))
+        if nbase is None or not isinstance(lut, bytes):
+            raise ValueError(f"unsupported-indexed-base:{base}")
+        if len(lut) < (hival + 1) * nbase:
+            raise ValueError("indexed-lookup-short")
+        palette = np.frombuffer(lut[:(hival + 1) * nbase],
+                                dtype=np.uint8).reshape(hival + 1, nbase)
+        idx = _unpack_values(data, w, h, 1, bpc)[:, :, 0]
+        return palette[np.minimum(idx, hival)]
+    ncomp = _N_COMPONENTS.get(str(cs))
+    if ncomp is None:
+        raise ValueError(f"unsupported-image:{cs}/{bpc}bpc")
+    vals = _unpack_values(data, w, h, ncomp, bpc).astype(np.float64)
+    lo = np.zeros(ncomp)
+    hi = np.ones(ncomp)
+    if isinstance(decode, list) and len(decode) == 2 * ncomp:
+        arr = [float(_resolve(x, objs)) for x in decode]
+        lo = np.array(arr[0::2])
+        hi = np.array(arr[1::2])
+    out = (lo + vals / maxval * (hi - lo)) * 255.0
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 def _ccitt_samples(payload: bytes, parm: dict, w: int, h: int,
                    objs) -> "np.ndarray":
     """CCITTFaxDecode terminal stage → (H, W, 1) uint8 SAMPLE values
@@ -1250,7 +1317,7 @@ def _ccitt_samples(payload: bytes, parm: dict, w: int, h: int,
     black (spec table 11), so black → 0; ``BlackIs1 true`` inverts."""
     import numpy as np
 
-    from .ccitt import decode_g3_1d, decode_g4
+    from .ccitt import decode_g3_1d, decode_g3_2d, decode_g4
 
     def p(key, default):
         v = _resolve(parm.get(key), objs) if isinstance(parm, dict) \
@@ -1267,7 +1334,7 @@ def _ccitt_samples(payload: bytes, parm: dict, w: int, h: int,
     elif k == 0:
         black = decode_g3_1d(payload, columns, rows, byte_align=align)
     else:
-        raise ValueError("ccitt-k-positive-unsupported")  # 2-D G3 mix
+        black = decode_g3_2d(payload, columns, rows, byte_align=align)
     if columns != w or black.shape[0] != h:
         black = black[:h, :w]
         if black.shape != (h, w):
@@ -1285,14 +1352,14 @@ def harvest_images(objs: "ObjMap | dict") -> list[dict]:
       ``data`` (any preceding filters + document decryption applied) —
       decode with :mod:`kernels.jpeg` / ``media.decode_image``;
     - ``CCITTFaxDecode`` images (the dominant scanned-document codec)
-      decode through :mod:`kernels.ccitt` (round 6): G4 ``K < 0`` and
-      1-D G3 ``K = 0``, honoring Columns/Rows/BlackIs1/
+      decode through :mod:`kernels.ccitt` (round 6): G4 ``K < 0``,
+      1-D G3 ``K = 0`` and mixed 2-D G3 ``K > 0``, honoring Columns/Rows/BlackIs1/
       EncodedByteAlign — ``samples`` (H, W, 1) uint8 sample space;
-    - Flate/LZW raw-sample images at 8 bpc DeviceRGB/DeviceGray and
-      1 bpc bilevel gray yield decoded ``samples`` (H, W, C) uint8;
-    - anything else (JPX, JBIG2, 2-D G3, indexed palettes, 2/4-bit
-      depths) sets ``error`` — the error-column contract, never a
-      raise."""
+    - Flate/LZW raw-sample images decode directly: 1/2/4/8-bpc
+      gray/RGB with /Decode-array remapping, and ``/Indexed`` palette
+      images (r6) — ``samples`` (H, W, C) uint8;
+    - anything else (JPX, JBIG2, Separation/ICC spaces) sets
+      ``error`` — the error-column contract, never a raise."""
     import numpy as np
     out: list[dict] = []
     for num in sorted(k for k in objs if isinstance(k, int)):
@@ -1345,28 +1412,9 @@ def harvest_images(objs: "ObjMap | dict") -> list[dict]:
                 data = decode_stream(obj, objs)
                 bpc = int(_resolve(d.get("BitsPerComponent"), objs) or 8)
                 cs = _resolve(d.get("ColorSpace"), objs)
-                ncomp = _N_COMPONENTS.get(str(cs))
-                if bpc == 1 and ncomp == 1:
-                    # bilevel raw samples: rows padded to whole bytes
-                    # (spec 8.9.5.2); 1 bit = white in DeviceGray
-                    row_bytes = (w + 7) // 8
-                    if len(data) < row_bytes * h:
-                        raise ValueError("image-data-short")
-                    bits = np.unpackbits(
-                        np.frombuffer(data[:row_bytes * h],
-                                      dtype=np.uint8)
-                        .reshape(h, row_bytes), axis=1)[:, :w]
-                    rec["samples"] = \
-                        (bits * np.uint8(255)).reshape(h, w, 1)
-                elif bpc != 8 or ncomp is None:
-                    raise ValueError(
-                        f"unsupported-image:{cs}/{bpc}bpc")
-                else:
-                    need = w * h * ncomp
-                    if len(data) < need:
-                        raise ValueError("image-data-short")
-                    rec["samples"] = np.frombuffer(
-                        data[:need], dtype=np.uint8).reshape(h, w, ncomp)
+                rec["samples"] = _raw_samples(
+                    data, cs, bpc, w, h,
+                    _resolve(d.get("Decode"), objs), objs)
         except Exception as exc:                   # zlib.error, KeyError
             rec["error"] = \
                 f"{type(exc).__name__}: {exc}"[:200]

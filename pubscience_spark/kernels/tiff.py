@@ -8,14 +8,14 @@ itself is a TIFF IFD). Supported, per the public TIFF 6.0 spec:
 - strip organization (RowsPerStrip + StripOffsets/StripByteCounts),
 - compression: 1 none, 5 LZW (the PDF ``LZWDecode`` algorithm —
   :func:`kernels.pdfobj.lzw_decode` is reused), 8 / 32946 Deflate,
-  32773 PackBits, 3 / 4 CCITT fax (T.4 1-D / T.6 G4 bilevel strips via
+  32773 PackBits, 3 / 4 CCITT fax (T.4 1-D + 2-D and T.6 G4 bilevel strips via
   :mod:`kernels.ccitt`, round 6),
 - Predictor 2 (horizontal differencing),
 - PhotometricInterpretation 0 (WhiteIsZero, inverted), 1 (BlackIsZero),
   2 (RGB); 8-bit samples, chunky planar config, 1 / 3 / 4 samples per
   pixel (4 = RGB + unassociated alpha, alpha dropped).
 
-Anything else (tiles, 16-bit, palette, 2-D G3, JPEG-in-TIFF, planar)
+Anything else (tiles, 16-bit, palette, JPEG-in-TIFF, planar)
 is a named :class:`TiffError` — the error-column contract.
 """
 
@@ -103,10 +103,12 @@ def decode_tiff(raw: bytes) -> np.ndarray:
 
 
 def _decode_fax(raw: bytes, t: dict, one, comp: int) -> np.ndarray:
-    """Compression 3 (T.4 1-D) / 4 (T.6 G4) bilevel strips → (H, W, 1)
-    uint8 via :mod:`kernels.ccitt` (round 6). 2-D G3 (T4Options bit 0)
-    and uncompressed-mode G4 (T6Options bit 1) stay named errors."""
-    from .ccitt import CCITTError, decode_g3_1d, decode_g4
+    """Compression 3 (T.4, 1-D or 2-D per T4Options bit 0) / 4 (T.6
+    G4) bilevel strips → (H, W, 1) uint8 via :mod:`kernels.ccitt`
+    (round 6). Uncompressed-mode G4 (T6Options bit 1) stays a named
+    error."""
+    from .ccitt import (CCITTError, decode_g3_1d, decode_g3_2d,
+                        decode_g4)
     w, h = one(256), one(257)
     if not (w and h):
         raise TiffError("tiff-zero-dims")
@@ -117,8 +119,7 @@ def _decode_fax(raw: bytes, t: dict, one, comp: int) -> np.ndarray:
     photo = one(262, 0)
     if photo not in (0, 1):
         raise TiffError(f"tiff-photometric-{photo}-unsupported")
-    if comp == 3 and one(292, 0) & 1:
-        raise TiffError("tiff-g3-2d-unsupported")
+    g3_2d = comp == 3 and bool(one(292, 0) & 1)
     if comp == 4 and one(293, 0) & 2:
         raise TiffError("tiff-g4-uncompressed-unsupported")
     offsets = t.get(273)
@@ -135,6 +136,8 @@ def _decode_fax(raw: bytes, t: dict, one, comp: int) -> np.ndarray:
         try:
             if comp == 4:
                 black = decode_g4(data, w, nrows)
+            elif g3_2d:
+                black = decode_g3_2d(data, w, nrows)
             else:
                 black = decode_g3_1d(data, w, nrows)
         except CCITTError as exc:

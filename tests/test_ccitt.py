@@ -179,3 +179,34 @@ def test_g4_byte_align_mode():
         bytes(int(tail[i:i + 8], 2) for i in range(0, len(tail), 2 * 4))
     out = decode_g4(data, 24, 3, byte_align=True)
     assert out.tolist() == np.zeros((3, 24), dtype=np.uint8).tolist()
+
+
+@pytest.mark.parametrize("w,k", [(1, 1), (8, 2), (65, 4), (300, 4)])
+def test_g3_2d_roundtrip(w, k):
+    """T.4 mixed 2-D: EOL+tag rows, every k-th 1-D, RTC terminated."""
+    from pubscience_spark.kernels.ccitt import decode_g3_2d, encode_g3_2d
+    rng = random.Random(w * 13 + k)
+    h = 10
+    img = np.zeros((h, w), dtype=np.uint8)
+    for r in range(h):
+        pos = 0
+        color = 0
+        while pos < w:
+            run = rng.randrange(1, max(2, w // 2))
+            img[r, pos:pos + run] = color
+            color ^= 1
+            pos += run
+    enc = encode_g3_2d(img, k=k)
+    assert decode_g3_2d(enc, w, h).tolist() == img.tolist()
+    assert decode_g3_2d(enc, w).tolist() == img.tolist()    # via RTC
+
+
+def test_g3_2d_errors():
+    from pubscience_spark.kernels.ccitt import decode_g3_2d, encode_g3_2d
+    with pytest.raises(CCITTError):
+        decode_g3_2d(b"\xff\xff", 16, 1)    # missing EOL
+    img = np.zeros((4, 32), dtype=np.uint8)
+    img[:, 4:20] = 1
+    enc = encode_g3_2d(img)
+    with pytest.raises(CCITTError):
+        decode_g3_2d(enc[:3], 32, 4)        # truncated

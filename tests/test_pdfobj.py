@@ -775,3 +775,59 @@ def test_harvest_images_ccitt_corrupt_is_error_record():
     assert np.array_equal(
         images[3]["samples"][:, :, 0] > 0,
         (1 - _pdf_with_ccitt()[1]) > 0)
+
+
+def test_harvest_images_indexed_subbyte_and_decode():
+    """Round 6 raw-image shapes: 4-bit /Indexed palette lookup, 2-bit
+    gray scaling, and a [1 0] /Decode inversion on 8-bpc gray."""
+    import numpy as np
+    # 4-bit indexed, 3-entry RGB palette, width 5 (odd → row padding)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx_rows = [[0, 1, 2, 1, 0], [2, 2, 0, 0, 1]]
+    packed = bytearray()
+    for r in idx_rows:
+        bits = "".join(format(v, "04b") for v in r)
+        bits += "0" * (-len(bits) % 8)
+        packed += bytes(int(bits[i:i + 8], 2)
+                        for i in range(0, len(bits), 8))
+    z_idx = zlib.compress(bytes(packed))
+    # 2-bit gray 4x1: values 0..3 → 0, 85, 170, 255
+    z_g2 = zlib.compress(bytes([0b00011011]))
+    # 8-bpc gray with /Decode [1 0] inversion
+    z_inv = zlib.compress(bytes([0, 128, 255]))
+    out = bytearray(b"%PDF-1.5\n")
+    out += _classic_obj(1, {"Type": N("Catalog"), "Pages": R(2, 0)})
+    out += _classic_obj(2, {"Type": N("Pages"), "Kids": [R(3, 0)],
+                            "Count": 1})
+    out += _classic_obj(3, {"Type": N("Page"), "Parent": R(2, 0),
+                            "Resources": {"XObject": {
+                                "Im0": R(4, 0), "Im1": R(5, 0),
+                                "Im2": R(6, 0)}}})
+    out += _classic_obj(4, {"Type": N("XObject"), "Subtype": N("Image"),
+                            "Width": 5, "Height": 2,
+                            "ColorSpace": [N("Indexed"), N("DeviceRGB"),
+                                           2, pal],
+                            "BitsPerComponent": 4,
+                            "Filter": N("FlateDecode"),
+                            "Length": len(z_idx)}, z_idx)
+    out += _classic_obj(5, {"Type": N("XObject"), "Subtype": N("Image"),
+                            "Width": 4, "Height": 1,
+                            "ColorSpace": N("DeviceGray"),
+                            "BitsPerComponent": 2,
+                            "Filter": N("FlateDecode"),
+                            "Length": len(z_g2)}, z_g2)
+    out += _classic_obj(6, {"Type": N("XObject"), "Subtype": N("Image"),
+                            "Width": 3, "Height": 1,
+                            "ColorSpace": N("DeviceGray"),
+                            "BitsPerComponent": 8,
+                            "Decode": [1, 0],
+                            "Filter": N("FlateDecode"),
+                            "Length": len(z_inv)}, z_inv)
+    out += b"%%EOF\n"
+    images = pdfobj.harvest_images(pdfobj.parse_document(bytes(out)))
+    assert [im["error"] for im in images] == [None, None, None]
+    want = np.array([[list(pal[3 * v:3 * v + 3]) for v in r]
+                     for r in idx_rows], dtype=np.uint8)
+    assert np.array_equal(images[0]["samples"], want)
+    assert images[1]["samples"][:, :, 0].tolist() == [[0, 85, 170, 255]]
+    assert images[2]["samples"][:, :, 0].tolist() == [[255, 127, 0]]

@@ -265,23 +265,31 @@ def test_error_paths():
 
 def _write_fax_tiff(black: np.ndarray, *, comp: int = 4,
                     photometric: int = 0,
+                    t4_options: int = 0,
                     rows_per_strip: int | None = None) -> bytes:
     """Bilevel fax TIFF (compression 3/4, bits=1) writer: per-strip
-    CCITT encoding via the kernel's spec encoder."""
-    from pubscience_spark.kernels.ccitt import encode_g3_1d, encode_g4
+    CCITT encoding via the kernel's spec encoder; T4Options bit 0
+    selects mixed 2-D coding for compression 3."""
+    from pubscience_spark.kernels.ccitt import (encode_g3_1d,
+                                                encode_g3_2d, encode_g4)
     h, w = black.shape
     rps = rows_per_strip or h
     strips = []
     for y0 in range(0, h, rps):
         part = black[y0:y0 + rps]
-        strips.append(encode_g4(part) if comp == 4
-                      else encode_g3_1d(part))
+        if comp == 4:
+            strips.append(encode_g4(part))
+        elif t4_options & 1:
+            strips.append(encode_g3_2d(part))
+        else:
+            strips.append(encode_g3_1d(part))
     e = "<"
     n_strips = len(strips)
     tags = [(256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 1),
             (259, 3, 1, comp), (262, 3, 1, photometric),
             (273, 4, n_strips, None), (277, 3, 1, 1),
-            (278, 3, 1, rps), (279, 4, n_strips, None)]
+            (278, 3, 1, rps), (279, 4, n_strips, None),
+            (292, 4, 1, t4_options)]
     ifd_off = 8
     ifd_size = 2 + 12 * len(tags) + 4
     extra_off = ifd_off + ifd_size
@@ -363,3 +371,12 @@ def test_tiff_fax_unsupported_variants_are_named_errors():
     raw[-7:] = b"\x00" * 7
     with pytest.raises(tiff.TiffError):
         tiff.decode_tiff(bytes(raw))
+
+
+def test_tiff_g3_2d_decode():
+    """Compression 3 with T4Options bit 0 (mixed 2-D) decodes via the
+    round-6 decode_g3_2d path."""
+    black = _fax_img(seed=21)
+    raw = _write_fax_tiff(black, comp=3, t4_options=1)
+    assert np.array_equal(tiff.decode_tiff(raw)[:, :, 0],
+                          (1 - black) * 255)
