@@ -5,17 +5,21 @@ JPEG/GIF (scanned documents, print pipelines, and the EXIF structure
 itself is a TIFF IFD). Supported, per the public TIFF 6.0 spec:
 
 - both byte orders (II/MM), classic 32-bit offsets,
-- strip organization (RowsPerStrip + StripOffsets/StripByteCounts),
+- strip organization (RowsPerStrip + StripOffsets/StripByteCounts) AND
+  tile organization (TileWidth/TileLength + TileOffsets/TileByteCounts,
+  tags 322-325; right/bottom edge tiles padded per spec, round 6),
 - compression: 1 none, 5 LZW (the PDF ``LZWDecode`` algorithm —
   :func:`kernels.pdfobj.lzw_decode` is reused), 8 / 32946 Deflate,
   32773 PackBits, 3 / 4 CCITT fax (T.4 1-D + 2-D and T.6 G4 bilevel strips via
   :mod:`kernels.ccitt`, round 6),
-- Predictor 2 (horizontal differencing),
+- Predictor 2 (horizontal differencing; per tile scanline when tiled),
 - PhotometricInterpretation 0 (WhiteIsZero, inverted), 1 (BlackIsZero),
-  2 (RGB); 8-bit samples, chunky planar config, 1 / 3 / 4 samples per
-  pixel (4 = RGB + unassociated alpha, alpha dropped).
+  2 (RGB), 3 (palette via ColorMap tag 320, incl. the widespread
+  8-bit-values-in-16-bit-fields writer quirk, round 6); 8-bit samples,
+  chunky planar config, 1 / 3 / 4 samples per pixel (4 = RGB +
+  unassociated alpha, alpha dropped).
 
-Anything else (tiles, 16-bit, palette, JPEG-in-TIFF, planar)
+Anything else (16-bit, JPEG-in-TIFF, planar, tiled fax)
 is a named :class:`TiffError` — the error-column contract.
 """
 
@@ -102,13 +106,33 @@ def decode_tiff(raw: bytes) -> np.ndarray:
         raise TiffError(f"tiff-corrupt: {type(exc).__name__}") from exc
 
 
+def _decompress_segment(data: bytes, comp: int, expect: int) -> bytes:
+    """One strip or tile → exactly ``expect`` decompressed bytes."""
+    if comp == 1:
+        chunk = data[:expect]
+    elif comp == 5:
+        from .pdfobj import lzw_decode
+        chunk = lzw_decode(data, early_change=1)[:expect]
+    elif comp in (8, 32946):
+        chunk = zlib.decompress(data)[:expect]
+    elif comp == 32773:
+        chunk = _unpackbits(data, expect)
+    else:
+        raise TiffError(f"tiff-compression-{comp}-unsupported")
+    if len(chunk) < expect:
+        raise TiffError("tiff-short-strip")
+    return chunk
+
+
 def _decode_fax(raw: bytes, t: dict, one, comp: int) -> np.ndarray:
     """Compression 3 (T.4, 1-D or 2-D per T4Options bit 0) / 4 (T.6
     G4) bilevel strips → (H, W, 1) uint8 via :mod:`kernels.ccitt`
-    (round 6). Uncompressed-mode G4 (T6Options bit 1) stays a named
-    error."""
+    (round 6). Uncompressed-mode G4 (T6Options bit 1) and tiled fax
+    stay named errors."""
     from .ccitt import (CCITTError, decode_g3_1d, decode_g3_2d,
                         decode_g4)
+    if 322 in t or 323 in t:
+        raise TiffError("tiff-fax-tiles-unsupported")
     w, h = one(256), one(257)
     if not (w and h):
         raise TiffError("tiff-zero-dims")
@@ -186,51 +210,81 @@ def _decode(raw: bytes) -> np.ndarray:
     predictor = one(317, 1)
     if planar != 1:
         raise TiffError("tiff-planar-unsupported")
-    if 322 in t or 323 in t:
-        raise TiffError("tiff-tiles-unsupported")
-    if 320 in t or photo == 3:
-        raise TiffError("tiff-palette-unsupported")
-    if photo not in (0, 1, 2):
+    if photo == 3:
+        if spp != 1:
+            raise TiffError("tiff-palette-multisample-unsupported")
+        if not t.get(320):
+            raise TiffError("tiff-palette-missing-colormap")
+    elif photo not in (0, 1, 2):
         raise TiffError(f"tiff-photometric-{photo}-unsupported")
+    # a stray ColorMap alongside photometric 0/1/2 is meaningless per
+    # spec — ignored, as libtiff does
     if spp not in (1, 3, 4):
         raise TiffError(f"tiff-{spp}-samples-unsupported")
-    offsets = t.get(273)
-    counts = t.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise TiffError("tiff-missing-strips")
-    rows_per_strip = one(278, h)
-
-    row_bytes = w * spp
-    out = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        data = raw[off:off + cnt]
-        if len(data) < cnt:
-            raise TiffError("tiff-truncated-strip")
-        nrows = min(rows_per_strip, h - si * rows_per_strip)
-        expect = nrows * row_bytes
-        if comp == 1:
-            chunk = data[:expect]
-        elif comp == 5:
-            from .pdfobj import lzw_decode
-            chunk = lzw_decode(data, early_change=1)[:expect]
-        elif comp in (8, 32946):
-            chunk = zlib.decompress(data)[:expect]
-        elif comp == 32773:
-            chunk = _unpackbits(data, expect)
-        else:
-            raise TiffError(f"tiff-compression-{comp}-unsupported")
-        if len(chunk) < expect:
-            raise TiffError("tiff-short-strip")
-        out += chunk
-
-    arr = np.frombuffer(bytes(out), dtype=np.uint8) \
-        .reshape(h, w, spp).copy()
-    if predictor == 2:                             # horizontal diff
-        np.cumsum(arr, axis=1, dtype=np.uint8, out=arr)
-    elif predictor != 1:
+    if predictor not in (1, 2):
         raise TiffError(f"tiff-predictor-{predictor}-unsupported")
-    if photo == 0:                                 # WhiteIsZero
+
+    if 322 in t or 323 in t:                       # tile organization
+        tw, tl = one(322), one(323)
+        if not (tw and tl):
+            raise TiffError("tiff-zero-tile-dims")
+        offsets = t.get(324)
+        counts = t.get(325)
+        across = -(-w // tw)
+        down = -(-h // tl)
+        if not offsets or not counts or len(offsets) != len(counts) \
+                or len(offsets) < across * down:
+            raise TiffError("tiff-missing-tiles")
+        expect = tl * tw * spp
+        canvas = np.zeros((down * tl, across * tw, spp), dtype=np.uint8)
+        for ti in range(across * down):
+            off, cnt = offsets[ti], counts[ti]
+            data = raw[off:off + cnt]
+            if len(data) < cnt:
+                raise TiffError("tiff-truncated-tile")
+            chunk = _decompress_segment(data, comp, expect)
+            tile = np.frombuffer(chunk, dtype=np.uint8) \
+                .reshape(tl, tw, spp).copy()
+            if predictor == 2:                     # per TILE scanline
+                np.cumsum(tile, axis=1, dtype=np.uint8, out=tile)
+            ty, tx = divmod(ti, across)
+            canvas[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw] = tile
+        arr = np.ascontiguousarray(canvas[:h, :w])  # crop edge padding
+    else:                                          # strip organization
+        offsets = t.get(273)
+        counts = t.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TiffError("tiff-missing-strips")
+        rows_per_strip = one(278, h)
+
+        row_bytes = w * spp
+        out = bytearray()
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            data = raw[off:off + cnt]
+            if len(data) < cnt:
+                raise TiffError("tiff-truncated-strip")
+            nrows = min(rows_per_strip, h - si * rows_per_strip)
+            out += _decompress_segment(data, comp, nrows * row_bytes)
+
+        arr = np.frombuffer(bytes(out), dtype=np.uint8) \
+            .reshape(h, w, spp).copy()
+        if predictor == 2:                         # horizontal diff
+            np.cumsum(arr, axis=1, dtype=np.uint8, out=arr)
+
+    if photo == 3:                                 # palette lookup
+        cmap = t[320]
+        if len(cmap) < 3 * 256:
+            raise TiffError("tiff-colormap-short")
+        lut = np.array(cmap[:3 * 256], dtype=np.uint16) \
+            .reshape(3, 256).T                     # (256, 3) RGB
+        # spec: 16-bit channel values (0..65535) → take the high byte;
+        # widespread writer quirk: 8-bit values stored unscaled — if
+        # nothing exceeds 255 treat the map as 8-bit (libtiff heuristic)
+        if lut.max() > 255:
+            lut >>= 8
+        arr = lut.astype(np.uint8)[arr[:, :, 0]]
+    elif photo == 0:                               # WhiteIsZero
         arr = 255 - arr
-    if spp == 4:                                   # drop alpha
+    if arr.shape[2] == 4:                          # drop alpha
         arr = np.ascontiguousarray(arr[:, :, :3])
     return arr

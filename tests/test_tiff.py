@@ -61,6 +61,37 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _compress_seg(raw_seg: bytes, comp: int) -> bytes:
+    """One strip/tile payload → compressed bytes (writer side)."""
+    if comp == 1:
+        return raw_seg
+    if comp == 5:
+        return _lzw_encode(raw_seg)
+    if comp in (8, 32946):
+        return zlib.compress(raw_seg)
+    if comp == 32773:
+        # naive packbits: literal runs of ≤128 + replicate runs
+        sb = bytearray()
+        i = 0
+        s = raw_seg
+        while i < len(s):
+            j = i
+            while j + 1 < len(s) and s[j + 1] == s[j] and j - i < 127:
+                j += 1
+            if j > i:                               # replicate run
+                sb += bytes([257 - (j - i + 1), s[i]])
+                i = j + 1
+            else:
+                j = i
+                while j < len(s) and j - i < 128 \
+                        and not (j + 1 < len(s) and s[j + 1] == s[j]):
+                    j += 1
+                sb += bytes([j - i - 1]) + s[i:j]
+                i = j
+        return bytes(sb)
+    raise AssertionError(comp)
+
+
 def _write_tiff(arr: np.ndarray, *, comp: int = 1, endian: str = "<",
                 photometric: int | None = None,
                 predictor: int = 1,
@@ -79,39 +110,8 @@ def _write_tiff(arr: np.ndarray, *, comp: int = 1, endian: str = "<",
     if photometric == 0:
         data = 255 - data
     rps = rows_per_strip or h
-    strips = []
-    for y0 in range(0, h, rps):
-        raw_strip = data[y0:y0 + rps].tobytes()
-        if comp == 1:
-            strips.append(raw_strip)
-        elif comp == 5:
-            strips.append(_lzw_encode(raw_strip))
-        elif comp in (8, 32946):
-            strips.append(zlib.compress(raw_strip))
-        elif comp == 32773:
-            # naive packbits: literal runs of ≤128 + replicate runs
-            sb = bytearray()
-            i = 0
-            s = raw_strip
-            while i < len(s):
-                j = i
-                while j + 1 < len(s) and s[j + 1] == s[j] \
-                        and j - i < 127:
-                    j += 1
-                if j > i:                           # replicate run
-                    sb += bytes([257 - (j - i + 1), s[i]])
-                    i = j + 1
-                else:
-                    j = i
-                    while j < len(s) and j - i < 128 \
-                            and not (j + 1 < len(s)
-                                     and s[j + 1] == s[j]):
-                        j += 1
-                    sb += bytes([j - i - 1]) + s[i:j]
-                    i = j
-            strips.append(bytes(sb))
-        else:
-            raise AssertionError(comp)
+    strips = [_compress_seg(data[y0:y0 + rps].tobytes(), comp)
+              for y0 in range(0, h, rps)]
 
     e = endian
     header_mag = b"II*\x00" if e == "<" else b"MM\x00*"
@@ -380,3 +380,166 @@ def test_tiff_g3_2d_decode():
     raw = _write_fax_tiff(black, comp=3, t4_options=1)
     assert np.array_equal(tiff.decode_tiff(raw)[:, :, 0],
                           (1 - black) * 255)
+
+
+# ------------------------------------------- tiles + palette (r6) ----
+
+def _write_tiff2(arr: np.ndarray, *, comp: int = 1, endian: str = "<",
+                 tile: tuple[int, int] | None = None,
+                 predictor: int = 1,
+                 photometric: int | None = None,
+                 colormap: list[int] | None = None,
+                 rows_per_strip: int | None = None) -> bytes:
+    """Generic writer: tile organization (tags 322-325) and palette
+    (photometric 3 + ColorMap). Photometric 1/2/3 only."""
+    h, w = arr.shape[:2]
+    spp = arr.shape[2] if arr.ndim == 3 else 1
+    data = arr.reshape(h, w, spp)
+    if photometric is None:
+        photometric = 3 if colormap is not None else (1 if spp == 1
+                                                      else 2)
+
+    def seg_bytes(px: np.ndarray) -> bytes:
+        if predictor == 2:
+            px = np.diff(px.astype(np.int16), axis=1,
+                         prepend=np.zeros((px.shape[0], 1, spp),
+                                          dtype=np.int16))
+        return px.astype(np.uint8).tobytes()
+
+    segs_raw = []
+    if tile:
+        tw, tl = tile
+        across, down = -(-w // tw), -(-h // tl)
+        padded = np.zeros((down * tl, across * tw, spp), dtype=np.uint8)
+        padded[:h, :w] = data
+        for ty in range(down):
+            for tx in range(across):
+                segs_raw.append(seg_bytes(
+                    padded[ty * tl:(ty + 1) * tl,
+                           tx * tw:(tx + 1) * tw]))
+    else:
+        rps = rows_per_strip or h
+        whole = seg_bytes(data)
+        row_bytes = w * spp
+        segs_raw = [whole[y0 * row_bytes:(y0 + rps) * row_bytes]
+                    for y0 in range(0, h, rps)]
+    segs = [_compress_seg(s, comp) for s in segs_raw]
+
+    entries = [(256, 3, [w]), (257, 3, [h]), (258, 3, [8] * spp),
+               (259, 3, [comp]), (262, 3, [photometric]),
+               (277, 3, [spp]), (284, 3, [1]), (317, 3, [predictor])]
+    if tile:
+        entries += [(322, 3, [tile[0]]), (323, 3, [tile[1]]),
+                    (324, 4, None), (325, 4, [len(s) for s in segs])]
+    else:
+        entries += [(278, 3, [rows_per_strip or h]), (273, 4, None),
+                    (279, 4, [len(s) for s in segs])]
+    if colormap is not None:
+        entries.append((320, 3, list(colormap)))
+    entries.sort()
+
+    e = endian
+    n = len(entries)
+    ifd_off = 8
+    extra_off = ifd_off + 2 + 12 * n + 4
+    extras_size = sum((2 if typ == 3 else 4)
+                      * (len(segs) if vals is None else len(vals))
+                      for _, typ, vals in entries
+                      if (2 if typ == 3 else 4)
+                      * (len(segs) if vals is None else len(vals)) > 4)
+    seg_base = extra_off + extras_size
+    offs = []
+    pos = seg_base
+    for s in segs:
+        offs.append(pos)
+        pos += len(s)
+
+    body = bytearray(struct.pack(e + "H", n))
+    extras = bytearray()
+    for tag, typ, vals in entries:
+        if vals is None:
+            vals = offs
+        fmt = "H" if typ == 3 else "I"
+        packed = b"".join(struct.pack(e + fmt, v) for v in vals)
+        body += struct.pack(e + "HHI", tag, typ, len(vals))
+        if len(packed) <= 4:
+            body += packed.ljust(4, b"\x00")
+        else:
+            body += struct.pack(e + "I", extra_off + len(extras))
+            extras += packed
+    body += struct.pack(e + "I", 0)
+    magic = b"II*\x00" if e == "<" else b"MM\x00*"
+    return magic + struct.pack(e + "I", ifd_off) + bytes(body) \
+        + bytes(extras) + b"".join(segs)
+
+
+def test_tiled_roundtrip_all_compressions():
+    """23x31 with 16x16 tiles: 2x2 grid, both edges padded."""
+    img = _img(23, 31, 3, seed=11)
+    for comp in (1, 5, 8, 32773):
+        raw = _write_tiff2(img, comp=comp, tile=(16, 16))
+        assert np.array_equal(tiff.decode_tiff(raw), img), comp
+
+
+def test_tiled_gray_big_endian_and_exact_fit():
+    img = _img(32, 48, 1, seed=12)
+    raw = _write_tiff2(img, comp=8, tile=(16, 16), endian=">")
+    assert np.array_equal(tiff.decode_tiff(raw), img)
+
+
+def test_tiled_predictor2_is_per_tile_row():
+    img = _img(20, 40, 3, seed=13)
+    raw = _write_tiff2(img, comp=5, tile=(16, 16), predictor=2)
+    assert np.array_equal(tiff.decode_tiff(raw), img)
+
+
+def test_palette_16bit_and_8bit_quirk():
+    rng = np.random.RandomState(14)
+    idx = rng.randint(0, 256, (17, 29, 1)).astype(np.uint8)
+    lut8 = rng.randint(0, 256, (256, 3))
+    # spec form: 16-bit channel values; decoder takes the high byte
+    cmap16 = [int(v) * 257 for v in lut8.T.ravel()]
+    raw = _write_tiff2(idx, colormap=cmap16)
+    assert np.array_equal(tiff.decode_tiff(raw),
+                          lut8[idx[:, :, 0]].astype(np.uint8))
+    # writer quirk: 8-bit values left unscaled in the 16-bit fields
+    cmap8 = [int(v) for v in lut8.T.ravel()]
+    raw = _write_tiff2(idx, colormap=cmap8)
+    assert np.array_equal(tiff.decode_tiff(raw),
+                          lut8[idx[:, :, 0]].astype(np.uint8))
+
+
+def test_palette_tiled_packbits():
+    rng = np.random.RandomState(15)
+    idx = (rng.randint(0, 8, (21, 37, 1)) * 31).astype(np.uint8)
+    lut8 = rng.randint(0, 256, (256, 3))
+    cmap16 = [int(v) * 257 for v in lut8.T.ravel()]
+    raw = _write_tiff2(idx, comp=32773, tile=(16, 16), colormap=cmap16)
+    assert np.array_equal(tiff.decode_tiff(raw),
+                          lut8[idx[:, :, 0]].astype(np.uint8))
+
+
+def test_tile_and_palette_error_paths():
+    img = _img(20, 20, 3, seed=16)
+    raw = _write_tiff2(img, tile=(16, 16))
+    # truncate the last tile's payload
+    with pytest.raises(tiff.TiffError):
+        tiff.decode_tiff(raw[:-8])
+    # palette without a colormap
+    idx = _img(9, 9, 1, seed=17)
+    raw = _write_tiff2(idx, photometric=3)
+    with pytest.raises(tiff.TiffError, match="colormap"):
+        tiff.decode_tiff(raw)
+    # short colormap
+    raw = _write_tiff2(idx, colormap=[1000] * 100)
+    with pytest.raises(tiff.TiffError, match="colormap"):
+        tiff.decode_tiff(raw)
+    # tiled fax stays a named error
+    black = _fax_img(24, 32)
+    fax = bytearray(_write_fax_tiff(black, comp=4))
+    # patch tag 278 (RowsPerStrip) into 322 (TileWidth) in the IFD
+    i = fax.find(struct.pack("<H", 278))
+    assert i > 0
+    fax[i:i + 2] = struct.pack("<H", 322)
+    with pytest.raises(tiff.TiffError, match="fax-tiles"):
+        tiff.decode_tiff(bytes(fax))
