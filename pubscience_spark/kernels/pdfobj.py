@@ -1310,11 +1310,13 @@ def _raw_samples(data: bytes, cs, bpc: int, w: int, h: int,
 
 
 def _ccitt_samples(payload: bytes, parm: dict, w: int, h: int,
-                   objs) -> "np.ndarray":
+                   objs, decode=None) -> "np.ndarray":
     """CCITTFaxDecode terminal stage → (H, W, 1) uint8 SAMPLE values
-    (like the raw-decode path: 0/255 per the PDF bit semantics, before
-    any /Decode array): default ``BlackIs1 false`` means a 0 bit is
-    black (spec table 11), so black → 0; ``BlackIs1 true`` inverts."""
+    (like the raw-decode path: 0/255 per the PDF bit semantics):
+    default ``BlackIs1 false`` means a 0 bit is black (spec table 11),
+    so black → 0; ``BlackIs1 true`` inverts. A 1-component /Decode
+    array (e.g. ``[1 0]``, a common producer bit-sense flip) remaps
+    the same way the raw-sample path does."""
     import numpy as np
 
     from .ccitt import decode_g3_1d, decode_g3_2d, decode_g4
@@ -1340,6 +1342,11 @@ def _ccitt_samples(payload: bytes, parm: dict, w: int, h: int,
         if black.shape != (h, w):
             raise ValueError("ccitt-dims-mismatch")
     bit = black if black_is_1 else (1 - black)
+    if isinstance(decode, list) and len(decode) == 2:
+        lo, hi = (float(_resolve(x, objs)) for x in decode)
+        val = (lo + bit.astype(np.float64) * (hi - lo)) * 255.0
+        return np.clip(np.rint(val), 0, 255).astype(np.uint8) \
+            .reshape(h, w, 1)
     return (bit.astype(np.uint8) * np.uint8(255)).reshape(h, w, 1)
 
 
@@ -1407,7 +1414,8 @@ def harvest_images(objs: "ObjMap | dict") -> list[dict]:
                     rec["data"] = payload
                 else:
                     rec["samples"] = _ccitt_samples(
-                        payload, last_parm, w, h, objs)
+                        payload, last_parm, w, h, objs,
+                        _resolve(d.get("Decode"), objs))
             else:
                 data = decode_stream(obj, objs)
                 bpc = int(_resolve(d.get("BitsPerComponent"), objs) or 8)

@@ -39,6 +39,10 @@ class TiffError(ValueError):
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
                10: 8, 11: 4, 12: 8}
 
+# FillOrder 2 (LSB-first bytes, Class-F fax output): per-byte bit
+# reversal table for bytes.translate
+_BITREV = bytes(int(f"{i:08b}"[::-1], 2) for i in range(256))
+
 
 def _read_ifd(raw: bytes, e: str, off: int) -> dict[int, list[int]]:
     if off + 2 > len(raw):
@@ -146,6 +150,9 @@ def _decode_fax(raw: bytes, t: dict, one, comp: int) -> np.ndarray:
     g3_2d = comp == 3 and bool(one(292, 0) & 1)
     if comp == 4 and one(293, 0) & 2:
         raise TiffError("tiff-g4-uncompressed-unsupported")
+    fill_order = one(266, 1)
+    if fill_order not in (1, 2):
+        raise TiffError(f"tiff-fillorder-{fill_order}-unsupported")
     offsets = t.get(273)
     counts = t.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -156,6 +163,8 @@ def _decode_fax(raw: bytes, t: dict, one, comp: int) -> np.ndarray:
         data = raw[off:off + cnt]
         if len(data) < cnt:
             raise TiffError("tiff-truncated-strip")
+        if fill_order == 2:                        # LSB-first bytes
+            data = data.translate(_BITREV)
         nrows = min(rows_per_strip, h - si * rows_per_strip)
         try:
             if comp == 4:
@@ -168,12 +177,15 @@ def _decode_fax(raw: bytes, t: dict, one, comp: int) -> np.ndarray:
             raise TiffError(str(exc)) from exc
         planes.append(black)
     black = np.concatenate(planes, axis=0)
-    # decode_tiff returns DISPLAY-space gray (the 8-bit path inverts
-    # photo 0 the same way): black → 0 under either fax photometric —
-    # WhiteIsZero stores black as max (inverted display), MinIsBlack
-    # stores black as 0 (direct display)
-    gray = (1 - black) * np.uint8(255)
-    return gray.astype(np.uint8).reshape(h, w, 1)
+    # decode_tiff returns DISPLAY-space gray. The decoded bit IS the
+    # stored sample (codec-black run → 1). Photo 0 (WhiteIsZero, the
+    # normal fax sense): sample max = black → codec-black displays
+    # dark (0). Photo 1 (MinIsBlack): sample 0 = black → codec-black
+    # runs display WHITE — libtiff's BWmap semantics; the 8-bit path
+    # applies the same rule.
+    bit = (1 - black) if photo == 0 else black
+    gray = bit.astype(np.uint8) * np.uint8(255)
+    return gray.reshape(h, w, 1)
 
 
 def _decode(raw: bytes) -> np.ndarray:
@@ -210,6 +222,8 @@ def _decode(raw: bytes) -> np.ndarray:
     predictor = one(317, 1)
     if planar != 1:
         raise TiffError("tiff-planar-unsupported")
+    if one(266, 1) != 1:      # FillOrder 2 is bilevel-only in practice
+        raise TiffError(f"tiff-fillorder-{one(266, 1)}-unsupported")
     if photo == 3:
         if spp != 1:
             raise TiffError("tiff-palette-multisample-unsupported")

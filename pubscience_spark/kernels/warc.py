@@ -269,8 +269,11 @@ def iter_warc_records_stream(reader, tally: dict | None = None
                 if hdr_end >= 0:
                     break
                 if len(buf) > _HEADER_CAP:
-                    skipped += 1         # unterminated giant header
-                    del buf[:5]          # resync past this "WARC/"
+                    # unterminated giant header: resync past this
+                    # "WARC/"; the garbage-gap scan above counts the
+                    # discarded header body as ONE skip — counting
+                    # here too would double-book it
+                    del buf[:5]
                     hdr_end = -2
                     break
                 prev = len(buf)

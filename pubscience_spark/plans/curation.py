@@ -121,6 +121,10 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     if neardup_mode not in ("pairs", "cluster"):   # fail fast, pre-plan
         raise ValueError(f"neardup_mode {neardup_mode!r}: "
                          "expected 'pairs' or 'cluster'")
+    if c4_badwords and not c4:                     # fail fast, pre-plan
+        raise ValueError("c4_badwords requires c4=True — the badword "
+                         "gate runs inside the C4 stage; passing a "
+                         "list with c4 disabled would silently skip it")
     # ---- stage flags (cheap predicates; one aggregation pass) ----------
     if c4:
         from ..operators.curate_text import c4_clean

@@ -164,7 +164,9 @@ def read_any(spark: SparkSession, path: str,
 # ---------------------------------------------------------------- WARC ----
 
 WARC_SCHEMA = StructType([
-    StructField("url", StringType(), False),
+    # url is null ONLY on the counts-only sentinel a fully-garbage
+    # segment emits (read_warc docstring); every kept record has one
+    StructField("url", StringType(), True),
     StructField("warc_ts", TimestampType()),
     StructField("html", BinaryType()),
     StructField("http_status", IntegerType()),
@@ -217,8 +219,14 @@ def read_warc(spark: SparkSession, path: str,
     counted (``n_revisit``), not emitted, unless explicitly kept.
     Malformed records are skipped and COUNTED (``n_skipped`` rides the
     next kept row), never raised; skips/revisits left over at segment
-    end ride a SENTINEL row (``url=''``, ``html`` null, ``rec_type``
-    null) so trailing corruption is never silently dropped (ADVICE r5).
+    end merge into the segment's LAST emitted row (the reader holds
+    one row back per segment to guarantee it), so trailing corruption
+    is never silently dropped (ADVICE r5) and no synthetic row enters
+    the documented ``.select("url", "warc_ts", "html") →
+    run_extraction`` path. Only a segment with NO kept rows at all
+    emits a counts-only sentinel (``url`` null, ``html`` null,
+    ``rec_type`` null) — filter ``url IS NOT NULL`` before extraction
+    if such fully-garbage segments are possible.
 
     Output columns: url, warc_ts, html (decoded body bytes),
     http_status, mime, rec_type, n_skipped, n_revisit — feed
@@ -247,6 +255,7 @@ def read_warc(spark: SparkSession, path: str,
         for b in it:         # segment must not pile into ONE DataFrame
             rows = []
             for p in b["path"]:
+                n_file_rows = 0      # kept rows from THIS segment
                 pending_skips = 0    # skips attached to filtered-out
                 pending_revisit = 0
                 tally: dict = {}
@@ -274,21 +283,32 @@ def read_warc(spark: SparkSession, path: str,
                             "rec_type": rec["type"],
                             "n_skipped": pending_skips,
                             "n_revisit": pending_revisit})
+                        n_file_rows += 1
                         pending_skips = 0
                         pending_revisit = 0
-                        if len(rows) >= chunk:
-                            yield pd.DataFrame(rows, columns=cols)
-                            rows = []
+                        # hold the newest row back so segment-end
+                        # counts can still merge into it
+                        if len(rows) > chunk:
+                            yield pd.DataFrame(rows[:-1], columns=cols)
+                            rows = rows[-1:]
                 pending_skips += tally.get("skipped", 0)
                 if pending_skips or pending_revisit:
-                    # terminal sentinel: trailing malformed/revisit
-                    # records after the last kept row still count
-                    rows.append({
-                        "url": "", "warc_ts": None, "html": None,
-                        "http_status": None, "mime": None,
-                        "rec_type": None,
-                        "n_skipped": pending_skips,
-                        "n_revisit": pending_revisit})
+                    if n_file_rows:
+                        # trailing malformed/revisit records after the
+                        # last kept row merge into that row (held in
+                        # the buffer by the flush rule above)
+                        rows[-1]["n_skipped"] += pending_skips
+                        rows[-1]["n_revisit"] += pending_revisit
+                    else:
+                        # fully-garbage segment: counts-only sentinel,
+                        # url null so it cannot collide with (or pose
+                        # as) a document downstream
+                        rows.append({
+                            "url": None, "warc_ts": None, "html": None,
+                            "http_status": None, "mime": None,
+                            "rec_type": None,
+                            "n_skipped": pending_skips,
+                            "n_revisit": pending_revisit})
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
 

@@ -468,6 +468,11 @@ def test_curation_funnel_badwords(spark, tmp_path):
     ids = {r["doc_id"] for r in spark.read.parquet(m["corpus_path"])
            .select("doc_id").collect()}
     assert "d_bad" not in ids
+    # badwords with the C4 stage disabled would silently skip the
+    # gate — must fail fast instead (review finding)
+    with pytest.raises(ValueError, match="c4_badwords requires"):
+        curate_corpus(spark, docs, os.path.join(str(tmp_path), "bw2"),
+                      c4=False, c4_badwords=["scunthorpe"])
     # no-c4 run still reports the counter (zero) for manifest stability
     m2 = curate_corpus(spark, docs, os.path.join(str(tmp_path), "bw2"),
                        min_chars=50, min_words=10,

@@ -737,6 +737,11 @@ def _pdf_with_ccitt() -> tuple[bytes, "object"]:
     zbits = zlib.compress(bits)
     out += _classic_obj(7, {**base, "Filter": N("FlateDecode"),
                             "Length": len(zbits)}, zbits)
+    # /Decode [1 0]: producer-side bit-sense flip on a CCITT image —
+    # must invert the samples like the raw-sample path does
+    out += _classic_obj(8, {**base, "Filter": N("CCITTFaxDecode"),
+                            "DecodeParms": parms, "Decode": [1, 0],
+                            "Length": len(g4)}, g4)
     out += b"%%EOF\n"
     return bytes(out), black
 
@@ -750,15 +755,17 @@ def test_harvest_images_ccitt():
     raw, black = _pdf_with_ccitt()
     objs = pdfobj.parse_document(raw)
     images = pdfobj.harvest_images(objs)
-    assert [im["error"] for im in images] == [None] * 4
+    assert [im["error"] for im in images] == [None] * 5
     assert [im["filter"] for im in images] == \
         ["CCITTFaxDecode", "CCITTFaxDecode", "CCITTFaxDecode",
-         "FlateDecode"]
+         "FlateDecode", "CCITTFaxDecode"]
     want = ((1 - black) * 255).reshape(10, 20, 1)
     assert np.array_equal(images[0]["samples"], want)
     assert np.array_equal(images[1]["samples"], 255 - want)
     assert np.array_equal(images[2]["samples"], want)
     assert np.array_equal(images[3]["samples"], want)
+    # /Decode [1 0] flips the bit sense (finding: previously ignored)
+    assert np.array_equal(images[4]["samples"], 255 - want)
 
 
 def test_harvest_images_ccitt_corrupt_is_error_record():

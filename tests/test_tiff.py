@@ -342,14 +342,40 @@ def _fax_img(h=40, w=70, seed=3):
 
 
 def test_tiff_g4_decode():
-    """Compression 4 (T.6) strips decode to display-space gray: black →
-    0 under both fax photometrics."""
+    """Compression 4 (T.6) strips decode to display-space gray. The
+    decoded bit is the stored sample, so photo 0 (the normal fax
+    sense) shows codec-black dark and photo 1 (MinIsBlack) shows it
+    white — libtiff's BWmap semantics."""
     black = _fax_img()
-    for photo in (0, 1):
-        raw = _write_fax_tiff(black, comp=4, photometric=photo)
-        out = tiff.decode_tiff(raw)
-        assert out.shape == (40, 70, 1)
-        assert np.array_equal(out[:, :, 0], (1 - black) * 255), photo
+    raw = _write_fax_tiff(black, comp=4, photometric=0)
+    out = tiff.decode_tiff(raw)
+    assert out.shape == (40, 70, 1)
+    assert np.array_equal(out[:, :, 0], (1 - black) * 255)
+    raw = _write_fax_tiff(black, comp=4, photometric=1)
+    assert np.array_equal(tiff.decode_tiff(raw)[:, :, 0], black * 255)
+
+
+def test_tiff_fax_fillorder2():
+    """FillOrder 2 (LSB-first bytes, Class-F fax): per-byte bit
+    reversal recovers the MSB-first stream; FillOrder 2 on the 8-bit
+    path is a named error."""
+    black = _fax_img(seed=31)
+    raw = bytearray(_write_fax_tiff(black, comp=4))
+    # the writer emits no tag 266: repurpose tag 292 (T4Options,
+    # unused for comp 4) into FillOrder=2 and bit-reverse the payload
+    i = raw.find(struct.pack("<H", 292))
+    assert i > 0
+    raw[i:i + 2] = struct.pack("<H", 266)
+    raw[i + 8:i + 12] = struct.pack("<I", 2)
+    rev = bytes(int(f"{b:08b}"[::-1], 2) for b in range(256))
+    # the single strip is the file tail for this writer: re-encode to
+    # locate it, then bit-reverse it in place
+    from pubscience_spark.kernels.ccitt import encode_g4
+    enc = encode_g4(black)
+    assert raw.endswith(bytes(enc))
+    raw[-len(enc):] = bytes(enc).translate(rev)
+    out = tiff.decode_tiff(bytes(raw))
+    assert np.array_equal(out[:, :, 0], (1 - black) * 255)
 
 
 def test_tiff_g3_decode_and_strips():

@@ -185,7 +185,9 @@ def test_streaming_matches_bytes_parse():
 
 def test_trailing_skips_surface(spark, tmp_path):
     """ADVICE r5: malformed records AFTER the last kept row must not
-    vanish — iter's tally carries them; read_warc emits a sentinel."""
+    vanish — iter's tally carries them; read_warc merges them into
+    the segment's LAST kept row (no synthetic row enters the
+    documented extraction path)."""
     from pubscience_spark.sources.readers import read_warc
 
     truncated = _segment(compress=False)[:-40]    # cuts the final rec
@@ -197,9 +199,40 @@ def test_trailing_skips_surface(spark, tmp_path):
     d.mkdir()
     (d / "s.warc").write_bytes(truncated)
     rows = read_warc(spark, str(d)).collect()
-    sentinels = [r for r in rows if r["rec_type"] is None]
-    assert len(sentinels) == 1 and sentinels[0]["n_skipped"] >= 1
-    assert sentinels[0]["url"] == "" and sentinels[0]["html"] is None
+    assert all(r["rec_type"] is not None for r in rows)  # no sentinel
+    assert len(rows) == sum(1 for r in recs if r["type"] == "response")
+    last = max(rows, key=lambda r: r["warc_ts"])
+    assert last["n_skipped"] >= 1                 # merged trailing skip
+
+
+def test_fully_garbage_segment_emits_null_url_sentinel(spark, tmp_path):
+    """A segment with NO kept rows still surfaces its counts — via a
+    counts-only sentinel whose url is NULL (not ''), so it cannot
+    collide with or pose as a document downstream."""
+    from pubscience_spark.sources.readers import read_warc
+
+    d = tmp_path / "seg"
+    d.mkdir()
+    (d / "s.warc").write_bytes(b"not a warc at all" * 10)
+    rows = read_warc(spark, str(d)).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r["rec_type"] is None and r["url"] is None         and r["html"] is None
+    assert r["n_skipped"] >= 1
+
+
+def test_giant_header_counts_one_skip():
+    """A record whose header exceeds the cap with no blank line must
+    count as ONE skip, not two (cap hit + garbage resync)."""
+    giant = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+             + b"X-Pad: " + b"a" * (2 * 1024 * 1024) + b"\r\n")
+    seg = giant + _segment(compress=False)
+    tally: dict = {}
+    recs = list(W.iter_warc_records(seg, tally=tally))
+    good = [r for r in recs if r["uri"]]
+    assert len(good) >= 1
+    total = sum(r["skipped"] for r in recs) + tally["skipped"]
+    assert total == 1
 
 
 def test_record_types_optin_and_revisit_counter(spark, tmp_path):
