@@ -11,7 +11,9 @@ itself is a TIFF IFD). Supported, per the public TIFF 6.0 spec:
 - compression: 1 none, 5 LZW (the PDF ``LZWDecode`` algorithm —
   :func:`kernels.pdfobj.lzw_decode` is reused), 8 / 32946 Deflate,
   32773 PackBits, 3 / 4 CCITT fax (T.4 1-D + 2-D and T.6 G4 bilevel strips via
-  :mod:`kernels.ccitt`, round 6),
+  :mod:`kernels.ccitt`, round 6), 7 new-style JPEG (per-strip/tile
+  abbreviated streams + shared JPEGTables through :mod:`kernels.jpeg`,
+  round 6),
 - Predictor 2 (horizontal differencing; per tile scanline when tiled),
 - PhotometricInterpretation 0 (WhiteIsZero, inverted), 1 (BlackIsZero),
   2 (RGB), 3 (palette via ColorMap tag 320, incl. the widespread
@@ -19,7 +21,7 @@ itself is a TIFF IFD). Supported, per the public TIFF 6.0 spec:
   chunky planar config, 1 / 3 / 4 samples per pixel (4 = RGB +
   unassociated alpha, alpha dropped).
 
-Anything else (16-bit, JPEG-in-TIFF, planar, tiled fax)
+Anything else (16-bit, old-style JPEG (6), planar, tiled fax)
 is a named :class:`TiffError` — the error-column contract.
 """
 
@@ -188,6 +190,85 @@ def _decode_fax(raw: bytes, t: dict, one, comp: int) -> np.ndarray:
     return gray.reshape(h, w, 1)
 
 
+def _decode_jpeg7(raw: bytes, t: dict, one) -> np.ndarray:
+    """Compression 7 (new-style JPEG-in-TIFF, TTN2): each strip/tile
+    is a complete or abbreviated JPEG stream; shared DQT/DHT live in
+    a tables-only stream in the JPEGTables tag (347), merged after
+    each segment's SOI — the libtiff recipe. A segment's own tables
+    come after the shared ones, so per-segment redefinitions win.
+    PhotometricInterpretation 6 (YCbCr) is the JPEG decoder's own
+    color path; output channels follow the stream (1 gray / 3 RGB)."""
+    from .jpeg import JpegError, decode_jpeg
+
+    w, h = one(256), one(257)
+    if not (w and h):
+        raise TiffError("tiff-zero-dims")
+    body = b""
+    tables = t.get(347)
+    if tables:
+        tb = bytes(tables)
+        if len(tb) >= 4 and tb[:2] == b"\xff\xd8" \
+                and tb[-2:] == b"\xff\xd9":
+            body = tb[2:-2]
+        else:
+            raise TiffError("tiff-jpegtables-malformed")
+
+    def seg_decode(data: bytes, exp_h: int, exp_w: int) -> np.ndarray:
+        if data[:2] != b"\xff\xd8":
+            raise TiffError("tiff-jpeg-missing-soi")
+        merged = b"\xff\xd8" + body + data[2:] if body else data
+        try:
+            img = decode_jpeg(merged, apply_orientation=False)
+        except JpegError as exc:
+            raise TiffError(str(exc)) from exc
+        if img.shape[0] < exp_h or img.shape[1] < exp_w:
+            raise TiffError("tiff-jpeg-segment-short")
+        return img[:exp_h, :exp_w]
+
+    if 322 in t or 323 in t:                       # tile organization
+        tw, tl = one(322), one(323)
+        if not (tw and tl):
+            raise TiffError("tiff-zero-tile-dims")
+        offsets = t.get(324)
+        counts = t.get(325)
+        across = -(-w // tw)
+        down = -(-h // tl)
+        if not offsets or not counts or len(offsets) != len(counts) \
+                or len(offsets) < across * down:
+            raise TiffError("tiff-missing-tiles")
+        canvas = None
+        for ti in range(across * down):
+            data = raw[offsets[ti]:offsets[ti] + counts[ti]]
+            if len(data) < counts[ti]:
+                raise TiffError("tiff-truncated-tile")
+            img = seg_decode(data, tl, tw)
+            if canvas is None:
+                canvas = np.zeros((down * tl, across * tw,
+                                   img.shape[2]), dtype=np.uint8)
+            elif img.shape[2] != canvas.shape[2]:
+                raise TiffError("tiff-jpeg-mixed-channels")
+            ty, tx = divmod(ti, across)
+            canvas[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw] = img
+        return np.ascontiguousarray(canvas[:h, :w])
+
+    offsets = t.get(273)                           # strip organization
+    counts = t.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise TiffError("tiff-missing-strips")
+    rps = one(278, h)
+    parts = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        data = raw[off:off + cnt]
+        if len(data) < cnt:
+            raise TiffError("tiff-truncated-strip")
+        part = seg_decode(data, min(rps, h - si * rps), w)
+        if parts and part.shape[2] != parts[0].shape[2]:
+            raise TiffError("tiff-jpeg-mixed-channels")
+        parts.append(part)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts,
+                                                           axis=0)
+
+
 def _decode(raw: bytes) -> np.ndarray:
     if raw[:4] == b"II*\x00":
         e = "<"
@@ -215,6 +296,10 @@ def _decode(raw: bytes) -> np.ndarray:
     comp = one(259, 1)
     if comp in (3, 4):
         return _decode_fax(raw, t, one, comp)
+    if comp == 7:
+        return _decode_jpeg7(raw, t, one)
+    if comp == 6:
+        raise TiffError("tiff-old-jpeg-unsupported")
     if any(b != 8 for b in bits):
         raise TiffError(f"tiff-{bits[0]}bit-unsupported")
     photo = one(262, 1)

@@ -258,8 +258,8 @@ def test_error_paths():
     # unsupported compression id -> named error
     bad = bytearray(_write_tiff(_img(), comp=1))
     i = bad.find(struct.pack("<HHI", 259, 3, 1))
-    bad[i + 8:i + 10] = struct.pack("<H", 7)        # JPEG-in-TIFF
-    with pytest.raises(tiff.TiffError, match="compression-7"):
+    bad[i + 8:i + 10] = struct.pack("<H", 34712)    # JPEG2000
+    with pytest.raises(tiff.TiffError, match="compression-34712"):
         tiff.decode_tiff(bytes(bad))
 
 
@@ -410,20 +410,47 @@ def test_tiff_g3_2d_decode():
 
 # ------------------------------------------- tiles + palette (r6) ----
 
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Full JPEG → (tables-only stream, abbreviated stream): DQT/DHT
+    segments move into a SOI..EOI tables stream (the JPEGTables tag
+    payload), everything else stays — the TTN2 strip layout."""
+    i = 2
+    tables = b""
+    rest = b"\xff\xd8"
+    while i + 4 <= len(stream):
+        assert stream[i] == 0xFF, hex(stream[i])
+        m = stream[i + 1]
+        if m == 0xDA:                               # SOS → tail as-is
+            rest += stream[i:]
+            break
+        ln = int.from_bytes(stream[i + 2:i + 4], "big")
+        seg = stream[i:i + 2 + ln]
+        if m in (0xDB, 0xC4):                       # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        i += 2 + ln
+    return b"\xff\xd8" + tables + b"\xff\xd9", rest
+
+
 def _write_tiff2(arr: np.ndarray, *, comp: int = 1, endian: str = "<",
                  tile: tuple[int, int] | None = None,
                  predictor: int = 1,
                  photometric: int | None = None,
                  colormap: list[int] | None = None,
-                 rows_per_strip: int | None = None) -> bytes:
-    """Generic writer: tile organization (tags 322-325) and palette
-    (photometric 3 + ColorMap). Photometric 1/2/3 only."""
+                 rows_per_strip: int | None = None,
+                 jpeg_quality: int = 90,
+                 jpeg_abbrev: bool = False) -> bytes:
+    """Generic writer: tile organization (tags 322-325), palette
+    (photometric 3 + ColorMap), and new-style JPEG (comp 7, optional
+    shared JPEGTables). Photometric 1/2/3/6 only."""
     h, w = arr.shape[:2]
     spp = arr.shape[2] if arr.ndim == 3 else 1
     data = arr.reshape(h, w, spp)
     if photometric is None:
-        photometric = 3 if colormap is not None else (1 if spp == 1
-                                                      else 2)
+        photometric = (3 if colormap is not None else
+                       6 if comp == 7 and spp == 3 else
+                       1 if spp == 1 else 2)
 
     def seg_bytes(px: np.ndarray) -> bytes:
         if predictor == 2:
@@ -432,7 +459,7 @@ def _write_tiff2(arr: np.ndarray, *, comp: int = 1, endian: str = "<",
                                           dtype=np.int16))
         return px.astype(np.uint8).tobytes()
 
-    segs_raw = []
+    seg_px = []
     if tile:
         tw, tl = tile
         across, down = -(-w // tw), -(-h // tl)
@@ -440,20 +467,30 @@ def _write_tiff2(arr: np.ndarray, *, comp: int = 1, endian: str = "<",
         padded[:h, :w] = data
         for ty in range(down):
             for tx in range(across):
-                segs_raw.append(seg_bytes(
-                    padded[ty * tl:(ty + 1) * tl,
-                           tx * tw:(tx + 1) * tw]))
+                seg_px.append(padded[ty * tl:(ty + 1) * tl,
+                                     tx * tw:(tx + 1) * tw])
     else:
         rps = rows_per_strip or h
-        whole = seg_bytes(data)
-        row_bytes = w * spp
-        segs_raw = [whole[y0 * row_bytes:(y0 + rps) * row_bytes]
-                    for y0 in range(0, h, rps)]
-    segs = [_compress_seg(s, comp) for s in segs_raw]
+        seg_px = [data[y0:y0 + rps] for y0 in range(0, h, rps)]
+
+    jpeg_tables = None
+    if comp == 7:
+        from pubscience_spark.kernels.jpeg import encode_jpeg
+        segs = [encode_jpeg(np.ascontiguousarray(px.squeeze(axis=2)
+                                                 if spp == 1 else px),
+                            quality=jpeg_quality) for px in seg_px]
+        if jpeg_abbrev:
+            split = [_split_jpeg_tables(s) for s in segs]
+            jpeg_tables = split[0][0]
+            segs = [r for _, r in split]
+    else:
+        segs = [_compress_seg(seg_bytes(px), comp) for px in seg_px]
 
     entries = [(256, 3, [w]), (257, 3, [h]), (258, 3, [8] * spp),
                (259, 3, [comp]), (262, 3, [photometric]),
                (277, 3, [spp]), (284, 3, [1]), (317, 3, [predictor])]
+    if jpeg_tables is not None:
+        entries.append((347, 7, list(jpeg_tables)))
     if tile:
         entries += [(322, 3, [tile[0]]), (323, 3, [tile[1]]),
                     (324, 4, None), (325, 4, [len(s) for s in segs])]
@@ -468,10 +505,11 @@ def _write_tiff2(arr: np.ndarray, *, comp: int = 1, endian: str = "<",
     n = len(entries)
     ifd_off = 8
     extra_off = ifd_off + 2 + 12 * n + 4
-    extras_size = sum((2 if typ == 3 else 4)
+    vsize = {3: 2, 7: 1}
+    extras_size = sum(vsize.get(typ, 4)
                       * (len(segs) if vals is None else len(vals))
                       for _, typ, vals in entries
-                      if (2 if typ == 3 else 4)
+                      if vsize.get(typ, 4)
                       * (len(segs) if vals is None else len(vals)) > 4)
     seg_base = extra_off + extras_size
     offs = []
@@ -485,7 +523,7 @@ def _write_tiff2(arr: np.ndarray, *, comp: int = 1, endian: str = "<",
     for tag, typ, vals in entries:
         if vals is None:
             vals = offs
-        fmt = "H" if typ == 3 else "I"
+        fmt = {3: "H", 7: "B"}.get(typ, "I")
         packed = b"".join(struct.pack(e + fmt, v) for v in vals)
         body += struct.pack(e + "HHI", tag, typ, len(vals))
         if len(packed) <= 4:
@@ -569,3 +607,64 @@ def test_tile_and_palette_error_paths():
     fax[i:i + 2] = struct.pack("<H", 322)
     with pytest.raises(tiff.TiffError, match="fax-tiles"):
         tiff.decode_tiff(bytes(fax))
+
+
+# --------------------------------------- new-style JPEG, comp 7 (r6) ----
+
+def test_jpeg_in_tiff_strips_match_direct_decode():
+    """Comp-7 strips: the TIFF path must equal decoding the same
+    per-strip JPEG streams directly and stacking them (JPEG is lossy,
+    so the invariant is same-decoder equality, not pixel identity)."""
+    from pubscience_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+    img = _img(40, 56, 3, seed=41)
+    raw = _write_tiff2(img, comp=7, rows_per_strip=16)
+    want = np.concatenate(
+        [decode_jpeg(encode_jpeg(img[y0:y0 + 16]), apply_orientation=False)
+         for y0 in range(0, 40, 16)], axis=0)
+    assert np.array_equal(tiff.decode_tiff(raw), want)
+    # lossy but close
+    assert np.mean(np.abs(tiff.decode_tiff(raw).astype(float)
+                          - img.astype(float))) < 6
+
+
+def test_jpeg_in_tiff_abbreviated_tables():
+    """Shared DQT/DHT in JPEGTables (tag 347), strips abbreviated —
+    the dominant libtiff layout. Must equal the non-abbreviated file
+    bit-exactly after decode."""
+    img = _img(33, 48, 3, seed=42)
+    full = tiff.decode_tiff(_write_tiff2(img, comp=7,
+                                         rows_per_strip=16))
+    abbr = tiff.decode_tiff(_write_tiff2(img, comp=7, rows_per_strip=16,
+                                         jpeg_abbrev=True))
+    assert np.array_equal(full, abbr)
+
+
+def test_jpeg_in_tiff_tiled_gray():
+    from pubscience_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+    img = _img(24, 40, 1, seed=43)
+    raw = _write_tiff2(img, comp=7, tile=(16, 16), jpeg_abbrev=True)
+    out = tiff.decode_tiff(raw)
+    assert out.shape == (24, 40, 1)
+    # spot-check one interior tile against a direct decode
+    tile = decode_jpeg(encode_jpeg(
+        np.ascontiguousarray(img[0:16, 16:32, 0])),
+        apply_orientation=False)
+    assert np.array_equal(out[0:16, 16:32], tile.reshape(16, 16, 1))
+
+
+def test_jpeg_in_tiff_error_paths():
+    img = _img(16, 16, 3, seed=44)
+    raw = _write_tiff2(img, comp=7)
+    # strip payload that is not a JPEG stream (clobber the SOI)
+    bad = bytearray(raw)
+    soi = bytes(raw).rfind(b"\xff\xd8")
+    bad[soi:soi + 2] = b"\x00\x00"
+    with pytest.raises(tiff.TiffError, match="missing-soi"):
+        tiff.decode_tiff(bytes(bad))
+    # old-style JPEG (comp 6) is a named error
+    i = bytes(raw).find(struct.pack("<HHI", 259, 3, 1))
+    assert i > 0
+    old = bytearray(raw)
+    old[i + 8:i + 10] = struct.pack("<H", 6)
+    with pytest.raises(tiff.TiffError, match="old-jpeg"):
+        tiff.decode_tiff(bytes(old))
