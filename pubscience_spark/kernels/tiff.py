@@ -17,11 +17,12 @@ itself is a TIFF IFD). Supported, per the public TIFF 6.0 spec:
 - Predictor 2 (horizontal differencing; per tile scanline when tiled),
 - PhotometricInterpretation 0 (WhiteIsZero, inverted), 1 (BlackIsZero),
   2 (RGB), 3 (palette via ColorMap tag 320, incl. the widespread
-  8-bit-values-in-16-bit-fields writer quirk, round 6); 8-bit samples,
-  chunky planar config, 1 / 3 / 4 samples per pixel (4 = RGB +
-  unassociated alpha, alpha dropped).
+  8-bit-values-in-16-bit-fields writer quirk, round 6); 8-bit and
+  16-bit samples (16-bit follows the file byte order and displays the
+  high byte, round 6), chunky planar config, 1 / 3 / 4 samples per
+  pixel (4 = RGB + unassociated alpha, alpha dropped).
 
-Anything else (16-bit, old-style JPEG (6), planar, tiled fax)
+Anything else (old-style JPEG (6), float samples, planar, tiled fax)
 is a named :class:`TiffError` — the error-column contract.
 """
 
@@ -300,7 +301,11 @@ def _decode(raw: bytes) -> np.ndarray:
         return _decode_jpeg7(raw, t, one)
     if comp == 6:
         raise TiffError("tiff-old-jpeg-unsupported")
-    if any(b != 8 for b in bits):
+    if all(b == 8 for b in bits):
+        bps = 1                                    # bytes per sample
+    elif all(b == 16 for b in bits):
+        bps = 2                                    # 16-bit (scanners)
+    else:
         raise TiffError(f"tiff-{bits[0]}bit-unsupported")
     photo = one(262, 1)
     planar = one(284, 1)
@@ -312,6 +317,8 @@ def _decode(raw: bytes) -> np.ndarray:
     if photo == 3:
         if spp != 1:
             raise TiffError("tiff-palette-multisample-unsupported")
+        if bps != 1:
+            raise TiffError("tiff-palette-16bit-unsupported")
         if not t.get(320):
             raise TiffError("tiff-palette-missing-colormap")
     elif photo not in (0, 1, 2):
@@ -334,18 +341,24 @@ def _decode(raw: bytes) -> np.ndarray:
         if not offsets or not counts or len(offsets) != len(counts) \
                 or len(offsets) < across * down:
             raise TiffError("tiff-missing-tiles")
-        expect = tl * tw * spp
-        canvas = np.zeros((down * tl, across * tw, spp), dtype=np.uint8)
+    # sample dtype follows the FILE byte order for 16-bit; predictor 2
+    # differencing operates on full sample values (spec section 14)
+    sdtype = np.uint8 if bps == 1 else np.dtype(e + "u2")
+
+    if 322 in t or 323 in t:                       # tile organization
+        expect = tl * tw * spp * bps
+        canvas = np.zeros((down * tl, across * tw, spp),
+                          dtype=np.uint8 if bps == 1 else np.uint16)
         for ti in range(across * down):
             off, cnt = offsets[ti], counts[ti]
             data = raw[off:off + cnt]
             if len(data) < cnt:
                 raise TiffError("tiff-truncated-tile")
             chunk = _decompress_segment(data, comp, expect)
-            tile = np.frombuffer(chunk, dtype=np.uint8) \
-                .reshape(tl, tw, spp).copy()
+            tile = np.frombuffer(chunk, dtype=sdtype) \
+                .reshape(tl, tw, spp).astype(canvas.dtype)
             if predictor == 2:                     # per TILE scanline
-                np.cumsum(tile, axis=1, dtype=np.uint8, out=tile)
+                np.cumsum(tile, axis=1, dtype=canvas.dtype, out=tile)
             ty, tx = divmod(ti, across)
             canvas[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw] = tile
         arr = np.ascontiguousarray(canvas[:h, :w])  # crop edge padding
@@ -356,7 +369,7 @@ def _decode(raw: bytes) -> np.ndarray:
             raise TiffError("tiff-missing-strips")
         rows_per_strip = one(278, h)
 
-        row_bytes = w * spp
+        row_bytes = w * spp * bps
         out = bytearray()
         for si, (off, cnt) in enumerate(zip(offsets, counts)):
             data = raw[off:off + cnt]
@@ -365,10 +378,14 @@ def _decode(raw: bytes) -> np.ndarray:
             nrows = min(rows_per_strip, h - si * rows_per_strip)
             out += _decompress_segment(data, comp, nrows * row_bytes)
 
-        arr = np.frombuffer(bytes(out), dtype=np.uint8) \
-            .reshape(h, w, spp).copy()
+        arr = np.frombuffer(bytes(out), dtype=sdtype) \
+            .reshape(h, w, spp)
+        arr = arr.astype(np.uint8 if bps == 1 else np.uint16)
         if predictor == 2:                         # horizontal diff
-            np.cumsum(arr, axis=1, dtype=np.uint8, out=arr)
+            np.cumsum(arr, axis=1, dtype=arr.dtype, out=arr)
+
+    if bps == 2:                                   # display: high byte
+        arr = (arr >> 8).astype(np.uint8)
 
     if photo == 3:                                 # palette lookup
         cmap = t[320]

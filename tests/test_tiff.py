@@ -447,6 +447,8 @@ def _write_tiff2(arr: np.ndarray, *, comp: int = 1, endian: str = "<",
     h, w = arr.shape[:2]
     spp = arr.shape[2] if arr.ndim == 3 else 1
     data = arr.reshape(h, w, spp)
+    bps = 2 if arr.dtype == np.uint16 else 1
+    sdt = np.dtype(endian + "u2") if bps == 2 else np.dtype(np.uint8)
     if photometric is None:
         photometric = (3 if colormap is not None else
                        6 if comp == 7 and spp == 3 else
@@ -454,16 +456,17 @@ def _write_tiff2(arr: np.ndarray, *, comp: int = 1, endian: str = "<",
 
     def seg_bytes(px: np.ndarray) -> bytes:
         if predictor == 2:
-            px = np.diff(px.astype(np.int16), axis=1,
+            px = np.diff(px.astype(np.int32), axis=1,
                          prepend=np.zeros((px.shape[0], 1, spp),
-                                          dtype=np.int16))
-        return px.astype(np.uint8).tobytes()
+                                          dtype=np.int32))
+        return px.astype(sdt).tobytes()
 
     seg_px = []
     if tile:
         tw, tl = tile
         across, down = -(-w // tw), -(-h // tl)
-        padded = np.zeros((down * tl, across * tw, spp), dtype=np.uint8)
+        padded = np.zeros((down * tl, across * tw, spp),
+                          dtype=arr.dtype)
         padded[:h, :w] = data
         for ty in range(down):
             for tx in range(across):
@@ -486,7 +489,7 @@ def _write_tiff2(arr: np.ndarray, *, comp: int = 1, endian: str = "<",
     else:
         segs = [_compress_seg(seg_bytes(px), comp) for px in seg_px]
 
-    entries = [(256, 3, [w]), (257, 3, [h]), (258, 3, [8] * spp),
+    entries = [(256, 3, [w]), (257, 3, [h]), (258, 3, [8 * bps] * spp),
                (259, 3, [comp]), (262, 3, [photometric]),
                (277, 3, [spp]), (284, 3, [1]), (317, 3, [predictor])]
     if jpeg_tables is not None:
@@ -668,3 +671,36 @@ def test_jpeg_in_tiff_error_paths():
     old[i + 8:i + 10] = struct.pack("<H", 6)
     with pytest.raises(tiff.TiffError, match="old-jpeg"):
         tiff.decode_tiff(bytes(old))
+
+
+# --------------------------------------------- 16-bit samples (r6) ----
+
+def _img16(h, w, c, seed):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 1 << 16, (h, w, c)).astype(np.uint16)
+
+
+def test_16bit_gray_strips_high_byte():
+    img = _img16(19, 27, 1, seed=51)
+    raw = _write_tiff2(img, comp=8, rows_per_strip=7)
+    assert np.array_equal(tiff.decode_tiff(raw),
+                          (img >> 8).astype(np.uint8))
+
+
+def test_16bit_rgb_tiled_big_endian_predictor2():
+    img = _img16(20, 36, 3, seed=52)
+    raw = _write_tiff2(img, comp=5, tile=(16, 16), endian=">",
+                       predictor=2)
+    assert np.array_equal(tiff.decode_tiff(raw),
+                          (img >> 8).astype(np.uint8))
+
+
+def test_16bit_white_is_zero_and_palette_error():
+    img = _img16(9, 9, 1, seed=53)
+    raw = _write_tiff2(img, photometric=0)
+    assert np.array_equal(tiff.decode_tiff(raw),
+                          255 - (img >> 8).astype(np.uint8))
+    lut = [0] * 768
+    raw = _write_tiff2(img, colormap=lut)
+    with pytest.raises(tiff.TiffError, match="palette-16bit"):
+        tiff.decode_tiff(raw)
