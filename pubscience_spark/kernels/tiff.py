@@ -204,6 +204,11 @@ def _decode_jpeg7(raw: bytes, t: dict, one) -> np.ndarray:
     w, h = one(256), one(257)
     if not (w and h):
         raise TiffError("tiff-zero-dims")
+    if one(284, 1) != 1:       # per-plane JPEG strips: not supported
+        raise TiffError("tiff-planar-unsupported")
+    photo = one(262, 6)
+    if photo not in (1, 2, 6):  # 6 = YCbCr, the JPEG color path
+        raise TiffError(f"tiff-photometric-{photo}-unsupported")
     body = b""
     tables = t.get(347)
     if tables:
@@ -257,8 +262,11 @@ def _decode_jpeg7(raw: bytes, t: dict, one) -> np.ndarray:
     if not offsets or not counts or len(offsets) != len(counts):
         raise TiffError("tiff-missing-strips")
     rps = one(278, h)
+    if rps <= 0 or len(offsets) < -(-h // rps):
+        raise TiffError("tiff-missing-strips")
     parts = []
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+    for si in range(-(-h // rps)):
+        off, cnt = offsets[si], counts[si]
         data = raw[off:off + cnt]
         if len(data) < cnt:
             raise TiffError("tiff-truncated-strip")
@@ -305,6 +313,8 @@ def _decode(raw: bytes) -> np.ndarray:
         bps = 1                                    # bytes per sample
     elif all(b == 16 for b in bits):
         bps = 2                                    # 16-bit (scanners)
+    elif len(set(bits)) > 1:
+        raise TiffError("tiff-mixed-bitdepth-unsupported")
     else:
         raise TiffError(f"tiff-{bits[0]}bit-unsupported")
     photo = one(262, 1)
@@ -330,6 +340,10 @@ def _decode(raw: bytes) -> np.ndarray:
     if predictor not in (1, 2):
         raise TiffError(f"tiff-predictor-{predictor}-unsupported")
 
+    # sample dtype follows the FILE byte order for 16-bit; predictor 2
+    # differencing operates on full sample values (spec section 14)
+    sdtype = np.uint8 if bps == 1 else np.dtype(e + "u2")
+
     if 322 in t or 323 in t:                       # tile organization
         tw, tl = one(322), one(323)
         if not (tw and tl):
@@ -341,11 +355,6 @@ def _decode(raw: bytes) -> np.ndarray:
         if not offsets or not counts or len(offsets) != len(counts) \
                 or len(offsets) < across * down:
             raise TiffError("tiff-missing-tiles")
-    # sample dtype follows the FILE byte order for 16-bit; predictor 2
-    # differencing operates on full sample values (spec section 14)
-    sdtype = np.uint8 if bps == 1 else np.dtype(e + "u2")
-
-    if 322 in t or 323 in t:                       # tile organization
         expect = tl * tw * spp * bps
         canvas = np.zeros((down * tl, across * tw, spp),
                           dtype=np.uint8 if bps == 1 else np.uint16)

@@ -704,3 +704,34 @@ def test_16bit_white_is_zero_and_palette_error():
     raw = _write_tiff2(img, colormap=lut)
     with pytest.raises(tiff.TiffError, match="palette-16bit"):
         tiff.decode_tiff(raw)
+
+
+def test_jpeg_in_tiff_validation_guards():
+    """Second-review findings: short strip tables, planar config, and
+    mixed bit depths must be named errors, not silent wrong output."""
+    img = _img(32, 16, 3, seed=45)
+    raw = _write_tiff2(img, comp=7, rows_per_strip=16)
+    # declare a taller image than the strips supply (patch tag 257)
+    bad = bytearray(raw)
+    i = bad.find(struct.pack("<HHI", 257, 3, 1))
+    bad[i + 8:i + 12] = struct.pack("<I", 64)
+    with pytest.raises(tiff.TiffError, match="missing-strips"):
+        tiff.decode_tiff(bytes(bad))
+    # planar configuration 2 (patch tag 284)
+    bad = bytearray(raw)
+    i = bad.find(struct.pack("<HHI", 284, 3, 1))
+    bad[i + 8:i + 10] = struct.pack("<H", 2)
+    with pytest.raises(tiff.TiffError, match="planar"):
+        tiff.decode_tiff(bytes(bad))
+
+
+def test_mixed_bitdepth_is_named_error():
+    img = _img(8, 8, 3, seed=46)
+    raw = bytearray(_write_tiff2(img))
+    # BitsPerSample [8,8,8] count 3 lives in the extras area; patch the
+    # third value to 16
+    i = bytes(raw).find(struct.pack("<HHH", 8, 8, 8))
+    assert i > 0
+    raw[i + 4:i + 6] = struct.pack("<H", 16)
+    with pytest.raises(tiff.TiffError, match="mixed-bitdepth"):
+        tiff.decode_tiff(bytes(raw))
