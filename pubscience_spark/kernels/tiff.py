@@ -19,11 +19,12 @@ itself is a TIFF IFD). Supported, per the public TIFF 6.0 spec:
   2 (RGB), 3 (palette via ColorMap tag 320, incl. the widespread
   8-bit-values-in-16-bit-fields writer quirk, round 6); 8-bit and
   16-bit samples (16-bit follows the file byte order and displays the
-  high byte, round 6), chunky planar config, 1 / 3 / 4 samples per
-  pixel (4 = RGB + unassociated alpha, alpha dropped).
+  high byte, round 6), chunky AND separate-plane strip layouts
+  (PlanarConfiguration 2, round 6), 1 / 3 / 4 samples per pixel
+  (4 = RGB + unassociated alpha, alpha dropped).
 
-Anything else (old-style JPEG (6), float samples, planar, tiled fax)
-is a named :class:`TiffError` — the error-column contract.
+Anything else (old-style JPEG (6), float samples, planar tiles,
+tiled fax) is a named :class:`TiffError` — the error-column contract.
 """
 
 from __future__ import annotations
@@ -320,8 +321,10 @@ def _decode(raw: bytes) -> np.ndarray:
     photo = one(262, 1)
     planar = one(284, 1)
     predictor = one(317, 1)
-    if planar != 1:
-        raise TiffError("tiff-planar-unsupported")
+    if planar not in (1, 2):
+        raise TiffError(f"tiff-planar-{planar}-unsupported")
+    if planar == 2 and (322 in t or 323 in t):
+        raise TiffError("tiff-planar-tiled-unsupported")
     if one(266, 1) != 1:      # FillOrder 2 is bilevel-only in practice
         raise TiffError(f"tiff-fillorder-{one(266, 1)}-unsupported")
     if photo == 3:
@@ -371,6 +374,34 @@ def _decode(raw: bytes) -> np.ndarray:
             ty, tx = divmod(ti, across)
             canvas[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw] = tile
         arr = np.ascontiguousarray(canvas[:h, :w])  # crop edge padding
+    elif planar == 2:                              # separate planes
+        offsets = t.get(273)
+        counts = t.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TiffError("tiff-missing-strips")
+        rps = one(278, h)
+        if rps <= 0:
+            raise TiffError("tiff-missing-strips")
+        spn = -(-h // rps)                         # strips per plane
+        if len(offsets) < spn * spp:
+            raise TiffError("tiff-missing-strips")
+        planes = []
+        for p in range(spp):
+            out = bytearray()
+            for si in range(spn):
+                off, cnt = offsets[p * spn + si], counts[p * spn + si]
+                data = raw[off:off + cnt]
+                if len(data) < cnt:
+                    raise TiffError("tiff-truncated-strip")
+                nrows = min(rps, h - si * rps)
+                out += _decompress_segment(data, comp,
+                                           nrows * w * bps)
+            planes.append(np.frombuffer(bytes(out), dtype=sdtype)
+                          .reshape(h, w))
+        arr = np.stack(planes, axis=2) \
+            .astype(np.uint8 if bps == 1 else np.uint16)
+        if predictor == 2:                         # per plane scanline
+            np.cumsum(arr, axis=1, dtype=arr.dtype, out=arr)
     else:                                          # strip organization
         offsets = t.get(273)
         counts = t.get(279)

@@ -439,6 +439,7 @@ def _write_tiff2(arr: np.ndarray, *, comp: int = 1, endian: str = "<",
                  photometric: int | None = None,
                  colormap: list[int] | None = None,
                  rows_per_strip: int | None = None,
+                 planar: int = 1,
                  jpeg_quality: int = 90,
                  jpeg_abbrev: bool = False) -> bytes:
     """Generic writer: tile organization (tags 322-325), palette
@@ -457,7 +458,8 @@ def _write_tiff2(arr: np.ndarray, *, comp: int = 1, endian: str = "<",
     def seg_bytes(px: np.ndarray) -> bytes:
         if predictor == 2:
             px = np.diff(px.astype(np.int32), axis=1,
-                         prepend=np.zeros((px.shape[0], 1, spp),
+                         prepend=np.zeros((px.shape[0], 1,
+                                           px.shape[2]),
                                           dtype=np.int32))
         return px.astype(sdt).tobytes()
 
@@ -472,6 +474,11 @@ def _write_tiff2(arr: np.ndarray, *, comp: int = 1, endian: str = "<",
             for tx in range(across):
                 seg_px.append(padded[ty * tl:(ty + 1) * tl,
                                      tx * tw:(tx + 1) * tw])
+    elif planar == 2:                       # one plane's strips, then
+        rps = rows_per_strip or h           # the next plane's (spec)
+        for pl in range(spp):
+            seg_px += [data[y0:y0 + rps, :, pl:pl + 1]
+                       for y0 in range(0, h, rps)]
     else:
         rps = rows_per_strip or h
         seg_px = [data[y0:y0 + rps] for y0 in range(0, h, rps)]
@@ -491,7 +498,8 @@ def _write_tiff2(arr: np.ndarray, *, comp: int = 1, endian: str = "<",
 
     entries = [(256, 3, [w]), (257, 3, [h]), (258, 3, [8 * bps] * spp),
                (259, 3, [comp]), (262, 3, [photometric]),
-               (277, 3, [spp]), (284, 3, [1]), (317, 3, [predictor])]
+               (277, 3, [spp]), (284, 3, [planar]),
+               (317, 3, [predictor])]
     if jpeg_tables is not None:
         entries.append((347, 7, list(jpeg_tables)))
     if tile:
@@ -735,3 +743,39 @@ def test_mixed_bitdepth_is_named_error():
     raw[i + 4:i + 6] = struct.pack("<H", 16)
     with pytest.raises(tiff.TiffError, match="mixed-bitdepth"):
         tiff.decode_tiff(bytes(raw))
+
+
+# ------------------------------------------ planar config 2 (r6) ----
+
+def test_planar_rgb_strips_roundtrip():
+    """PlanarConfiguration 2: one plane's strips, then the next's —
+    must equal the chunky decode of the same pixels."""
+    img = _img(21, 33, 3, seed=61)
+    for comp in (1, 8, 32773):
+        raw = _write_tiff2(img, comp=comp, planar=2, rows_per_strip=8)
+        assert np.array_equal(tiff.decode_tiff(raw), img), comp
+
+
+def test_planar_16bit_predictor2():
+    img = _img16(14, 22, 3, seed=62)
+    raw = _write_tiff2(img, comp=5, planar=2, predictor=2,
+                       rows_per_strip=6)
+    assert np.array_equal(tiff.decode_tiff(raw),
+                          (img >> 8).astype(np.uint8))
+
+
+def test_planar_tiled_and_short_plane_errors():
+    img = _img(16, 16, 3, seed=63)
+    raw = _write_tiff2(img, planar=2)
+    # tiled planar is a named error: patch planar into a tiled file
+    tiled = bytearray(_write_tiff2(img, tile=(16, 16)))
+    i = tiled.find(struct.pack("<HHI", 284, 3, 1))
+    tiled[i + 8:i + 10] = struct.pack("<H", 2)
+    with pytest.raises(tiff.TiffError, match="planar-tiled"):
+        tiff.decode_tiff(bytes(tiled))
+    # fewer strips than planes need
+    short = bytearray(raw)
+    i = short.find(struct.pack("<HHI", 277, 3, 1))
+    short[i + 8:i + 10] = struct.pack("<H", 4)   # claim 4 planes
+    with pytest.raises(tiff.TiffError, match="missing-strips"):
+        tiff.decode_tiff(bytes(short))
