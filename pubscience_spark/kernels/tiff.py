@@ -162,6 +162,8 @@ def _decode_fax(raw: bytes, t: dict, one, comp: int) -> np.ndarray:
     if not offsets or not counts or len(offsets) != len(counts):
         raise TiffError("tiff-missing-strips")
     rows_per_strip = one(278, h)
+    if rows_per_strip <= 0 or len(offsets) < -(-h // rows_per_strip):
+        raise TiffError("tiff-missing-strips")
     planes = []
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
         data = raw[off:off + cnt]
@@ -408,6 +410,9 @@ def _decode(raw: bytes) -> np.ndarray:
         if not offsets or not counts or len(offsets) != len(counts):
             raise TiffError("tiff-missing-strips")
         rows_per_strip = one(278, h)
+        if rows_per_strip <= 0 \
+                or len(offsets) < -(-h // rows_per_strip):
+            raise TiffError("tiff-missing-strips")
 
         row_bytes = w * spp * bps
         out = bytearray()

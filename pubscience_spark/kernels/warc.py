@@ -136,7 +136,12 @@ class GzipMemberReader:
 
     def _fill_once(self) -> None:
         if self._plain is None:          # sniff the gzip magic
-            head = self._f.read(2)
+            head = b""
+            while len(head) < 2:         # loop: a socket-like source
+                part = self._f.read(2 - len(head))
+                if not part:             # may return 1 byte mid-stream
+                    break
+                head += part
             if head[:2] == b"\x1f\x8b":
                 self._plain = False
                 self._raw = head

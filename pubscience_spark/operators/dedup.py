@@ -243,11 +243,25 @@ def minhash_neardup_incremental(df: DataFrame, id_col: str,
         # (ADVICE r5; indexes written before round 6 lack the columns
         # and are taken at the historical defaults k=3, seed=42).
         cols = set(index_df.columns)
-        probe = index_df.select(
+        # Probe DISTINCT parameter tuples, not just .first(): an index
+        # accidentally unioned from runs with mixed parameters would
+        # pass a single-row probe yet silently stop colliding for the
+        # mismatched rows (ADVICE r6). limit(2) keeps the probe O(1)
+        # on the happy path.
+        probes = (index_df.select(
             F.size("sig").alias("np"), F.size("bands").alias("nb"),
             (F.col("k") if "k" in cols else F.lit(3)).alias("k"),
             (F.col("seed") if "seed" in cols
-             else F.lit(42)).alias("seed")).first()
+             else F.lit(42)).alias("seed"))
+            .distinct().limit(2).collect())
+        if len(probes) > 1:
+            raise ValueError(
+                "minhash_neardup_incremental: index holds rows built "
+                "at MIXED parameters "
+                f"({[tuple(p) for p in probes]} …) — it was likely "
+                "assembled by unioning incompatible runs; rebuild it "
+                "at one (num_perm, bands, k, seed) tuple")
+        probe = probes[0] if probes else None
         if probe is not None and (
                 probe["np"] != num_perm or probe["nb"] != bands
                 or probe["k"] != k or probe["seed"] != seed):

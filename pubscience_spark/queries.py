@@ -828,7 +828,7 @@ SELECT detected, count(*) AS n FROM d GROUP BY detected
 
 
 def q_segment_stats(spark, sf_dir):
-    """G1+G2 in one battery entry: sentence segmentation counts and
+    r"""G1+G2 in one battery entry: sentence segmentation counts and
     token-budget chunk counts per doc.
 
     ORACLE-CHECKED since round 5 (VERDICT r4 #8). The DuckDB oracle

@@ -310,6 +310,16 @@ def test_minhash_neardup_incremental_cross_run(spark, tmp_path):
     with pytest.raises(ValueError, match="k=4"):
         minhash_neardup_incremental(run2, "doc_id", threshold=0.7,
                                     k=4, index_df=legacy)
+    # an index accidentally assembled from runs with MIXED parameters
+    # must fail even when its FIRST row matches this run's parameters
+    # (ADVICE r6: the old probe checked only index_df.first())
+    _, other = minhash_neardup_incremental(
+        run2.selectExpr("doc_id || '-x' AS doc_id", "text"),
+        "doc_id", threshold=0.7, seed=7)
+    mixed = loaded.unionByName(other)
+    with pytest.raises(ValueError, match="MIXED"):
+        minhash_neardup_incremental(run2, "doc_id", threshold=0.7,
+                                    index_df=mixed)
     # string ids work end-to-end (round-5 review: a long cast here
     # would throw under ANSI)
     srun = spark.createDataFrame([("a1", "short text one here"),

@@ -779,3 +779,17 @@ def test_planar_tiled_and_short_plane_errors():
     short[i + 8:i + 10] = struct.pack("<H", 4)   # claim 4 planes
     with pytest.raises(tiff.TiffError, match="missing-strips"):
         tiff.decode_tiff(bytes(short))
+
+
+def test_tiff_fax_missing_strips_named_error():
+    """ADVICE r6: a fax TIFF whose strip count does not cover
+    ceil(h/rows_per_strip) must fail as 'tiff-missing-strips', not the
+    generic reshape ValueError. Built by writing a single-strip fax
+    file then patching RowsPerStrip (278) down to h//2."""
+    black = _fax_img()
+    raw = bytearray(_write_fax_tiff(black, comp=4, photometric=0))
+    i = raw.find(struct.pack("<HHI", 278, 3, 1))
+    assert i > 0
+    raw[i + 8:i + 10] = struct.pack("<H", black.shape[0] // 2)
+    with pytest.raises(tiff.TiffError, match="tiff-missing-strips"):
+        tiff.decode_tiff(bytes(raw))

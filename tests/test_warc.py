@@ -286,3 +286,37 @@ def test_read_warc_skip_counts_survive_type_filter(spark, tmp_path):
     rows = sorted(read_warc(spark, str(d)).collect(),
                   key=lambda r: r["url"])
     assert sum(r["n_skipped"] for r in rows) >= 1
+
+
+def test_gzip_reader_socket_like_partial_reads():
+    """ADVICE r6: a BinaryIO source that returns 1-byte partial reads
+    mid-stream (socket-like) must still be sniffed as gzip and
+    decompress fully — the old 2-byte sniff misclassified it as plain
+    input with premature EOF."""
+    import io
+
+    class Drip(io.RawIOBase):
+        def __init__(self, data):
+            self._b = io.BytesIO(data)
+
+        def read(self, n=-1):
+            return self._b.read(min(n, 1) if n and n > 0 else n)
+
+    payload = b"hello warc world " * 500
+    gz = gzip.compress(payload[:4000]) + gzip.compress(payload[4000:])
+    r = W.GzipMemberReader(Drip(gz))
+    out = bytearray()
+    while chunk := r.read(1 << 16):
+        out += chunk
+    assert bytes(out) == payload
+
+    # plain (non-gzip) drip-fed input passes through unchanged too
+    r2 = W.GzipMemberReader(Drip(payload))
+    out2 = bytearray()
+    while chunk := r2.read(1 << 16):
+        out2 += chunk
+    assert bytes(out2) == payload
+
+    # 1-byte total stream: classified plain, yields that byte, EOF
+    r3 = W.GzipMemberReader(Drip(b"x"))
+    assert r3.read(10) == b"x" and r3.read(10) == b""
