@@ -79,6 +79,9 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
                   c4_badwords: list[str] | None = None,
                   para_dedup: bool = False,
                   para_min_chars: int = 30,
+                  exact_substr: bool = False,
+                  exact_substr_min_tokens: int = 50,
+                  exact_substr_salt: int = 8,
                   decontam_eval: DataFrame | None = None,
                   decontam_n: int = 13,
                   split_weights: tuple = (.9, .05, .05)) -> dict:
@@ -116,6 +119,13 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     the doc-dedup survivors: cross-page boilerplate paragraphs keep one
     occurrence, documents emptied entirely are dropped. Runs BEFORE
     decontamination so eval n-grams are checked against the final text.
+    ``exact_substr`` (opt-in) runs exact-substring duplicate-SPAN
+    removal (Lee et al. 2022 ExactSubstr, the RefinedWeb recipe —
+    :func:`operators.spandedup.drop_duplicate_spans`) after paragraph
+    dedup: any token span ≥ ``exact_substr_min_tokens`` long that
+    occurs elsewhere in the corpus keeps only its first occurrence;
+    documents emptied entirely are dropped. Also before
+    decontamination, for the same reason.
     ``decontam_eval`` (opt-in) drops docs sharing any ``decontam_n``-gram
     with the given evaluation corpus (id/text columns as named here)."""
     if neardup_mode not in ("pairs", "cluster"):   # fail fast, pre-plan
@@ -227,6 +237,29 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
         kept = (kept.drop(text_col)
                 .join(pd_out.select(id_col, text_col), id_col)
                 .where(F.length(F.trim(F.col(text_col))) > 0))
+    n_spans_rm, n_span_toks_rm, n_span_emptied = 0, 0, 0
+    es_out = None
+    if exact_substr:
+        from ..operators.spandedup import drop_duplicate_spans
+        es_out = drop_duplicate_spans(
+            kept.select(id_col, text_col), id_col, text_col,
+            min_tokens=exact_substr_min_tokens,
+            salt=exact_substr_salt).persist()
+        st = es_out.agg(
+            F.coalesce(F.sum("n_spans_removed"), F.lit(0))
+            .cast("long").alias("s"),
+            F.coalesce(F.sum("n_tokens_removed"), F.lit(0))
+            .cast("long").alias("t"),
+            F.coalesce(F.sum(F.when(
+                (F.col("n_tokens_removed") > 0)
+                & (F.length(F.trim(F.col(text_col))) == 0), 1)
+                .otherwise(0)), F.lit(0))
+            .cast("long").alias("emptied")).collect()[0]
+        n_spans_rm, n_span_toks_rm = st["s"], st["t"]
+        n_span_emptied = st["emptied"]
+        kept = (kept.drop(text_col)
+                .join(es_out.select(id_col, text_col), id_col)
+                .where(F.length(F.trim(F.col(text_col))) > 0))
     n_contaminated = 0
     hit_ids = None
     if decontam_eval is not None:
@@ -287,6 +320,9 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     exact.unpersist()
     if pd_out is not None:
         pd_out.unpersist()
+    if es_out is not None:
+        dedup_ops.unpersist_input(es_out)
+        es_out.unpersist()
     if hit_ids is not None:
         hit_ids.unpersist()
     manifest = {
@@ -301,10 +337,14 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
         "paragraph_dedup": ({"paras_dropped": n_paras_dropped,
                              "docs_emptied": n_para_emptied}
                             if para_dedup else None),
+        "exact_substr": ({"spans_removed": n_spans_rm,
+                          "tokens_removed": n_span_toks_rm,
+                          "docs_emptied": n_span_emptied}
+                         if exact_substr else None),
         "written": n_written,
         "exact_and_neardup_dropped":
             funnel_row["repetition_ok"] - n_contaminated - n_written
-            - n_para_emptied,
+            - n_para_emptied - n_span_emptied,
         "splits": split_counts,
         "params": {"min_chars": min_chars, "min_words": min_words,
                    "lang_keep": lang_keep,
@@ -314,6 +354,10 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
                    "c4_badwords_n": (len(c4_badwords)
                                      if c4_badwords else 0),
                    "para_dedup": para_dedup,
+                   "exact_substr": ({"min_tokens":
+                                     exact_substr_min_tokens,
+                                     "salt": exact_substr_salt}
+                                    if exact_substr else None),
                    "decontam_n": decontam_n if decontam_eval is not None
                    else None,
                    "split_weights": list(split_weights)},
