@@ -113,17 +113,26 @@ FROM (SELECT user_id, ts, event_type,
 # --------------------------------------------------------------------------
 
 def q_corpus_stats(spark, sf_dir):
-    """A1: per-source corpus stats (scripts/clean.py:872-907). Averages are
-    derived from exact integer sums → bit-identical across engines."""
+    """A1 + A3: per-source corpus stats (scripts/clean.py:872-907) with
+    the duplicate counting (scripts/clean.py:699-720) folded in as
+    ``n_distinct_texts`` / ``n_duplicates`` — one battery slot covers
+    both (round-7 merge that freed the slot for ``span_dedup`` under
+    the driver's 50-entry cap; the standalone A3 entry was
+    ``dup_counts``, operator unchanged at ``operators/stats.py``).
+    Averages are derived from exact integer sums → bit-identical across
+    engines."""
     d = _docs(spark, sf_dir).withColumn("__w", word_count_col("text"))
     agg = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("__w").cast("long")).alias("total_words"),
-        F.sum(F.length("text").cast("long")).alias("total_chars"))
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.countDistinct("text").alias("n_distinct_texts"))
     return agg.select(
         "source", "n_docs", "total_words", "total_chars",
         F.round(F.col("total_words") / F.col("n_docs"), 4).alias("avg_words"),
-        F.round(F.col("total_chars") / F.col("n_docs"), 4).alias("avg_chars"))
+        F.round(F.col("total_chars") / F.col("n_docs"), 4).alias("avg_chars"),
+        "n_distinct_texts",
+        (F.col("n_docs") - F.col("n_distinct_texts")).alias("n_duplicates"))
 
 
 SQL_CORPUS_STATS = r"""
@@ -131,11 +140,14 @@ WITH s AS (
   SELECT source, count(*) AS n_docs,
          CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
            AS total_words,
-         CAST(sum(length(text)) AS BIGINT) AS total_chars
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         count(DISTINCT text) AS n_distinct_texts
   FROM documents GROUP BY source)
 SELECT source, n_docs, total_words, total_chars,
        round(CAST(total_words AS DOUBLE) / n_docs, 4) AS avg_words,
-       round(CAST(total_chars AS DOUBLE) / n_docs, 4) AS avg_chars
+       round(CAST(total_chars AS DOUBLE) / n_docs, 4) AS avg_chars,
+       n_distinct_texts,
+       n_docs - n_distinct_texts AS n_duplicates
 FROM s
 """
 
@@ -153,15 +165,73 @@ FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
 
 
 def q_dup_counts(spark, sf_dir):
-    """A3: per-source duplicate counting (scripts/clean.py:699-720)."""
+    """A3: per-source duplicate counting (scripts/clean.py:699-720).
+    Not a battery entry since round 7 — the 50-slot cap; the A3
+    semantics ride along in ``corpus_stats`` as ``n_distinct_texts`` /
+    ``n_duplicates`` (oracle-checked there; the standalone oracle was
+    ``SELECT source, count(*), count(DISTINCT text), ... GROUP BY 1``)."""
     return stats_ops.dup_counts(_docs(spark, sf_dir), "source")
 
 
-SQL_DUP_COUNTS = """
-SELECT source, count(*) AS n_docs,
-       count(DISTINCT text) AS n_distinct_texts,
-       count(*) - count(DISTINCT text) AS n_duplicates
-FROM documents GROUP BY source
+def q_span_dedup(spark, sf_dir):
+    """ExactSubstr duplicate-span removal (Lee et al. 2022, the
+    RefinedWeb recipe; beyond the reference, which stops at doc-level
+    MinHash — README.md:89-93) at ``min_tokens=8`` over ``documents``:
+    every 8-token span that occurs elsewhere in the corpus keeps its
+    first ``(doc_id, pos)`` occurrence; later occurrences are removed
+    with offset-safe whitespace-preserving reassembly
+    (:func:`operators.spandedup.drop_duplicate_spans`).
+
+    ORACLE: DuckDB replays the semantics hash-free — the literal
+    8-token LISTS are the group keys (so a Spark-side 128-bit gram-key
+    collision would surface as a text mismatch, not hide), keeper =
+    ``row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos)``,
+    covered positions exploded and re-merged, and the text rebuilt
+    from token + separator-run lists with list comprehensions. The
+    tokenizer is the EXPLICIT ASCII whitespace class on both sides
+    (RE2 ``\\v`` == Java ``\\x0B``; the engines' ``\\s`` disagree)."""
+    from .operators.spandedup import drop_duplicate_spans
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
+    return drop_duplicate_spans(d, "doc_id", "text", min_tokens=8)
+
+
+SQL_SPAN_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS ts,
+         regexp_extract_all(text, '[ \t\n\r\f\v]+') AS ss,
+         CASE WHEN regexp_matches(text, '^[ \t\n\r\f\v]')
+              THEN 1 ELSE 0 END AS pre
+  FROM documents),
+g AS (
+  SELECT doc_id, u.s AS pos, ts[u.s + 1 : u.s + 8] AS gram
+  FROM d, UNNEST(generate_series(0, len(ts) - 8)) AS u(s)),
+m AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY gram) AS c,
+           row_number() OVER (PARTITION BY gram
+                              ORDER BY doc_id, pos) AS rn
+    FROM g) WHERE c > 1 AND rn > 1),
+cov AS (
+  SELECT doc_id, list_sort(list(DISTINCT pos + v.j)) AS cv
+  FROM m, UNNEST(generate_series(0, 7)) AS v(j)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN cv IS NULL THEN d.text ELSE
+    (CASE WHEN pre = 1 THEN ss[1] ELSE '' END) ||
+    -- array_to_string of an EMPTY list is NULL in DuckDB, not ''
+    coalesce(array_to_string(
+        [ts[i + 1] || coalesce(ss[pre + i + 1], '')
+         FOR i IN generate_series(0, len(ts) - 1)
+         IF NOT list_contains(cv, i)], ''), '')
+  END AS text,
+  CAST(CASE WHEN cv IS NULL THEN 0 ELSE
+    1 + len([1 FOR i IN generate_series(2, len(cv))
+             IF cv[i] - cv[i - 1] > 1])
+  END AS BIGINT) AS n_spans_removed,
+  CAST(coalesce(len(cv), 0) AS BIGINT) AS n_tokens_removed
+FROM d LEFT JOIN cov USING (doc_id)
 """
 
 
@@ -1826,7 +1896,7 @@ QUERIES = {
     "events_keepfirst": q_events_keepfirst,
     "corpus_stats": q_corpus_stats,
     "vocab_stats": q_vocab_stats,
-    "dup_counts": q_dup_counts,
+    "span_dedup": q_span_dedup,
     "group_concat": q_group_concat,   # A5+A6 merged (round 4)
     "length_gate": q_length_gate,
     "term_filter": q_term_filter,
@@ -1885,7 +1955,7 @@ ORACLES = {
     "events_keepfirst": SQL_EVENTS_KEEPFIRST,
     "corpus_stats": SQL_CORPUS_STATS,
     "vocab_stats": SQL_VOCAB_STATS,
-    "dup_counts": SQL_DUP_COUNTS,
+    "span_dedup": SQL_SPAN_DEDUP,
     "group_concat": SQL_GROUP_CONCAT,
     "length_gate": SQL_LENGTH_GATE,
     "term_filter": SQL_TERM_FILTER,

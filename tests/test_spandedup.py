@@ -187,3 +187,17 @@ def test_curation_funnel_exact_substr_stage(spark, tmp_path):
                        min_chars=50, min_words=10,
                        neardup_threshold=0.99)
     assert m2["exact_substr"] is None
+
+
+def test_null_text_passes_through(spark):
+    """documents.text is nullable — a NULL text row must survive
+    untouched (the battery query runs over the raw table)."""
+    docs = [("a", "w1 w2 w3 w4 w5"), ("b", None),
+            ("c", "w1 w2 w3 w4 w5")]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    res = drop_duplicate_spans(df, "doc_id", "text", min_tokens=5)
+    got = {r["doc_id"]: (r["text"], r["n_spans_removed"],
+                         r["n_tokens_removed"]) for r in res.collect()}
+    assert got["b"] == (None, 0, 0)
+    assert got["a"] == ("w1 w2 w3 w4 w5", 0, 0)
+    assert got["c"] == ("", 1, 5)
