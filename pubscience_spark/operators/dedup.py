@@ -538,6 +538,165 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 # paragraph-level corpus dedup (C4 / RefinedWeb / Dolma recipe)
 # --------------------------------------------------------------------------
 
+def paragraph_dedup_incremental(df: DataFrame, id_col: str = "doc_id",
+                                text_col: str = "text", *,
+                                sep: str = "\n\n", min_chars: int = 30,
+                                normalize: bool = True, salt: int = 8,
+                                index_df: DataFrame | None = None,
+                                out_col: str | None = None
+                                ) -> tuple[DataFrame, DataFrame]:
+    """:func:`paragraph_dedup` that honors paragraphs committed by
+    EARLIER runs — the paragraph-level analog of
+    :func:`mark_duplicates_incremental` (VERDICT r6 #6: without this,
+    ``run_incremental_curated``'s paragraph winners reset every run and
+    a mirror paragraph arriving one run later is kept).
+
+    ``index_df`` is the persistent winner index ``(key long, key2
+    long, d string, i int, min_chars int, normalize boolean, sep
+    string)``: the 128-bit paired paragraph keys every previous run
+    KEPT, plus the winner's identity — so a crash-retry that re-marks
+    its own batch still keeps the SAME winner occurrence (prior wins
+    by identity, not by dropping everything known) — plus the build
+    parameters as metadata for the mismatch fail-fast (keys built at a
+    different ``normalize``/``min_chars``/``sep`` are incomparable;
+    the :func:`minhash_neardup_incremental` distinct-probe pattern).
+
+    Returns ``(result_df, new_index_rows)`` — result as
+    :func:`paragraph_dedup`; append the new rows AFTER (or, for the
+    crash-safe streaming order, BEFORE) the data write commits.
+    Duplicate appends are harmless: rows are fully deterministic and
+    :func:`load_paragraph_index` de-duplicates on read. Winner doc ids
+    are stored as STRING (cross-run schema stability); prior-winner
+    matching is by string equality, while within-run winner ORDERING
+    stays on the native id type."""
+    out_col = out_col or text_col
+    n_salt = max(1, int(salt))
+    if index_df is not None:
+        probes = (index_df.select("min_chars", "normalize", "sep")
+                  .distinct().limit(2).collect())
+        if len(probes) > 1:
+            raise ValueError(
+                "paragraph_dedup_incremental: index holds rows built "
+                f"at MIXED parameters ({[tuple(p) for p in probes]}) "
+                "— rebuild it at one (min_chars, normalize, sep)")
+        if probes and (probes[0]["min_chars"] != min_chars
+                       or probes[0]["normalize"] != normalize
+                       or probes[0]["sep"] != sep):
+            p = probes[0]
+            raise ValueError(
+                "paragraph_dedup_incremental: index was built at "
+                f"min_chars={p['min_chars']}, normalize="
+                f"{p['normalize']}, sep={p['sep']!r} but this run "
+                f"uses min_chars={min_chars}, normalize={normalize}, "
+                f"sep={sep!r} — paragraph keys are incomparable")
+    df, persisted = _ensure_persisted(df)
+    keyed, exempt = _paragraph_keyed(df, id_col, text_col,
+                                     sep=sep, min_chars=min_chars,
+                                     normalize=normalize)
+    run_winners = (keyed.groupBy("__key", "__key2")
+                   .agg(F.min(F.struct(F.col("__doc").alias("d"),
+                                       F.col("__idx").alias("i")))
+                        .alias("__w")))
+    if index_df is not None:
+        prior = index_df.select(
+            F.col("key").alias("__key"), F.col("key2").alias("__key2"),
+            F.struct(F.col("d"), F.col("i")).alias("__pw"))
+        run_winners = run_winners.join(prior, ["__key", "__key2"],
+                                       "left")
+    else:
+        run_winners = run_winners.withColumn(
+            "__pw", F.lit(None).cast("struct<d:string,i:int>"))
+    new_index = (run_winners.where(F.col("__pw").isNull())
+                 .select("__key", "__key2",
+                         F.col("__w.d").cast("string").alias("d"),
+                         F.col("__w.i").cast("int").alias("i"))
+                 .withColumnRenamed("__key", "key")
+                 .withColumnRenamed("__key2", "key2")
+                 .withColumn("min_chars", F.lit(int(min_chars)))
+                 .withColumn("normalize", F.lit(bool(normalize)))
+                 .withColumn("sep", F.lit(sep)))
+    keyed = keyed.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col("__doc"), F.col("__idx")),
+               F.lit(n_salt)).cast("int"))
+    winners = run_winners.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    is_winner = F.when(
+        F.col("__pw").isNotNull(),
+        (F.col("__doc").cast("string") == F.col("__pw.d"))
+        & (F.col("__idx") == F.col("__pw.i"))).otherwise(
+        (F.col("__w.d") == F.col("__doc"))
+        & (F.col("__w.i") == F.col("__idx")))
+    kept = (keyed.join(winners, ["__key", "__key2", "__salt"])
+            .where(is_winner)
+            .drop("__w", "__pw", "__salt")
+            .unionByName(exempt))
+    result = _paragraph_reassemble(kept, df, id_col, text_col,
+                                   out_col=out_col, sep=sep)
+    if persisted is not None:
+        result._ps_persisted_input = persisted  # noqa: SLF001
+    return result, new_index
+
+
+def load_paragraph_index(spark, path: str) -> DataFrame | None:
+    """Read the paragraph winner index; duplicate crash-retry appends
+    collapse via distinct() (rows are fully deterministic)."""
+    try:
+        raw = spark.read.parquet(path)
+    except Exception:
+        return None
+    return raw.distinct()
+
+
+def _paragraph_keyed(df: DataFrame, id_col: str, text_col: str, *,
+                     sep: str, min_chars: int, normalize: bool
+                     ) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the paragraph dedups: posexplode + paired
+    128-bit keys, split into (keyed, exempt) — see
+    :func:`paragraph_dedup` for the rationale."""
+    paras = (df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep)))
+        .alias("__idx", "__para")))
+    norm = F.lower(F.regexp_replace(F.trim(F.col("__para")),
+                                    r"\s+", " ")) if normalize \
+        else F.col("__para")
+    is_short = F.length(F.trim(F.col("__para"))) < min_chars
+    paras = (paras
+             .withColumn("__key", F.when(is_short, F.lit(None))
+                         .otherwise(F.xxhash64(norm)))
+             .withColumn("__key2", F.when(is_short, F.lit(None))
+                         .otherwise(F.xxhash64(F.lit(0x9E3779B9), norm))))
+    # exempt (short) paragraphs bypass the join entirely — joining them
+    # with a NULL key would funnel every short paragraph in the corpus
+    # into the single hash(NULL) partition (skew trap)
+    return (paras.where(F.col("__key").isNotNull()),
+            paras.where(F.col("__key").isNull()))
+
+
+def _paragraph_reassemble(kept: DataFrame, df: DataFrame, id_col: str,
+                          text_col: str, *, out_col: str,
+                          sep: str) -> DataFrame:
+    """Shared back half: order-restoring reassembly + counters."""
+    packed = F.array_sort(F.collect_list(
+        F.struct(F.col("__idx").alias("i"), F.col("__para").alias("p"))))
+    n_in = F.count(F.lit(1))
+    return (kept.groupBy(F.col("__doc").alias(id_col))
+            .agg(F.array_join(F.transform(packed, lambda s: s["p"]),
+                              sep).alias(out_col),
+                 n_in.cast("long").alias("n_paras_kept"))
+            .join(df.select(F.col(id_col),
+                            (F.size(F.split(F.col(text_col), F.lit(sep))))
+                            .cast("long").alias("__n_in")),
+                  id_col, "right")
+            .withColumn("n_paras_kept",
+                        F.coalesce("n_paras_kept", F.lit(0)))
+            .withColumn("n_paras_dropped",
+                        F.col("__n_in") - F.col("n_paras_kept"))
+            .withColumn(out_col, F.coalesce(out_col, F.lit("")))
+            .drop("__n_in"))
+
+
 def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", *,
                     sep: str = "\n\n", min_chars: int = 30,
@@ -579,24 +738,9 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     ``text_col``) and ``n_paras_kept`` / ``n_paras_dropped`` counters.
     """
     out_col = out_col or text_col
-    paras = (df.select(
-        F.col(id_col).alias("__doc"),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep)))
-        .alias("__idx", "__para")))
-    norm = F.lower(F.regexp_replace(F.trim(F.col("__para")),
-                                    r"\s+", " ")) if normalize \
-        else F.col("__para")
-    is_short = F.length(F.trim(F.col("__para"))) < min_chars
-    paras = (paras
-             .withColumn("__key", F.when(is_short, F.lit(None))
-                         .otherwise(F.xxhash64(norm)))
-             .withColumn("__key2", F.when(is_short, F.lit(None))
-                         .otherwise(F.xxhash64(F.lit(0x9E3779B9), norm))))
-    # exempt (short) paragraphs bypass the join entirely — joining them
-    # with a NULL key would funnel every short paragraph in the corpus
-    # into the single hash(NULL) partition (skew trap)
-    keyed = paras.where(F.col("__key").isNotNull())
-    exempt = paras.where(F.col("__key").isNull())
+    keyed, exempt = _paragraph_keyed(df, id_col, text_col, sep=sep,
+                                     min_chars=min_chars,
+                                     normalize=normalize)
     winners = (keyed.groupBy("__key", "__key2")
                .agg(F.min(F.struct(F.col("__doc").alias("d"),
                                    F.col("__idx").alias("i")))
@@ -613,20 +757,5 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                    & (F.col("__w.i") == F.col("__idx")))
             .drop("__w", "__salt")
             .unionByName(exempt))
-    packed = F.array_sort(F.collect_list(
-        F.struct(F.col("__idx").alias("i"), F.col("__para").alias("p"))))
-    n_in = F.count(F.lit(1))
-    return (kept.groupBy(F.col("__doc").alias(id_col))
-            .agg(F.array_join(F.transform(packed, lambda s: s["p"]),
-                              sep).alias(out_col),
-                 n_in.cast("long").alias("n_paras_kept"))
-            .join(df.select(F.col(id_col),
-                            (F.size(F.split(F.col(text_col), F.lit(sep))))
-                            .cast("long").alias("__n_in")),
-                  id_col, "right")
-            .withColumn("n_paras_kept",
-                        F.coalesce("n_paras_kept", F.lit(0)))
-            .withColumn("n_paras_dropped",
-                        F.col("__n_in") - F.col("n_paras_kept"))
-            .withColumn(out_col, F.coalesce(out_col, F.lit("")))
-            .drop("__n_in"))
+    return _paragraph_reassemble(kept, df, id_col, text_col,
+                                 out_col=out_col, sep=sep)

@@ -145,6 +145,9 @@ def run_incremental_curated(spark: SparkSession, input_dir: str,
                             out_dir: str, *, n_buckets: int = 32,
                             timeout_s: int = 600,
                             key_cols: tuple = ("sha256", "dedup_key"),
+                            para_dedup: bool = False,
+                            para_min_chars: int = 30,
+                            para_sep: str = "\n",
                             ) -> dict:
     """:func:`run_incremental` composed with CROSS-RUN dedup: a document
     arriving in today's delta that duplicates one committed by an
@@ -167,7 +170,18 @@ def run_incremental_curated(spark: SparkSession, input_dir: str,
     identical deterministic min-url value, so the retry produces the
     same curated rows and appends nothing new to the index. The index
     re-aggregates min() on read, so duplicate appends are harmless.
-    No pending work → no-op with zeroed counters."""
+    No pending work → no-op with zeroed counters.
+
+    ``para_dedup`` (opt-in) extends the cross-run guarantee to the
+    PARAGRAPH level (VERDICT r6 #6): winners live in a second
+    persistent index (``out_dir/para_index``), so a boilerplate
+    paragraph first committed in run 1 is stripped from documents
+    arriving in run 3 (:func:`operators.dedup
+    .paragraph_dedup_incremental`). Same crash-safe write order —
+    index append before the curated write; because the index stores
+    the winner's IDENTITY, a crash-retry re-marks its own batch and
+    keeps the same winner occurrence, reproducing identical curated
+    rows. Documents emptied by paragraph removal are dropped."""
     from ..operators import dedup as dedup_ops
 
     res = run_incremental(spark, input_dir, out_dir,
@@ -195,9 +209,35 @@ def run_incremental_curated(spark: SparkSession, input_dir: str,
     curated = marked.where(~F.col("is_duplicate")).drop("is_duplicate")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     new_index.write.mode("append").parquet(index_path)
+    pd_out = None
+    n_paras_dropped = 0
+    if para_dedup:
+        para_index_path = os.path.join(out_dir, "para_index")
+        res["para_index_path"] = para_index_path
+        prior_p = dedup_ops.load_paragraph_index(spark, para_index_path)
+        # sep="\n": the extraction kernels join paragraph spans with a
+        # single newline (kernels/html_extract), unlike raw documents
+        pd_out, new_pidx = dedup_ops.paragraph_dedup_incremental(
+            curated.select("url", "extracted_text"), "url",
+            "extracted_text", min_chars=para_min_chars, sep=para_sep,
+            index_df=prior_p)
+        pd_out = pd_out.persist()
+        # index append FIRST (crash-safe: see docstring)
+        new_pidx.write.mode("append").parquet(para_index_path)
+        n_paras_dropped = int(pd_out.agg(
+            F.coalesce(F.sum("n_paras_dropped"), F.lit(0))
+            .cast("long").alias("pd")).collect()[0]["pd"])
+        curated = (curated.drop("extracted_text")
+                   .join(pd_out.select("url", "extracted_text"), "url")
+                   .where(F.length(F.trim(F.col("extracted_text")))
+                          > 0))
     curated.write.mode("overwrite").partitionBy("batch_id") \
         .parquet(curated_path)
     dedup_ops.unpersist_input(marked)
+    if pd_out is not None:
+        dedup_ops.unpersist_input(pd_out)
+        pd_out.unpersist()
+        res["para_paras_dropped"] = n_paras_dropped
     n_delta = delta.count()
     n_curated = (spark.read.parquet(curated_path)
                  .where(F.col("batch_id").isin(pending))

@@ -267,3 +267,71 @@ def test_paragraph_dedup_plan_is_native(spark):
     plan = paragraph_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_paragraph_dedup_incremental_cross_run(spark, tmp_path):
+    """VERDICT r6 #6: paragraph winners persist across runs — a mirror
+    paragraph arriving one run later drops although unique within its
+    own run; a crash-retry against the run's own index keeps the SAME
+    winner occurrence; parameter mismatches fail fast."""
+    import os
+
+    import pytest
+
+    from pubscience_spark.operators.dedup import (
+        load_paragraph_index, paragraph_dedup,
+        paragraph_dedup_incremental, unpersist_input)
+
+    footer = "This website uses cookies to improve your experience."
+    run1 = spark.createDataFrame(
+        [(1, "A unique opening paragraph with enough length here.\n\n"
+             + footer),
+         (2, footer + "\n\nSecond document's own long paragraph "
+                      "that is not repeated anywhere else.")],
+        "doc_id long, text string")
+    # no index: result identical to plain paragraph_dedup
+    out1, idx1 = paragraph_dedup_incremental(run1, min_chars=30)
+    plain = {r["doc_id"]: r["text"]
+             for r in paragraph_dedup(run1, min_chars=30).collect()}
+    got1 = {r["doc_id"]: r["text"] for r in out1.collect()}
+    assert got1 == plain and footer in got1[1] and footer not in got1[2]
+    ipath = os.path.join(str(tmp_path), "para_index")
+    idx1.write.mode("append").parquet(ipath)
+    unpersist_input(out1)
+
+    # run 2: the footer is UNIQUE within this run but known to the
+    # index — it must still drop (the reset bug this operator fixes)
+    run2 = spark.createDataFrame(
+        [(3, footer + "\n\nA third document arriving one run later "
+                      "with its own long body paragraph.")],
+        "doc_id long, text string")
+    loaded = load_paragraph_index(spark, ipath)
+    out2, idx2 = paragraph_dedup_incremental(run2, min_chars=30,
+                                             index_df=loaded)
+    got2 = {r["doc_id"]: r["text"] for r in out2.collect()}
+    assert footer not in got2[3] and "third document" in got2[3]
+    # only run-2's own new paragraph enters the index
+    assert idx2.count() == 1
+    idx2.write.mode("append").parquet(ipath)
+    unpersist_input(out2)
+
+    # crash-retry: run 1 re-marked AFTER its index committed must keep
+    # the SAME winner occurrence (identity match), i.e. reproduce got1
+    loaded = load_paragraph_index(spark, ipath)
+    out1b, idx1b = paragraph_dedup_incremental(run1, min_chars=30,
+                                               index_df=loaded)
+    assert {r["doc_id"]: r["text"] for r in out1b.collect()} == got1
+    assert idx1b.count() == 0                  # nothing new on retry
+    unpersist_input(out1b)
+    # duplicate appends collapse on read
+    idx1.write.mode("append").parquet(ipath)
+    n_now = load_paragraph_index(spark, ipath).count()
+    assert n_now == 4                          # 3 from run1 + 1 from run2
+
+    # parameter mismatch fails fast; MIXED index fails fast
+    with pytest.raises(ValueError, match="min_chars=30"):
+        paragraph_dedup_incremental(run2, min_chars=20, index_df=loaded)
+    _, idx_mix = paragraph_dedup_incremental(run2, min_chars=20)
+    mixed = loaded.unionByName(idx_mix)
+    with pytest.raises(ValueError, match="MIXED"):
+        paragraph_dedup_incremental(run2, min_chars=30, index_df=mixed)

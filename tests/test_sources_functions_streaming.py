@@ -348,3 +348,69 @@ def test_run_incremental_curated_recovers_orphaned_batches(spark, tmp_path):
     assert sorted(r["sha256"] for r in cur2.select("sha256").collect()) \
         == keys_before
     assert spark.read.parquet(r2["index_path"]).count() == idx_before
+
+
+def test_run_incremental_curated_paragraph_index(spark, tmp_path):
+    """VERDICT r6 #6: cross-run PARAGRAPH dedup — a boilerplate
+    paragraph first committed in run 1 is stripped from documents
+    arriving in runs 2 and 3 via the persistent para_index, proving
+    corpus-wide paragraph uniqueness over three invocations."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pubscience_spark.streaming.extract_stream import \
+        run_incremental_curated
+
+    footer = ("This exact cookie banner paragraph repeats across the "
+              "whole site and must keep only its first occurrence.")
+
+    def _page(url, i, body):
+        html = ("<html><head><title>T%d</title></head><body>"
+                "<p>%s</p><p>%s</p></body></html>"
+                % (i, body, footer)).encode()
+        return {"url": url,
+                "warc_ts": dt.datetime(2024, 1, 1)
+                + dt.timedelta(seconds=i),
+                "html": html, "text": "", "lang": "en"}
+
+    def _write(path, pages):
+        pq.write_table(pa.table({
+            "url": pa.array([p["url"] for p in pages], pa.string()),
+            "warc_ts": pa.array([p["warc_ts"] for p in pages],
+                                pa.timestamp("us")),
+            "html": pa.array([p["html"] for p in pages], pa.binary()),
+            "text": pa.array([p["text"] for p in pages], pa.string()),
+            "lang": pa.array([p["lang"] for p in pages], pa.string()),
+        }), path)
+
+    body = ("Document %d carries its own distinctive body paragraph "
+            "with plenty of words and characters of its own making.")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    _write(str(in_dir / "a.parquet"),
+           [_page(f"https://h.example.org/a/{i}", i, body % i)
+            for i in range(2)])
+    r1 = run_incremental_curated(spark, str(in_dir), out, n_buckets=4,
+                                 para_dedup=True)
+    assert r1["curated_rows"] == 2
+    assert r1["para_paras_dropped"] == 1       # doc 1's footer copy
+
+    for run, lo in ((2, 10), (3, 20)):
+        _write(str(in_dir / f"b{run}.parquet"),
+               [_page(f"https://h.example.org/b{run}/{lo}", lo,
+                      body % lo)])
+        r = run_incremental_curated(spark, str(in_dir), out,
+                                    n_buckets=4, para_dedup=True)
+        assert r["curated_rows"] == 1
+        # the footer is unique WITHIN this run — only the persistent
+        # index can know it; it must still drop
+        assert r["para_paras_dropped"] == 1, r
+
+    cur = spark.read.parquet(r1["curated_path"])
+    paras = [p for r in cur.collect()
+             for p in r["extracted_text"].split("\n")
+             if len(p.strip()) >= 30]
+    assert len(paras) == len(set(paras)) == 5  # 4 bodies + 1 footer
+    assert sum(1 for p in paras if p == footer) == 1
