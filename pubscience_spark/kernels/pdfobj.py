@@ -1342,12 +1342,43 @@ def _ccitt_samples(payload: bytes, parm: dict, w: int, h: int,
         if black.shape != (h, w):
             raise ValueError("ccitt-dims-mismatch")
     bit = black if black_is_1 else (1 - black)
+    return _bilevel_display(bit, h, w, decode, objs)
+
+
+def _bilevel_display(bit, h: int, w: int, decode, objs) -> "np.ndarray":
+    """Shared bilevel → display tail: /Decode-array remap else
+    bit × 255 (``bit`` 1 = display-white after the codec's sense flip).
+    """
+    import numpy as np
     if isinstance(decode, list) and len(decode) == 2:
         lo, hi = (float(_resolve(x, objs)) for x in decode)
         val = (lo + bit.astype(np.float64) * (hi - lo)) * 255.0
         return np.clip(np.rint(val), 0, 255).astype(np.uint8) \
             .reshape(h, w, 1)
     return (bit.astype(np.uint8) * np.uint8(255)).reshape(h, w, 1)
+
+
+def _jbig2_samples(payload: bytes, parm, w: int, h: int, objs,
+                   decode) -> "np.ndarray":
+    """JBIG2Decode terminal stage → (H, W, 1) uint8. The filter's
+    ``DecodeParms /JBIG2Globals`` stream (shared symbol/page segments)
+    is prepended. T.88 bitmaps carry 1 = black; the PDF imaging-model
+    sample sense is 0 = black for 1-bpc gray, so the bit is flipped
+    before the /Decode remap — the same inversion every PDF consumer
+    applies (and the CCITT path's default BlackIs1=false sense)."""
+    from .jbig2 import decode_embedded
+
+    glob = b""
+    if isinstance(parm, dict):
+        g = _resolve(parm.get("JBIG2Globals"), objs)
+        if isinstance(g, Stream):
+            glob = decode_stream(g, objs)
+    page = decode_embedded(payload, glob)
+    if page.shape != (h, w):
+        page = page[:h, :w]
+        if page.shape != (h, w):
+            raise ValueError("jbig2-dims-mismatch")
+    return _bilevel_display(1 - page, h, w, decode, objs)
 
 
 def harvest_images(objs: "ObjMap | dict") -> list[dict]:
@@ -1365,7 +1396,11 @@ def harvest_images(objs: "ObjMap | dict") -> list[dict]:
     - Flate/LZW raw-sample images decode directly: 1/2/4/8-bpc
       gray/RGB with /Decode-array remapping, and ``/Indexed`` palette
       images (r6) — ``samples`` (H, W, C) uint8;
-    - anything else (JPX, JBIG2, Separation/ICC spaces) sets
+    - ``JBIG2Decode`` images decode through :mod:`kernels.jbig2`
+      (round 7): generic-region tier incl. MMR, TPGDON, all four
+      templates, honoring ``/JBIG2Globals`` — symbol/text-region
+      streams land in ``error`` with the segment type named;
+    - anything else (JPX, Separation/ICC spaces) sets
       ``error`` — the error-column contract, never a raise."""
     import numpy as np
     out: list[dict] = []
@@ -1393,7 +1428,8 @@ def harvest_images(objs: "ObjMap | dict") -> list[dict]:
             filters = [str(_resolve(f, objs)) for f in filters]
             rec["filter"] = filters[-1] if filters else None
             if filters and filters[-1] in ("DCTDecode",
-                                           "CCITTFaxDecode"):
+                                           "CCITTFaxDecode",
+                                           "JBIG2Decode"):
                 # strip the terminal stage; decode_stream applies
                 # decryption + the remaining cascade
                 pre = Stream(dict(d), obj.raw, obj.num, obj.gen)
@@ -1412,6 +1448,10 @@ def harvest_images(objs: "ObjMap | dict") -> list[dict]:
                 if filters[-1] == "DCTDecode":
                     # JPEG file bytes — decode with kernels.jpeg
                     rec["data"] = payload
+                elif filters[-1] == "JBIG2Decode":
+                    rec["samples"] = _jbig2_samples(
+                        payload, last_parm, w, h, objs,
+                        _resolve(d.get("Decode"), objs))
                 else:
                     rec["samples"] = _ccitt_samples(
                         payload, last_parm, w, h, objs,

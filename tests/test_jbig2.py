@@ -1,0 +1,264 @@
+"""JBIG2 kernel (kernels/jbig2): MQ coder round-trips + Qe-table
+structural invariants, generic regions across templates/TPGDON/AT/MMR,
+embedded segment layer with composition, named-error tiers, and the
+PDF JBIG2Decode harvest path incl. /JBIG2Globals."""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+import numpy as np
+import pytest
+
+from pubscience_spark.kernels import jbig2 as J
+from pubscience_spark.kernels.jbig2 import (MQDecoder, MQEncoder,
+                                            decode_embedded,
+                                            decode_generic_region,
+                                            encode_embedded,
+                                            encode_generic_region,
+                                            parse_segments)
+
+
+def test_qe_table_invariants():
+    """Structural checks on the transcribed T.88 Table E.1 — the same
+    catch-the-typo discipline as the CCITT Huffman tables (round 6):
+    47 states; Qe probabilities in (0, 0x5601]; all transitions in
+    range; SWITCH exactly at the three fast-attack states {0, 6, 14}
+    (which all carry Qe=0x5601); state 46 is the non-adaptive
+    absorbing state; NLPS never increases past NMPS chains' bound; Qe
+    strictly decreases along the 14..45 steady-state MPS chain."""
+    t = J.QE_TABLE
+    assert len(t) == 47
+    for qe, nmps, nlps, switch in t:
+        assert 0 < qe <= 0x5601
+        assert 0 <= nmps < 47 and 0 <= nlps < 47
+        assert switch in (0, 1)
+    assert [i for i, r in enumerate(t) if r[3]] == [0, 6, 14]
+    assert all(t[i][0] == 0x5601 for i in (0, 6, 14, 46))
+    assert t[46][1] == 46 and t[46][2] == 46
+    chain = [t[i][0] for i in range(14, 46)]
+    assert chain == sorted(chain, reverse=True)
+    # NMPS along the steady chain is i+1 until the terminal 45→45
+    assert all(t[i][1] == i + 1 for i in range(14, 45))
+    assert t[45][1] == 45
+
+
+def test_mq_roundtrip_randomized():
+    rng = random.Random(42)
+    for _ in range(40):
+        p = rng.choice([0.01, 0.1, 0.5, 0.9, 0.99])
+        n = rng.choice([1, 3, 64, 500, 3000])
+        bits = [int(rng.random() < p) for _ in range(n)]
+        enc = MQEncoder()
+        cx = bytearray(4)
+        for b in bits:
+            enc.encode(cx, 1, b)
+        data = enc.flush()
+        dec = MQDecoder(data)
+        cx2 = bytearray(4)
+        assert [dec.decode(cx2, 1) for _ in bits] == bits
+        # compression sanity: skewed streams beat 1 bit/symbol
+        if n >= 500 and p in (0.01, 0.99):
+            assert len(data) * 8 < n // 2
+
+
+def test_mq_multi_context_interleaved():
+    rng = random.Random(7)
+    seq = [(rng.randrange(8), rng.randrange(2)) for _ in range(2000)]
+    enc = MQEncoder()
+    cx = bytearray(8)
+    for label, b in seq:
+        enc.encode(cx, label, b)
+    data = enc.flush()
+    dec = MQDecoder(data)
+    cx2 = bytearray(8)
+    assert [dec.decode(cx2, lb) for lb, _ in seq] == [b for _, b in seq]
+
+
+def _img(h=37, w=61, seed=3):
+    rng = np.random.RandomState(seed)
+    bm = np.zeros((h, w), dtype=np.uint8)
+    bm[5:h - 8, 8:w - 12] = 1
+    bm[rng.randint(0, h, 70), rng.randint(0, w, 70)] ^= 1
+    return bm
+
+
+@pytest.mark.parametrize("template", [0, 1, 2, 3])
+@pytest.mark.parametrize("tpgdon", [False, True])
+def test_generic_region_roundtrip(template, tpgdon):
+    bm = _img()
+    data = encode_generic_region(bm, template=template, tpgdon=tpgdon)
+    got = decode_generic_region(data, bm.shape[1], bm.shape[0],
+                                template=template, tpgdon=tpgdon)
+    assert np.array_equal(got, bm)
+
+
+def test_generic_region_custom_at_and_mmr():
+    bm = _img(seed=9)
+    at = [(1, -1), (-2, -1), (1, -2), (-1, -2)]   # non-nominal AT
+    data = encode_generic_region(bm, template=0, at=at)
+    got = decode_generic_region(data, bm.shape[1], bm.shape[0],
+                                template=0, at=at)
+    assert np.array_equal(got, bm)
+    # a decode with the WRONG at must not reproduce the bitmap
+    wrong = decode_generic_region(data, bm.shape[1], bm.shape[0],
+                                  template=0)
+    assert not np.array_equal(wrong, bm)
+    mmr = encode_generic_region(bm, mmr=True)
+    assert np.array_equal(
+        decode_generic_region(mmr, bm.shape[1], bm.shape[0], mmr=True),
+        bm)
+    with pytest.raises(J.Jbig2Error, match="at-not-causal"):
+        encode_generic_region(bm, template=0,
+                              at=[(1, 0), (-2, -1), (1, -2), (-1, -2)])
+    # TPGDON pays off on a row-repetitive bitmap
+    rep = np.tile(_img(h=1, w=61, seed=4), (40, 1))
+    assert len(encode_generic_region(rep, tpgdon=True)) \
+        < len(encode_generic_region(rep, tpgdon=False))
+
+
+def test_embedded_roundtrip_and_globals_split():
+    bm = _img(seed=11)
+    blob = encode_embedded(bm)
+    segs = parse_segments(blob)
+    assert [s["type"] for s in segs] == [48, 39, 49]
+    assert np.array_equal(decode_embedded(blob), bm)
+    # PDF organisation: page info travels in /JBIG2Globals, the
+    # region in the image stream — same page
+    cut = blob.index(segs[1]["data"]) - 11      # region header start
+    glob, data = blob[:cut], blob[cut:]
+    assert parse_segments(glob)[0]["type"] == 48
+    assert np.array_equal(decode_embedded(data, glob), bm)
+
+
+def test_embedded_multi_region_composition():
+    """Two regions composed onto one page: OR at an offset, then an
+    XOR patch; a REPLACE region overwrites; page grows for a region
+    past the declared height (striped-page behavior)."""
+    a, b = _img(20, 30, 1), _img(8, 10, 2)
+    blob_a = encode_embedded(a)
+    segs = parse_segments(blob_a)
+
+    def region_seg(bm, x, y, comb, num):
+        body = (bm.shape[1].to_bytes(4, "big")
+                + bm.shape[0].to_bytes(4, "big")
+                + x.to_bytes(4, "big") + y.to_bytes(4, "big")
+                + bytes([comb]) + bytes([0]))      # template 0 flags
+        for ax, ay in J.NOMINAL_AT[0]:
+            body += ax.to_bytes(1, "big", signed=True)
+            body += ay.to_bytes(1, "big", signed=True)
+        body += encode_generic_region(bm)
+        return (num.to_bytes(4, "big") + bytes([38]) + b"\x00"
+                + bytes([1]) + len(body).to_bytes(4, "big") + body)
+
+    page_seg = blob_a[:blob_a.index(segs[1]["data"]) - 11]
+    blob = page_seg + region_seg(a, 0, 0, 0, 1) \
+        + region_seg(b, 5, 4, 2, 2)                # XOR patch
+    got = decode_embedded(blob)
+    want = a.copy()
+    want[4:12, 5:15] ^= b
+    assert np.array_equal(got, want)
+    # REPLACE + growth below the declared page
+    blob2 = page_seg + region_seg(a, 0, 0, 0, 1) \
+        + region_seg(b, 2, 18, 4, 2)               # y+8 > 20 → grow
+    got2 = decode_embedded(blob2)
+    assert got2.shape == (26, 30)
+    assert np.array_equal(got2[18:26, 2:12], b)
+
+
+def test_named_errors():
+    bm = _img(10, 12, 5)
+    blob = encode_embedded(bm)
+    # symbol dictionary (type 0) → named unsupported error
+    sym = (b"\x00\x00\x00\x07" + bytes([0]) + b"\x00" + bytes([1])
+           + (0).to_bytes(4, "big"))
+    with pytest.raises(J.Jbig2Error, match="segment-type-0"):
+        decode_embedded(sym + blob)
+    # unknown data length sentinel
+    unk = (b"\x00\x00\x00\x07" + bytes([38]) + b"\x00" + bytes([1])
+           + b"\xff\xff\xff\xff")
+    with pytest.raises(J.Jbig2Error, match="unknown-length"):
+        decode_embedded(unk)
+    with pytest.raises(J.Jbig2Error, match="truncated"):
+        decode_embedded(blob[:-4])
+    with pytest.raises(J.Jbig2Error, match="no-page"):
+        decode_embedded(b"")
+    with pytest.raises(J.Jbig2Error, match="zero-dims"):
+        decode_generic_region(b"", 0, 5)
+
+
+def test_pdf_harvest_jbig2():
+    """JBIG2Decode XObjects through harvest_images: plain, Flate
+    cascade, /JBIG2Globals stream, /Decode [1 0] flip, and a
+    symbol-dictionary stream landing in the error column."""
+    from pubscience_spark.kernels import pdfobj
+    from tests.test_pdfobj import N, R, _classic_obj
+
+    black = _img(10, 20, 6)
+    blob = encode_embedded(black)
+    segs = parse_segments(blob)
+    cut = blob.index(segs[1]["data"]) - 11
+    glob, regiononly = blob[:cut], blob[cut:]
+    symdict = (b"\x00\x00\x00\x07" + bytes([0]) + b"\x00" + bytes([1])
+               + (0).to_bytes(4, "big")) + blob
+
+    out = bytearray(b"%PDF-1.5\n")
+    base = {"Type": N("XObject"), "Subtype": N("Image"),
+            "Width": 20, "Height": 10, "ColorSpace": N("DeviceGray"),
+            "BitsPerComponent": 1}
+    out += _classic_obj(1, {**base, "Filter": N("JBIG2Decode"),
+                            "Length": len(blob)}, blob)
+    z = zlib.compress(blob)
+    out += _classic_obj(2, {**base,
+                            "Filter": [N("FlateDecode"),
+                                       N("JBIG2Decode")],
+                            "DecodeParms": [None, {}],
+                            "Length": len(z)}, z)
+    out += _classic_obj(3, {**base, "Filter": N("JBIG2Decode"),
+                            "DecodeParms":
+                                {"JBIG2Globals": R(10, 0)},
+                            "Length": len(regiononly)}, regiononly)
+    out += _classic_obj(4, {**base, "Filter": N("JBIG2Decode"),
+                            "Decode": [1, 0],
+                            "Length": len(blob)}, blob)
+    out += _classic_obj(5, {**base, "Filter": N("JBIG2Decode"),
+                            "Length": len(symdict)}, symdict)
+    out += _classic_obj(10, {"Length": len(glob)}, glob)
+    out += b"%%EOF\n"
+    images = pdfobj.harvest_images(pdfobj.parse_document(bytes(out)))
+    images = [im for im in images if im["filter"] is not None]
+    assert [im["error"] is None for im in images] \
+        == [True, True, True, True, False]
+    want = ((1 - black) * 255).reshape(10, 20, 1)
+    for im in images[:3]:
+        assert np.array_equal(im["samples"], want)
+    assert np.array_equal(images[3]["samples"], 255 - want)
+    assert "segment-type-0" in images[4]["error"]
+
+
+def test_pdf_image_features_jbig2_spark_route(spark):
+    """A JBIG2 scanned-page PDF driven through the Arrow-batched
+    pdf_image_features operator end-to-end."""
+    import numpy as np
+    from pubscience_spark.operators.multimodal import pdf_image_features
+    from tests.test_pdfobj import N, _classic_obj
+
+    black = _img(10, 20, 6)
+    blob = encode_embedded(black)
+    out = bytearray(b"%PDF-1.5\n")
+    out += _classic_obj(1, {"Type": N("XObject"), "Subtype": N("Image"),
+                            "Width": 20, "Height": 10,
+                            "ColorSpace": N("DeviceGray"),
+                            "BitsPerComponent": 1,
+                            "Filter": N("JBIG2Decode"),
+                            "Length": len(blob)}, blob)
+    out += b"%%EOF\n"
+    df = spark.createDataFrame([("pdf://jb", bytearray(bytes(out)))],
+                               "url string, content binary")
+    rows = pdf_image_features(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"]) == (20, 10)
+    assert r["filter"] == "JBIG2Decode" and r["error"] is None
+    assert len(r["feature"]) > 0
