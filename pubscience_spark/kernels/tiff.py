@@ -23,8 +23,13 @@ itself is a TIFF IFD). Supported, per the public TIFF 6.0 spec:
   (PlanarConfiguration 2, round 6), 1 / 3 / 4 samples per pixel
   (4 = RGB + unassociated alpha, alpha dropped).
 
-Anything else (old-style JPEG (6), float samples, planar tiles,
-tiled fax) is a named :class:`TiffError` — the error-column contract.
+Round 7 closes three more named-error classes: old-style JPEG
+(compression 6, interchange-stream / SOI-scan layouts), IEEE float
+samples (SampleFormat 3 → min/max-normalized display), and tiled fax.
+
+Anything else (tag-assembled old JPEG, signed-int samples, planar
+tiles, float tiles/planar/predictor-3) is a named :class:`TiffError`
+— the error-column contract.
 """
 
 from __future__ import annotations
@@ -134,13 +139,12 @@ def _decompress_segment(data: bytes, comp: int, expect: int) -> bytes:
 
 def _decode_fax(raw: bytes, t: dict, one, comp: int) -> np.ndarray:
     """Compression 3 (T.4, 1-D or 2-D per T4Options bit 0) / 4 (T.6
-    G4) bilevel strips → (H, W, 1) uint8 via :mod:`kernels.ccitt`
-    (round 6). Uncompressed-mode G4 (T6Options bit 1) and tiled fax
-    stay named errors."""
+    G4) bilevel strips OR tiles (round 7 — each tile is an
+    independent fax stream of TileWidth columns) → (H, W, 1) uint8
+    via :mod:`kernels.ccitt` (round 6). Uncompressed-mode G4
+    (T6Options bit 1) stays a named error."""
     from .ccitt import (CCITTError, decode_g3_1d, decode_g3_2d,
                         decode_g4)
-    if 322 in t or 323 in t:
-        raise TiffError("tiff-fax-tiles-unsupported")
     w, h = one(256), one(257)
     if not (w and h):
         raise TiffError("tiff-zero-dims")
@@ -157,32 +161,55 @@ def _decode_fax(raw: bytes, t: dict, one, comp: int) -> np.ndarray:
     fill_order = one(266, 1)
     if fill_order not in (1, 2):
         raise TiffError(f"tiff-fillorder-{fill_order}-unsupported")
-    offsets = t.get(273)
-    counts = t.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise TiffError("tiff-missing-strips")
-    rows_per_strip = one(278, h)
-    if rows_per_strip <= 0 or len(offsets) < -(-h // rows_per_strip):
-        raise TiffError("tiff-missing-strips")
-    planes = []
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        data = raw[off:off + cnt]
-        if len(data) < cnt:
-            raise TiffError("tiff-truncated-strip")
+
+    def seg(data: bytes, cols: int, nrows: int) -> np.ndarray:
         if fill_order == 2:                        # LSB-first bytes
             data = data.translate(_BITREV)
-        nrows = min(rows_per_strip, h - si * rows_per_strip)
         try:
             if comp == 4:
-                black = decode_g4(data, w, nrows)
-            elif g3_2d:
-                black = decode_g3_2d(data, w, nrows)
-            else:
-                black = decode_g3_1d(data, w, nrows)
+                return decode_g4(data, cols, nrows)
+            if g3_2d:
+                return decode_g3_2d(data, cols, nrows)
+            return decode_g3_1d(data, cols, nrows)
         except CCITTError as exc:
             raise TiffError(str(exc)) from exc
-        planes.append(black)
-    black = np.concatenate(planes, axis=0)
+
+    if 322 in t or 323 in t:                       # tiled fax (r7)
+        tw, tl = one(322), one(323)
+        if not (tw and tl):
+            raise TiffError("tiff-zero-tile-dims")
+        offsets, counts = t.get(324), t.get(325)
+        across, down = -(-w // tw), -(-h // tl)
+        if not offsets or not counts or len(offsets) != len(counts) \
+                or len(offsets) < across * down:
+            raise TiffError("tiff-missing-tiles")
+        canvas = np.zeros((down * tl, across * tw), dtype=np.uint8)
+        for ti in range(across * down):
+            off, cnt = offsets[ti], counts[ti]
+            data = raw[off:off + cnt]
+            if len(data) < cnt:
+                raise TiffError("tiff-truncated-tile")
+            ty, tx = divmod(ti, across)
+            canvas[ty * tl:(ty + 1) * tl,
+                   tx * tw:(tx + 1) * tw] = seg(data, tw, tl)
+        black = np.ascontiguousarray(canvas[:h, :w])
+    else:
+        offsets = t.get(273)
+        counts = t.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TiffError("tiff-missing-strips")
+        rows_per_strip = one(278, h)
+        if rows_per_strip <= 0 \
+                or len(offsets) < -(-h // rows_per_strip):
+            raise TiffError("tiff-missing-strips")
+        planes = []
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            data = raw[off:off + cnt]
+            if len(data) < cnt:
+                raise TiffError("tiff-truncated-strip")
+            nrows = min(rows_per_strip, h - si * rows_per_strip)
+            planes.append(seg(data, w, nrows))
+        black = np.concatenate(planes, axis=0)
     # decode_tiff returns DISPLAY-space gray. The decoded bit IS the
     # stored sample (codec-black run → 1). Photo 0 (WhiteIsZero, the
     # normal fax sense): sample max = black → codec-black displays
@@ -192,6 +219,102 @@ def _decode_fax(raw: bytes, t: dict, one, comp: int) -> np.ndarray:
     bit = (1 - black) if photo == 0 else black
     gray = bit.astype(np.uint8) * np.uint8(255)
     return gray.reshape(h, w, 1)
+
+
+def _decode_jpeg6(raw: bytes, t: dict, one) -> np.ndarray:
+    """Compression 6 (old-style JPEG, TIFF 6.0 §22 — deprecated by
+    TTN2 but still produced by 90s scanners): the common layouts carry
+    a complete JPEG interchange stream, either pointed at by
+    JPEGInterchangeFormat (513) / ...Length (514) or embedded in the
+    single strip — found by the SOI scan most libtiffs use as the
+    fallback. The fully tag-assembled variant (tables split across
+    JPEGQTables/JPEGDCTables/JPEGACTables with bare scan strips)
+    remains a named error."""
+    from .jpeg import JpegError, decode_jpeg
+
+    w, h = one(256), one(257)
+    if not (w and h):
+        raise TiffError("tiff-zero-dims")
+    if 513 in t:
+        off = one(513)
+        ln = one(514, len(raw) - off)
+        data = raw[off:off + ln]
+        if data[:2] != b"\xff\xd8":
+            raise TiffError("tiff-old-jpeg-no-soi")
+    else:
+        offsets, counts = t.get(273), t.get(279)
+        if not offsets:
+            raise TiffError("tiff-old-jpeg-no-stream")
+        if len(offsets) > 1:
+            raise TiffError("tiff-old-jpeg-multistrip-unsupported")
+        end = offsets[0] + (counts[0] if counts
+                            else len(raw) - offsets[0])
+        data = raw[offsets[0]:end]
+        i = data.find(b"\xff\xd8")
+        if i < 0:
+            raise TiffError("tiff-old-jpeg-no-soi")
+        data = data[i:]
+    try:
+        img = decode_jpeg(data, apply_orientation=False)
+    except JpegError as exc:
+        raise TiffError(f"tiff-old-jpeg: {exc}") from exc
+    if img.shape[0] < h or img.shape[1] < w:
+        raise TiffError("tiff-old-jpeg-dims-mismatch")
+    return np.ascontiguousarray(img[:h, :w])
+
+
+def _decode_float(raw: bytes, t: dict, one, e: str,
+                  comp: int) -> np.ndarray:
+    """SampleFormat 3 (IEEE float, 32- or 64-bit) strips → normalized
+    display: finite values scale min→0, max→255 over the whole image
+    (the float data has no intrinsic display range); non-finite
+    samples display as 0; photometric 0 (WhiteIsZero) inverts the
+    normalized value. Tiled/planar/predictor-3 float layouts stay
+    named errors."""
+    w, h = one(256), one(257)
+    spp = one(277, 1)
+    bits = t.get(258, [32])
+    if 322 in t or 323 in t:
+        raise TiffError("tiff-float-tiles-unsupported")
+    if one(284, 1) != 1:
+        raise TiffError("tiff-float-planar-unsupported")
+    if one(317, 1) != 1:
+        # predictor 3 = floating-point horizontal differencing
+        raise TiffError(f"tiff-float-predictor-{one(317, 1)}"
+                        "-unsupported")
+    photo = one(262, 1)
+    if photo not in (0, 1, 2):
+        raise TiffError(f"tiff-photometric-{photo}-unsupported")
+    if spp not in (1, 3):
+        raise TiffError(f"tiff-float-{spp}-samples-unsupported")
+    bps = bits[0] // 8
+    sdtype = np.dtype(e + ("f4" if bits[0] == 32 else "f8"))
+    offsets = t.get(273)
+    counts = t.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise TiffError("tiff-missing-strips")
+    rps = one(278, h)
+    if rps <= 0 or len(offsets) < -(-h // rps):
+        raise TiffError("tiff-missing-strips")
+    out = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        data = raw[off:off + cnt]
+        if len(data) < cnt:
+            raise TiffError("tiff-truncated-strip")
+        nrows = min(rps, h - si * rps)
+        out += _decompress_segment(data, comp, nrows * w * spp * bps)
+    arr = np.frombuffer(bytes(out), dtype=sdtype) \
+        .reshape(h, w, spp).astype(np.float64)
+    finite = np.isfinite(arr)
+    vals = arr[finite]
+    norm = np.zeros_like(arr)
+    if vals.size and vals.max() > vals.min():
+        lo, hi = vals.min(), vals.max()
+        norm[finite] = (arr[finite] - lo) / (hi - lo)
+    if photo == 0:                                 # WhiteIsZero
+        norm = 1.0 - norm
+        norm[~finite] = 0.0
+    return np.clip(np.rint(norm * 255.0), 0, 255).astype(np.uint8)
 
 
 def _decode_jpeg7(raw: bytes, t: dict, one) -> np.ndarray:
@@ -311,7 +434,15 @@ def _decode(raw: bytes) -> np.ndarray:
     if comp == 7:
         return _decode_jpeg7(raw, t, one)
     if comp == 6:
-        raise TiffError("tiff-old-jpeg-unsupported")
+        return _decode_jpeg6(raw, t, one)
+    sample_fmt = one(339, 1)
+    if sample_fmt == 3:                            # IEEE float (r7)
+        if len(set(bits)) > 1 or bits[0] not in (32, 64):
+            raise TiffError("tiff-float-bitdepth-unsupported")
+        return _decode_float(raw, t, one, e, comp)
+    if sample_fmt not in (1, 4):                   # unsigned/undefined
+        # signed ints (2) would silently decode wrong as unsigned
+        raise TiffError(f"tiff-sampleformat-{sample_fmt}-unsupported")
     if all(b == 8 for b in bits):
         bps = 1                                    # bytes per sample
     elif all(b == 16 for b in bits):

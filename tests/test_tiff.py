@@ -609,14 +609,15 @@ def test_tile_and_palette_error_paths():
     raw = _write_tiff2(idx, colormap=[1000] * 100)
     with pytest.raises(tiff.TiffError, match="colormap"):
         tiff.decode_tiff(raw)
-    # tiled fax stays a named error
+    # a fax file claiming tiles but carrying no TileLength (tag 278
+    # patched into 322, round 7: tiled fax now decodes, so the absent
+    # companion tag surfaces as its own named error)
     black = _fax_img(24, 32)
     fax = bytearray(_write_fax_tiff(black, comp=4))
-    # patch tag 278 (RowsPerStrip) into 322 (TileWidth) in the IFD
     i = fax.find(struct.pack("<H", 278))
     assert i > 0
     fax[i:i + 2] = struct.pack("<H", 322)
-    with pytest.raises(tiff.TiffError, match="fax-tiles"):
+    with pytest.raises(tiff.TiffError, match="missing-tag-323"):
         tiff.decode_tiff(bytes(fax))
 
 
@@ -672,13 +673,14 @@ def test_jpeg_in_tiff_error_paths():
     bad[soi:soi + 2] = b"\x00\x00"
     with pytest.raises(tiff.TiffError, match="missing-soi"):
         tiff.decode_tiff(bytes(bad))
-    # old-style JPEG (comp 6) is a named error
+    # comp patched 7 -> 6 (round 7: old-style JPEG now decodes via the
+    # single-strip SOI scan, and this file's strip IS a full stream)
     i = bytes(raw).find(struct.pack("<HHI", 259, 3, 1))
     assert i > 0
     old = bytearray(raw)
     old[i + 8:i + 10] = struct.pack("<H", 6)
-    with pytest.raises(tiff.TiffError, match="old-jpeg"):
-        tiff.decode_tiff(bytes(old))
+    assert np.array_equal(tiff.decode_tiff(bytes(old)),
+                          tiff.decode_tiff(raw))
 
 
 # --------------------------------------------- 16-bit samples (r6) ----
@@ -793,3 +795,167 @@ def test_tiff_fax_missing_strips_named_error():
     raw[i + 8:i + 10] = struct.pack("<H", black.shape[0] // 2)
     with pytest.raises(tiff.TiffError, match="tiff-missing-strips"):
         tiff.decode_tiff(bytes(raw))
+
+
+def _pack_tiff(entries, segs, endian="<"):
+    """Minimal IFD packer for the round-7 layouts (entries: (tag, typ,
+    vals) with vals=None meaning the per-seg offsets; typ 3=SHORT,
+    4=LONG, 11=FLOAT)."""
+    e = endian
+    entries = sorted(entries)
+    n = len(entries)
+    ifd_off = 8
+    extra_off = ifd_off + 2 + 12 * n + 4
+    vsize = {3: 2, 11: 4}
+    extras_size = sum(vsize.get(typ, 4)
+                      * (len(segs) if vals is None else len(vals))
+                      for _, typ, vals in entries
+                      if vsize.get(typ, 4)
+                      * (len(segs) if vals is None else len(vals)) > 4)
+    seg_base = extra_off + extras_size
+    offs = []
+    pos = seg_base
+    for s in segs:
+        offs.append(pos)
+        pos += len(s)
+    body = bytearray(struct.pack(e + "H", n))
+    extras = bytearray()
+    for tag, typ, vals in entries:
+        if vals is None:
+            vals = offs
+        fmt = {3: "H", 11: "f"}.get(typ, "I")
+        packed = b"".join(struct.pack(e + fmt, v) for v in vals)
+        body += struct.pack(e + "HHI", tag, typ, len(vals))
+        if len(packed) <= 4:
+            body += packed.ljust(4, b"\x00")
+        else:
+            body += struct.pack(e + "I", extra_off + len(extras))
+            extras += packed
+    body += struct.pack(e + "I", 0)
+    magic = b"II*\x00" if e == "<" else b"MM\x00*"
+    return magic + struct.pack(e + "I", ifd_off) + bytes(body) \
+        + bytes(extras) + b"".join(segs)
+
+
+def test_tiff_fax_tiles():
+    """Round 7: tiled G4 and mixed-2D G3 fax — each tile an
+    independent fax stream of TileWidth columns, edges padded."""
+    from pubscience_spark.kernels.ccitt import encode_g3_2d, encode_g4
+    black = _fax_img(h=37, w=53, seed=21)
+    for comp, enc, t4opt in ((4, encode_g4, 0), (3, encode_g3_2d, 1)):
+        tw, tl = 32, 16
+        across, down = -(-53 // tw), -(-37 // tl)
+        padded = np.zeros((down * tl, across * tw), dtype=np.uint8)
+        padded[:37, :53] = black
+        segs = [enc(padded[ty * tl:(ty + 1) * tl,
+                           tx * tw:(tx + 1) * tw])
+                for ty in range(down) for tx in range(across)]
+        raw = _pack_tiff(
+            [(256, 3, [53]), (257, 3, [37]), (258, 3, [1]),
+             (259, 3, [comp]), (262, 3, [0]), (277, 3, [1]),
+             (292, 4, [t4opt]),
+             (322, 3, [tw]), (323, 3, [tl]),
+             (324, 4, None), (325, 4, [len(s) for s in segs])], segs)
+        got = tiff.decode_tiff(raw)
+        want = ((1 - black) * 255).reshape(37, 53, 1)
+        assert np.array_equal(got, want), comp
+        # missing tiles stay the named error
+        short = _pack_tiff(
+            [(256, 3, [53]), (257, 3, [37]), (258, 3, [1]),
+             (259, 3, [comp]), (262, 3, [0]), (277, 3, [1]),
+             (322, 3, [tw]), (323, 3, [tl]),
+             (324, 4, None), (325, 4, [len(segs[0])])], segs[:1])
+        with pytest.raises(tiff.TiffError, match="missing-tiles"):
+            tiff.decode_tiff(short)
+
+
+def test_tiff_old_jpeg_interchange_and_soi_scan():
+    """Round 7 compression 6: JPEGInterchangeFormat (513/514) layout
+    and the single-strip SOI-scan fallback; tag-assembled multi-strip
+    stays named."""
+    from pubscience_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+    img = _img(24, 32, 3, seed=22)
+    jpg = encode_jpeg(img, quality=92)
+    want = decode_jpeg(jpg)                  # lossy reference decode
+    base = [(256, 3, [32]), (257, 3, [24]), (258, 3, [8, 8, 8]),
+            (259, 3, [6]), (262, 3, [6]), (277, 3, [3])]
+    # layout A: 513/514 point into the file (the seg IS the stream)
+    raw = _pack_tiff(base + [(513, 4, None), (514, 4, [len(jpg)])],
+                     [jpg])
+    assert np.array_equal(tiff.decode_tiff(raw), want)
+    # layout B: single strip, stream preceded by pad bytes → SOI scan
+    padded = b"\x00" * 7 + jpg
+    raw = _pack_tiff(base + [(273, 4, None), (279, 4, [len(padded)])],
+                     [padded])
+    assert np.array_equal(tiff.decode_tiff(raw), want)
+    # multi-strip without 513 → named error
+    raw = _pack_tiff(base + [(273, 4, None),
+                             (279, 4, [10, len(jpg) - 10])],
+                     [jpg[:10], jpg[10:]])
+    with pytest.raises(tiff.TiffError, match="old-jpeg-multistrip"):
+        tiff.decode_tiff(raw)
+    # no SOI anywhere → named error
+    raw = _pack_tiff(base + [(273, 4, None), (279, 4, [16])],
+                     [b"\x00" * 16])
+    with pytest.raises(tiff.TiffError, match="old-jpeg-no-soi"):
+        tiff.decode_tiff(raw)
+
+
+def test_tiff_float_samples():
+    """Round 7 SampleFormat 3: float32/float64 gray and RGB strips
+    normalize min->0 max->255; NaN/Inf display 0; photometric 0
+    inverts; big-endian f4 honors the file byte order."""
+    rng = np.random.RandomState(23)
+    f = (rng.rand(10, 14).astype(np.float32) * 37.5 - 5.0)
+    f[0, 0], f[9, 13] = -5.0, 32.5             # pin min/max
+    norm = (f - f.min()) / (f.max() - f.min())
+    want = np.clip(np.rint(norm * 255.0), 0, 255) \
+        .astype(np.uint8).reshape(10, 14, 1)
+
+    def ftiff(data, *, comp=1, endian="<", photo=1, fmt=3, bits=32,
+              spp=1, tile=False, rps=None, width=None):
+        width = width or data.shape[1]
+        segs_px = [data] if rps is None else \
+            [data[y0:y0 + rps] for y0 in range(0, data.shape[0], rps)]
+        segs = [p.astype(np.dtype(
+            endian + ("f4" if bits == 32 else "f8"))).tobytes()
+            for p in segs_px]
+        if comp == 8:
+            segs = [zlib.compress(s) for s in segs]
+        ent = [(256, 3, [width]), (257, 3, [data.shape[0]]),
+               (258, 3, [bits] * spp), (259, 3, [comp]),
+               (262, 3, [photo]), (277, 3, [spp]), (339, 3, [fmt] * spp)]
+        if tile:
+            ent += [(322, 3, [8]), (323, 3, [8]), (324, 4, None),
+                    (325, 4, [len(s) for s in segs])]
+        else:
+            ent += [(278, 3, [rps or data.shape[0]]), (273, 4, None),
+                    (279, 4, [len(s) for s in segs])]
+        return _pack_tiff(ent, segs, endian)
+
+    assert np.array_equal(tiff.decode_tiff(ftiff(f)), want)
+    assert np.array_equal(tiff.decode_tiff(ftiff(f, comp=8, rps=4)),
+                          want)
+    assert np.array_equal(tiff.decode_tiff(ftiff(f, endian=">")), want)
+    assert np.array_equal(tiff.decode_tiff(ftiff(f, bits=64)), want)
+    # WhiteIsZero inverts
+    assert np.array_equal(tiff.decode_tiff(ftiff(f, photo=0)),
+                          255 - want)
+    # NaN/Inf → 0, finite scaling unaffected
+    g = f.copy()
+    g[3, 3], g[4, 4] = np.nan, np.inf
+    got = tiff.decode_tiff(ftiff(g))
+    assert got[3, 3, 0] == 0 and got[4, 4, 0] == 0
+    assert got[0, 0, 0] == want[0, 0, 0]
+    # float RGB
+    c = rng.rand(6, 5, 3).astype(np.float32)
+    got = tiff.decode_tiff(ftiff(c.reshape(6, 15), spp=3, width=5))
+    assert got.shape == (6, 5, 3)
+    cn = (c - c.min()) / (c.max() - c.min())
+    assert np.array_equal(
+        got, np.clip(np.rint(cn * 255.0), 0, 255).astype(np.uint8))
+    # named errors: float tiles, signed-int samples
+    with pytest.raises(tiff.TiffError, match="float-tiles"):
+        tiff.decode_tiff(ftiff(f, tile=True))
+    with pytest.raises(tiff.TiffError, match="sampleformat-2"):
+        tiff.decode_tiff(ftiff(f, fmt=2))
