@@ -103,7 +103,7 @@ def with_detected_lang(df, text_col: str = "text", out_col: str = "detected",
     words_col, padded_col, nchars_col = "__lid_w", "__lid_p", "__lid_nc"
     df = df.withColumn(words_col, F.expr(
         f"regexp_extract_all(lower(substring({text_col}, 1, "
-        f"{sample_size})), '[a-zà-ÿ]+', 0)"))
+        f"{sample_size})), '{_langid.WORD_RE}', 0)"))
     df = df.withColumn(padded_col, F.concat(
         F.lit(" "), F.array_join(F.col(words_col), " "), F.lit(" ")))
     df = df.withColumn(

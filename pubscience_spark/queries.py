@@ -850,7 +850,7 @@ def q_langid(spark, sf_dir):
 def _langid_oracle_sql() -> str:
     """Generate the oracle from the SAME profile data and op order as the
     Spark expression — one source of truth for both engines."""
-    from .kernels.langid import _PROFILES
+    from .kernels.langid import _PROFILES, WORD_RE
     score_cols, langs = [], sorted(_PROFILES)
     for lang in langs:
         stop, grams = _PROFILES[lang]
@@ -875,7 +875,7 @@ def _langid_oracle_sql() -> str:
     return f"""
 WITH w AS (
   SELECT doc_id,
-         regexp_extract_all(lower(substr(text, 1, 10000)), '[a-zà-ÿ]+')
+         regexp_extract_all(lower(substr(text, 1, 10000)), '{WORD_RE}')
            AS words
   FROM documents),
 p AS (

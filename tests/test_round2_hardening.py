@@ -127,6 +127,15 @@ def test_detect_lang_expr_matches_kernel(spark):
         "der schnelle braune Fuchs ist eines der Tiere die man sehen kann",
         "zzz qqq xxx", "", "   ", "1234 5678", "a b c d e",
         "the de der and en und of van von is is ist",  # mixed → ambiguous
+        # round 7: the seven added CC languages through the same
+        # native-vs-kernel lockstep check
+        "el paciente fue tratado en el hospital y los resultados",
+        "le patient a été traité et les résultats de l'étude",
+        "il paziente è stato trattato e i risultati dello studio",
+        "o paciente foi tratado no hospital e os resultados do estudo",
+        "Пациент лечился в больнице и результаты исследования были",
+        "患者は病院で治療を受けました。これは重要なことです。",
+        "病人在医院接受了治疗，这是一个重要的问题。",
     ]
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
         .select("text").limit(50)
