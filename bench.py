@@ -255,16 +255,21 @@ def main() -> None:
         # could not distinguish a real 2x regression from box load
         import __spark_entry__ as entrymod
         qtimes: dict[str, float] = {}
+        # per-query raw trials ship in the JSON (VERDICT r6 #5): a
+        # driver battery number can only be adjudicated against box
+        # noise when the within-run spread is visible per query
+        qtrials: dict[str, list[float]] = {}
         from pubscience_spark.operators.dedup import unpersist_input
         for name, fn in entrymod.queries().items():
-            best = float("inf")
+            trials = []
             for _ in range(QUERY_TRIALS):
                 t0 = time.perf_counter()
                 df = fn(spark, SF_DIR)
                 df.collect()
-                best = min(best, time.perf_counter() - t0)
+                trials.append(round(time.perf_counter() - t0, 3))
                 unpersist_input(df)   # drop any per-run persist handle
-            qtimes[name] = round(best, 3)
+            qtimes[name] = min(trials)
+            qtrials[name] = trials
     finally:
         spark.stop()
 
@@ -273,6 +278,7 @@ def main() -> None:
         "value": round(high_wall, 3),
         "unit": "sec",
         "queries": qtimes,
+        "query_trials": qtrials,
         "sf": SF,
         "docs": n_docs,
         "docs_per_sec": round(n_docs / high_wall, 1),

@@ -122,6 +122,19 @@ def main() -> None:
         "m-byte codes) rows do.",
         explain_str(Q.q_ivfpq_topk(spark, SF))))
 
+    # 6b. exact-substring duplicate-span dedup (round 7)
+    sections.append((
+        "Exact-substring span dedup (span_dedup)",
+        "Mark generation is all native: per-token xxhash64 arrays, "
+        "paired 128-bit gram keys over slice() windows, posexplode to "
+        "slim (k, k2, doc, pos) rows, min(struct) winner agg with "
+        "map-side combine and a count>1 prune BEFORE the salted "
+        "winner join (winner side replicated ×salt — viral-span "
+        "skew-safe). Only marked documents reach the Arrow-batched "
+        "rebuild; untouched docs bypass Python via the left-join "
+        "null route.",
+        explain_str(Q.q_span_dedup(spark, SF))))
+
     # 7. text line scan without per-file straggler
     import tempfile
     tmp = tempfile.mkdtemp()
