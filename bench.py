@@ -268,8 +268,9 @@ def main() -> None:
                 df.collect()
                 trials.append(round(time.perf_counter() - t0, 3))
                 unpersist_input(df)   # drop any per-run persist handle
-            qtimes[name] = min(trials)
-            qtrials[name] = trials
+            if trials:                    # BENCH_QUERY_TRIALS=0 skips
+                qtimes[name] = min(trials)
+                qtrials[name] = trials
     finally:
         spark.stop()
 

@@ -65,7 +65,7 @@ _PROFILES: dict[str, tuple[frozenset[str], tuple[str, ...]]] = {
         все же из у за бы для о так его к был была были есть от при этом
         которые чтобы если когда уже или нет том только может очень даже
         них её ещё""".split()),
-        ("ого", "ени", " пр", "ть ", "ани", "ост", "ние", "ого", "ется")),
+        ("ого", "ени", " пр", "ть ", "ани", "ост", "ние", "ств", "ется")),
     # CJK: no space-delimited words — the run regex yields clause-long
     # tokens the stopword term never matches (scores 0), so detection
     # rides entirely on the character-gram densities

@@ -67,12 +67,14 @@ def unpersist_input(marked: DataFrame) -> bool:
     caller had persisted the input itself). Call AFTER the terminal action
     on the marked DataFrame — the cache is what keeps the upstream
     extraction from running once per join side. Returns True if a cache
-    was released."""
+    was released. Operators that persist more than one frame (e.g.
+    ``drop_duplicate_spans``: input + grams) tag a LIST of handles."""
     handle = getattr(marked, "_ps_persisted_input", None)
-    if handle is not None:
-        handle.unpersist()
-        return True
-    return False
+    if handle is None:
+        return False
+    for h in (handle if isinstance(handle, list) else [handle]):
+        h.unpersist()
+    return True
 
 
 def mark_duplicates_multi(df: DataFrame, key_cols: list[str],
@@ -568,7 +570,15 @@ def paragraph_dedup_incremental(df: DataFrame, id_col: str = "doc_id",
     :func:`load_paragraph_index` de-duplicates on read. Winner doc ids
     are stored as STRING (cross-run schema stability); prior-winner
     matching is by string equality, while within-run winner ORDERING
-    stays on the native id type."""
+    stays on the native id type.
+
+    The identity match is how a crash-RETRY keeps its own winner — so
+    ``id_col`` values must be unique PER INGESTION EVENT. If the same
+    logical id can legitimately re-appear in a later run (a re-crawled
+    url whose body changed), key on something ingestion-unique (e.g.
+    ``url#batch_id``, as ``run_incremental_curated`` does) or the
+    re-appearance is mistaken for a retry and keeps its boilerplate
+    (round-7 review)."""
     out_col = out_col or text_col
     n_salt = max(1, int(salt))
     if index_df is not None:

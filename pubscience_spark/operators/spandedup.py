@@ -69,11 +69,22 @@ _SEED2 = 0x9E3779B9
 def duplicate_span_marks(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", *,
                          min_tokens: int = 50,
-                         salt: int = 8) -> DataFrame:
+                         salt: int = 8,
+                         persist_grams: bool = True) -> DataFrame:
     """Token-start positions of duplicate n-gram occurrences: one row
     ``(id_col, pos)`` per non-keeper occurrence of a duplicated
     ``min_tokens``-gram. ``salt`` spreads viral grams across join
-    partitions (1 disables)."""
+    partitions (1 disables).
+
+    The gram frame feeds TWO differently-partitioned shuffles (the
+    (k,k2) winner agg and the (k,k2,salt) probe join), so ReuseExchange
+    cannot share them; ``persist_grams`` (default) disk-backs the slim
+    exploded frame so the tokenize→hash→explode pipeline — the
+    dominant native cost — runs once instead of twice (round-7
+    review). The handle rides on the result for
+    :func:`~.dedup.unpersist_input`; at extreme corpus scale where
+    caching ~30 bytes/token costs more than the recompute, pass
+    ``False``."""
     n = int(min_tokens)
     if n < 2:
         raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
@@ -102,6 +113,9 @@ def duplicate_span_marks(df: DataFrame, id_col: str = "doc_id",
         .select("__doc", "__pos",
                 F.col("__g.k").alias("__k"),
                 F.col("__g.k2").alias("__k2")))
+    if persist_grams:
+        from pyspark.storagelevel import StorageLevel
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     winners = (grams.groupBy("__k", "__k2")
                .agg(F.min(F.struct(F.col("__doc").alias("d"),
                                    F.col("__pos").alias("i")))
@@ -116,11 +130,14 @@ def duplicate_span_marks(df: DataFrame, id_col: str = "doc_id",
                F.lit(n_salt)).cast("int"))
     winners = winners.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
-    return (grams.join(winners, ["__k", "__k2", "__salt"])
-            .where((F.col("__w.d") != F.col("__doc"))
-                   | (F.col("__w.i") != F.col("__pos")))
-            .select(F.col("__doc").alias(id_col),
-                    F.col("__pos").alias("pos")))
+    marks = (grams.join(winners, ["__k", "__k2", "__salt"])
+             .where((F.col("__w.d") != F.col("__doc"))
+                    | (F.col("__w.i") != F.col("__pos")))
+             .select(F.col("__doc").alias(id_col),
+                     F.col("__pos").alias("pos")))
+    if persist_grams:
+        marks._ps_persisted_input = grams  # noqa: SLF001
+    return marks
 
 
 def _merge_mask(starts: np.ndarray, n: int, T: int) -> np.ndarray:
@@ -166,6 +183,9 @@ def drop_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     df, handle = _ensure_persisted(df)
     marks = duplicate_span_marks(df, id_col, text_col,
                                  min_tokens=n, salt=salt)
+    handles = [h for h in (handle,
+                           getattr(marks, "_ps_persisted_input", None))
+               if h is not None]
     per_doc = (marks.groupBy(id_col)
                .agg(F.sort_array(F.collect_set("pos"))
                     .alias("__starts")))
@@ -210,6 +230,7 @@ def drop_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     result = rebuilt.unionByName(
         untouched.select(*out_names, "n_spans_removed",
                          "n_tokens_removed"))
-    if handle is not None:
-        result._ps_persisted_input = handle  # noqa: SLF001
+    if handles:
+        result._ps_persisted_input = \
+            handles if len(handles) > 1 else handles[0]  # noqa: SLF001
     return result

@@ -210,27 +210,44 @@ def run_incremental_curated(spark: SparkSession, input_dir: str,
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     new_index.write.mode("append").parquet(index_path)
     pd_out = None
-    n_paras_dropped = 0
+    n_paras_dropped, n_para_emptied = 0, 0
     if para_dedup:
         para_index_path = os.path.join(out_dir, "para_index")
         res["para_index_path"] = para_index_path
         prior_p = dedup_ops.load_paragraph_index(spark, para_index_path)
+        # the index identity must be unique PER INGESTION EVENT, not
+        # per url: a crash-retry re-processes the same (url, batch_id)
+        # and must keep the same winner, but a later RE-CRAWL of the
+        # same url (new batch, changed body passing doc-level dedup)
+        # must have its boilerplate stripped — bare urls cannot tell
+        # the two apart (round-7 review)
+        keyed = curated.withColumn(
+            "__pd_id", F.concat_ws("#", "url",
+                                   F.col("batch_id").cast("string")))
         # sep="\n": the extraction kernels join paragraph spans with a
         # single newline (kernels/html_extract), unlike raw documents
         pd_out, new_pidx = dedup_ops.paragraph_dedup_incremental(
-            curated.select("url", "extracted_text"), "url",
+            keyed.select("__pd_id", "extracted_text"), "__pd_id",
             "extracted_text", min_chars=para_min_chars, sep=para_sep,
             index_df=prior_p)
         pd_out = pd_out.persist()
         # index append FIRST (crash-safe: see docstring)
         new_pidx.write.mode("append").parquet(para_index_path)
-        n_paras_dropped = int(pd_out.agg(
+        st = pd_out.agg(
             F.coalesce(F.sum("n_paras_dropped"), F.lit(0))
-            .cast("long").alias("pd")).collect()[0]["pd"])
-        curated = (curated.drop("extracted_text")
-                   .join(pd_out.select("url", "extracted_text"), "url")
+            .cast("long").alias("pd"),
+            F.coalesce(F.sum(F.when(
+                (F.col("n_paras_dropped") > 0)
+                & (F.length(F.trim(F.col("extracted_text"))) == 0), 1)
+                .otherwise(0)), F.lit(0))
+            .cast("long").alias("emptied")).collect()[0]
+        n_paras_dropped, n_para_emptied = st["pd"], st["emptied"]
+        curated = (keyed.drop("extracted_text")
+                   .join(pd_out.select("__pd_id", "extracted_text"),
+                         "__pd_id")
                    .where(F.length(F.trim(F.col("extracted_text")))
-                          > 0))
+                          > 0)
+                   .drop("__pd_id"))
     curated.write.mode("overwrite").partitionBy("batch_id") \
         .parquet(curated_path)
     dedup_ops.unpersist_input(marked)
@@ -238,12 +255,15 @@ def run_incremental_curated(spark: SparkSession, input_dir: str,
         dedup_ops.unpersist_input(pd_out)
         pd_out.unpersist()
         res["para_paras_dropped"] = n_paras_dropped
+        res["para_docs_emptied"] = n_para_emptied
     n_delta = delta.count()
     n_curated = (spark.read.parquet(curated_path)
                  .where(F.col("batch_id").isin(pending))
                  .count())
+    # paragraph-emptied docs are NOT document-level duplicates — keep
+    # the two counters apart (round-7 review)
     res.update({"curated_rows": n_curated,
-                "dups_dropped": n_delta - n_curated})
+                "dups_dropped": n_delta - n_curated - n_para_emptied})
     return res
 
 

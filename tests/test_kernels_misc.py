@@ -558,6 +558,12 @@ def test_langid_top10_cc_separation():
               "建议。这是一个重要的问题，需要更多的数据。",
     }
     assert set(samples) == set(_PROFILES)
+    # profile-data hygiene: no duplicated grams (a dup double-weights
+    # one signal and silently loses a discriminator — round-7 review
+    # caught "ого" listed twice for ru), and grams actually lowercase
+    for lang, (stop, grams) in _PROFILES.items():
+        assert len(set(grams)) == len(grams), lang
+        assert all(g == g.lower() for g in grams), lang
     for lang, text in samples.items():
         assert detect_lang(text) == lang, (lang, language_scores(text))
         # separation, not just argmax: the margin rule holds

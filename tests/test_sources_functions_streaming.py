@@ -414,3 +414,24 @@ def test_run_incremental_curated_paragraph_index(spark, tmp_path):
              if len(p.strip()) >= 30]
     assert len(paras) == len(set(paras)) == 5  # 4 bodies + 1 footer
     assert sum(1 for p in paras if p == footer) == 1
+
+    # RE-CRAWL of an existing url (changed body -> passes doc-level
+    # dedup; same footer position): must NOT be mistaken for a
+    # crash-retry — the footer is stripped (round-7 review: the index
+    # identity is url#batch_id, not the bare url)
+    _write(str(in_dir / "c.parquet"),
+           [_page("https://h.example.org/a/0", 90, body % 90)])
+    r4 = run_incremental_curated(spark, str(in_dir), out, n_buckets=4,
+                                 para_dedup=True)
+    assert r4["curated_rows"] == 1 and r4["para_paras_dropped"] == 1
+    assert r4["dups_dropped"] == 0
+
+    # a doc that is ONLY the known footer empties out and is counted
+    # as para_docs_emptied, NOT as a document-level duplicate
+    _write(str(in_dir / "d.parquet"),
+           [_page("https://h.example.org/d/1", 95, footer)])
+    r5 = run_incremental_curated(spark, str(in_dir), out, n_buckets=4,
+                                 para_dedup=True)
+    assert r5["curated_rows"] == 0
+    assert r5["para_docs_emptied"] == 1
+    assert r5["dups_dropped"] == 0
