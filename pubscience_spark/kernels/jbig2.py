@@ -11,10 +11,16 @@ the CCITT-round pattern for validating transcribed spec constants.
 
 Scope (honest tier boundaries, each a NAMED error):
 - generic regions (immediate/intermediate, arithmetic or MMR): decoded;
-- symbol dictionaries / text regions / halftone / refinement
-  (``jbig2-segment-type-N-unsupported``): the text-region tier needs
-  the symbol-dictionary machinery — out of scope this round (VERDICT
-  r6 #2 allows it);
+- symbol dictionaries + text regions (round 7b — the layout real
+  scanned-PDF producers emit): ARITHMETIC tier decoded, incl. the
+  Annex A integer decoding procedures (IADH/IADW/IAEX/IADT/IAFS/IADS/
+  IAIT), IAID symbol codes, height classes against one shared coder,
+  export runs, strip placement with all four reference corners and
+  transposition; Huffman-coded dictionaries/regions
+  (``jbig2-symdict-huffman-unsupported`` /
+  ``jbig2-textregion-huffman-unsupported``) and refinement/aggregate
+  coding (``…-refagg-…`` / ``…-refine-…``) stay named errors, as do
+  halftone regions (``jbig2-segment-type-N-unsupported``);
 - unknown segment data length 0xFFFFFFFF (``jbig2-unknown-length``).
 
 Validation note: the Qe state table (E.1) is transcribed from the
@@ -401,7 +407,124 @@ _COMBINE = {
 # to skip: end-of-page/stripe/file, extension, tables
 _SKIP_TYPES = {49, 50, 51, 53, 62}
 _GENERIC_TYPES = {36, 38, 39}
+_TEXT_TYPES = {4, 6, 7}
+_SYMBOL_DICT = 0
 _PAGE_INFO = 48
+
+
+# ---------------------------------------------------------------------------
+# integer arithmetic decoding (T.88 Annex A) + symbol-ID codes
+# ---------------------------------------------------------------------------
+
+# (prefix-extra-bits, range-offset) ladders of A.2/A.3
+_INT_RANGES = ((2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436))
+
+OOB = object()                       # out-of-band sentinel (A.2 S=1,V=0)
+
+
+class _IntCtx:
+    """One IAx procedure's 512-state context set."""
+
+    __slots__ = ("cx",)
+
+    def __init__(self):
+        self.cx = bytearray(512)
+
+
+def _int_bits(dec_or_enc, cx, emit=None):
+    """Shared prev-chaining bit walker for A.2/A.3."""
+    prev = 1
+
+    def step(b=None):
+        nonlocal prev
+        if emit is None:
+            b = dec_or_enc.decode(cx, prev)
+        else:
+            dec_or_enc.encode(cx, prev, b)
+        prev = ((prev << 1) | b) if prev < 256 \
+            else ((((prev << 1) | b) & 511) | 256)
+        return b
+    return step
+
+
+def _decode_int(dec: MQDecoder, ic: _IntCtx):
+    bit = _int_bits(dec, ic.cx)
+    s = bit()
+    v = None
+    for i, (n, off) in enumerate(_INT_RANGES):
+        last = i == len(_INT_RANGES) - 1
+        if last or not bit():
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | bit()
+            v += off
+            break
+    if s:
+        return OOB if v == 0 else -v
+    return v
+
+
+def _encode_int(enc: MQEncoder, ic: _IntCtx, v) -> None:
+    bit = _int_bits(enc, ic.cx, emit=True)
+    if v is OOB:
+        bit(1)
+        a = 0
+    else:
+        bit(1 if v < 0 else 0)
+        a = -v if v < 0 else v
+    for i, (n, off) in enumerate(_INT_RANGES):
+        last = i == len(_INT_RANGES) - 1
+        hi = off + (1 << n) - 1
+        if a <= hi:
+            if not last:
+                bit(0)
+            rel = a - off
+            for j in range(n - 1, -1, -1):
+                bit((rel >> j) & 1)
+            return
+        if not last:
+            bit(1)
+    raise Jbig2Error("jbig2-int-too-large")
+
+
+def _decode_iaid(dec: MQDecoder, cx: bytearray, codelen: int) -> int:
+    prev = 1
+    for _ in range(codelen):
+        prev = (prev << 1) | dec.decode(cx, prev)
+    return prev - (1 << codelen)
+
+
+def _encode_iaid(enc: MQEncoder, cx: bytearray, codelen: int,
+                 val: int) -> None:
+    prev = 1
+    for j in range(codelen - 1, -1, -1):
+        b = (val >> j) & 1
+        enc.encode(cx, prev, b)
+        prev = (prev << 1) | b
+
+
+# ---------------------------------------------------------------------------
+# generic-region inner decode against a SHARED coder/context (the
+# symbol-dictionary per-symbol bitmaps run inside one segment stream)
+# ---------------------------------------------------------------------------
+
+def _decode_generic_inner(dec: MQDecoder, cx: bytearray, w: int,
+                          h: int, pos) -> np.ndarray:
+    bitmap = np.zeros((h, w), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            if dec.decode(cx, _context(bitmap, y, x, pos, w)):
+                bitmap[y, x] = 1
+    return bitmap
+
+
+def _encode_generic_inner(enc: MQEncoder, cx: bytearray,
+                          bitmap: np.ndarray, pos) -> None:
+    h, w = bitmap.shape
+    for y in range(h):
+        for x in range(w):
+            enc.encode(cx, _context(bitmap, y, x, pos, w),
+                       int(bitmap[y, x]))
 
 
 def _decode_region_segment(seg: dict) -> tuple[np.ndarray, int, int,
@@ -430,15 +553,211 @@ def _decode_region_segment(seg: dict) -> tuple[np.ndarray, int, int,
     return bmp, x, y, comb
 
 
+def _decode_symbol_dict(seg: dict, sym_map: dict) -> list[np.ndarray]:
+    """Symbol dictionary (T.88 §6.5), arithmetic tier: SDHUFF=0,
+    SDREFAGG=0 — each new symbol is a generic-region bitmap decoded
+    against ONE shared MQ coder + GB context set; heights arrive as
+    IADH deltas per height class, widths as IADW deltas (OOB ends the
+    class), exports as IAEX run lengths. Huffman and refinement-
+    aggregate dictionaries stay named errors."""
+    d = seg["data"]
+    if len(d) < 2:
+        raise Jbig2Error("jbig2-symdict-truncated")
+    flags = int.from_bytes(d[0:2], "big")
+    if flags & 1:
+        raise Jbig2Error("jbig2-symdict-huffman-unsupported")
+    if flags & 2:
+        raise Jbig2Error("jbig2-symdict-refagg-unsupported")
+    template = (flags >> 10) & 3
+    o = 2
+    at = []
+    for _ in range(4 if template == 0 else 1):
+        ax = int.from_bytes(d[o:o + 1], "big", signed=True)
+        ay = int.from_bytes(d[o + 1:o + 2], "big", signed=True)
+        at.append((ax, ay))
+        o += 2
+    n_ex = _u32(d, o)
+    n_new = _u32(d, o + 4)
+    o += 8
+    if n_new > 1 << 20 or n_ex > 1 << 20:
+        raise Jbig2Error("jbig2-symdict-count")
+    inputs: list[np.ndarray] = []
+    for ref in seg["refs"]:
+        inputs.extend(sym_map.get(ref, []))
+    pos = _positions(template, at)
+    dec = MQDecoder(d[o:])
+    gb_cx = bytearray(1 << _ctx_bits(template))
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    new_syms: list[np.ndarray] = []
+    hc_height = 0
+    while len(new_syms) < n_new:
+        dh = _decode_int(dec, iadh)
+        if dh is OOB:
+            raise Jbig2Error("jbig2-symdict-oob-height")
+        hc_height += dh
+        if hc_height <= 0 or hc_height > 1 << 14:
+            raise Jbig2Error("jbig2-symdict-height")
+        sym_width = 0
+        while True:
+            dw = _decode_int(dec, iadw)
+            if dw is OOB:
+                break
+            sym_width += dw
+            if sym_width <= 0 or sym_width > 1 << 14:
+                raise Jbig2Error("jbig2-symdict-width")
+            if len(new_syms) >= n_new:
+                raise Jbig2Error("jbig2-symdict-too-many")
+            new_syms.append(_decode_generic_inner(
+                dec, gb_cx, sym_width, hc_height, pos))
+    # exports: alternating IAEX run lengths over inputs + new symbols
+    all_syms = inputs + new_syms
+    exported: list[np.ndarray] = []
+    i, exflag = 0, 0
+    while i < len(all_syms):
+        run = _decode_int(dec, iaex)
+        if run is OOB or run < 0:
+            raise Jbig2Error("jbig2-symdict-export-run")
+        if exflag:
+            exported.extend(all_syms[i:i + run])
+        i += run
+        exflag ^= 1
+    if len(exported) != n_ex:
+        raise Jbig2Error("jbig2-symdict-export-count")
+    return exported
+
+
+def _decode_text_region(seg: dict, sym_map: dict
+                        ) -> tuple[np.ndarray, int, int, int]:
+    """Text region (T.88 §6.4), arithmetic tier: SBHUFF=0, REFINE=0.
+    Symbol instances place onto the region bitmap strip by strip —
+    IADT strip deltas, IAFS/IADS S-coordinates, IAIT in-strip T, IAID
+    symbol ids at SBSYMCODELEN bits."""
+    d = seg["data"]
+    if len(d) < 19 + 4:
+        raise Jbig2Error("jbig2-textregion-truncated")
+    w, h = _u32(d, 0), _u32(d, 4)
+    x, y = _u32(d, 8), _u32(d, 12)
+    ext_comb = d[16] & 0x07
+    flags = int.from_bytes(d[17:19], "big")
+    o = 19
+    if flags & 1:
+        raise Jbig2Error("jbig2-textregion-huffman-unsupported")
+    if flags & 2:
+        raise Jbig2Error("jbig2-textregion-refine-unsupported")
+    log_strips = (flags >> 2) & 3
+    strips = 1 << log_strips
+    ref_corner = (flags >> 4) & 3
+    transposed = bool(flags & (1 << 6))
+    comb_op = (flags >> 7) & 3
+    def_pixel = (flags >> 9) & 1
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32                            # 5-bit signed
+    n_instances = _u32(d, o)
+    o += 4
+    syms: list[np.ndarray] = []
+    for ref in seg["refs"]:
+        syms.extend(sym_map.get(ref, []))
+    if not syms:
+        raise Jbig2Error("jbig2-textregion-no-symbols")
+    codelen = max(0, (len(syms) - 1).bit_length())
+    if not (w and h) or w > 1 << 16 or h > 1 << 16:
+        raise Jbig2Error("jbig2-textregion-dims")
+    region = np.full((h, w), def_pixel, dtype=np.uint8)
+    dec = MQDecoder(d[o:])
+    iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
+                              _IntCtx())
+    iaid_cx = bytearray(1 << (codelen + 1))
+
+    def blit(bmp: np.ndarray, x0: int, y0: int) -> None:
+        hh, ww = bmp.shape
+        ry0, rx0 = max(0, y0), max(0, x0)
+        ry1, rx1 = min(h, y0 + hh), min(w, x0 + ww)
+        if ry0 >= ry1 or rx0 >= rx1:
+            return
+        sub = bmp[ry0 - y0:ry1 - y0, rx0 - x0:rx1 - x0]
+        win = region[ry0:ry1, rx0:rx1]
+        region[ry0:ry1, rx0:rx1] = _COMBINE[comb_op](win, sub)
+
+    dt = _decode_int(dec, iadt)
+    if dt is OOB:
+        raise Jbig2Error("jbig2-textregion-oob-dt")
+    strip_t = -dt * strips
+    first_s = 0
+    n_done = 0
+    while n_done < n_instances:
+        dt = _decode_int(dec, iadt)
+        if dt is OOB:
+            raise Jbig2Error("jbig2-textregion-oob-dt")
+        strip_t += dt * strips
+        dfs = _decode_int(dec, iafs)
+        if dfs is OOB:
+            raise Jbig2Error("jbig2-textregion-oob-fs")
+        first_s += dfs
+        cur_s = first_s
+        first = True
+        while True:
+            if not first:
+                ids = _decode_int(dec, iads)
+                if ids is OOB:
+                    break                          # strip ends
+                cur_s += ids + ds_offset
+            first = False
+            if n_done >= n_instances:
+                raise Jbig2Error("jbig2-textregion-overrun")
+            cur_t = (_decode_int(dec, iait) if strips > 1 else 0)
+            if cur_t is OOB:
+                raise Jbig2Error("jbig2-textregion-oob-t")
+            ti = strip_t + cur_t
+            sid = _decode_iaid(dec, iaid_cx, codelen)
+            if sid >= len(syms):
+                raise Jbig2Error("jbig2-textregion-bad-symbol-id")
+            bmp = syms[sid]
+            hh, ww = bmp.shape
+            if not transposed:
+                # x spans cur_s..cur_s+ww-1 for every corner; TOP*
+                # anchors the top edge at ti, BOTTOM* the bottom edge
+                y0 = ti if ref_corner in (1, 3) else ti - hh + 1
+                blit(bmp, cur_s, y0)
+                cur_s += ww - 1
+            else:
+                x0 = ti if ref_corner in (0, 1) else ti - ww + 1
+                blit(bmp, x0, cur_s)
+                cur_s += hh - 1
+            n_done += 1
+    return region, x, y, ext_comb
+
+
 def decode_embedded(data: bytes, globals_data: bytes = b""
                     ) -> np.ndarray:
     """PDF ``JBIG2Decode`` payload (+ optional ``JBIG2Globals``) →
-    (H, W) uint8 page bitmap, 1 = black. Generic-region tier only —
-    symbol/text/halftone segments raise the named error."""
+    (H, W) uint8 page bitmap, 1 = black. Covers the generic-region
+    tier AND (round 7b) the symbol-dictionary + text-region tier that
+    real scanned PDFs actually use — arithmetic coding only; Huffman
+    tables, refinement/aggregate symbols, and halftone regions raise
+    named errors."""
     segs = (parse_segments(globals_data) if globals_data else []) \
         + parse_segments(data)
     page = None
     default = 0
+    sym_map: dict[int, list[np.ndarray]] = {}
+
+    def compose(bmp, x, y, comb):
+        nonlocal page
+        if comb not in _COMBINE:
+            raise Jbig2Error(f"jbig2-combine-op-{comb}")
+        h, w = bmp.shape
+        if page is None:
+            page = np.zeros((y + h, x + w), dtype=np.uint8)
+        if y + h > page.shape[0] or x + w > page.shape[1]:
+            grown = np.full((max(y + h, page.shape[0]),
+                             max(x + w, page.shape[1])),
+                            default, dtype=np.uint8)
+            grown[:page.shape[0], :page.shape[1]] = page
+            page = grown
+        win = page[y:y + h, x:x + w]
+        page[y:y + h, x:x + w] = _COMBINE[comb](win, bmp)
+
     for seg in segs:
         t = seg["type"]
         if t == _PAGE_INFO:
@@ -453,19 +772,12 @@ def decode_embedded(data: bytes, globals_data: bytes = b""
             page = np.full((ph, pw), default, dtype=np.uint8)
         elif t in _GENERIC_TYPES:
             bmp, x, y, comb = _decode_region_segment(seg)
-            if comb not in _COMBINE:
-                raise Jbig2Error(f"jbig2-combine-op-{comb}")
-            h, w = bmp.shape
-            if page is None:
-                page = np.zeros((y + h, x + w), dtype=np.uint8)
-            if y + h > page.shape[0] or x + w > page.shape[1]:
-                grown = np.full((max(y + h, page.shape[0]),
-                                 max(x + w, page.shape[1])),
-                                default, dtype=np.uint8)
-                grown[:page.shape[0], :page.shape[1]] = page
-                page = grown
-            win = page[y:y + h, x:x + w]
-            page[y:y + h, x:x + w] = _COMBINE[comb](win, bmp)
+            compose(bmp, x, y, comb)
+        elif t == _SYMBOL_DICT:
+            sym_map[seg["num"]] = _decode_symbol_dict(seg, sym_map)
+        elif t in _TEXT_TYPES:
+            bmp, x, y, comb = _decode_text_region(seg, sym_map)
+            compose(bmp, x, y, comb)
         elif t in _SKIP_TYPES:
             continue
         else:
@@ -473,6 +785,138 @@ def decode_embedded(data: bytes, globals_data: bytes = b""
     if page is None:
         raise Jbig2Error("jbig2-no-page")
     return page
+
+
+def encode_symbol_dict_payload(symbols: list[np.ndarray], *,
+                               template: int = 0
+                               ) -> tuple[bytes, list[int]]:
+    """Arithmetic symbol-dictionary payload exporting every symbol.
+    Returns ``(payload, order)`` — ``order[k]`` is the index into
+    ``symbols`` occupying export slot (symbol id) ``k`` (the dict
+    presents symbols in height-class order, so ids permute)."""
+    order = sorted(range(len(symbols)),
+                   key=lambda i: (symbols[i].shape[0], i))
+    pos = _positions(template, NOMINAL_AT[template])
+    enc = MQEncoder()
+    gb_cx = bytearray(1 << _ctx_bits(template))
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    hc = 0
+    i = 0
+    while i < len(order):
+        h = symbols[order[i]].shape[0]
+        _encode_int(enc, iadh, h - hc)
+        hc = h
+        sw = 0
+        while i < len(order) and symbols[order[i]].shape[0] == hc:
+            bmp = np.ascontiguousarray(symbols[order[i]],
+                                       dtype=np.uint8)
+            _encode_int(enc, iadw, bmp.shape[1] - sw)
+            sw = bmp.shape[1]
+            _encode_generic_inner(enc, gb_cx, bmp, pos)
+            i += 1
+        _encode_int(enc, iadw, OOB)
+    _encode_int(enc, iaex, 0)                      # run of unexported
+    _encode_int(enc, iaex, len(order))             # export them all
+    flags = (template & 3) << 10                   # SDHUFF=SDREFAGG=0
+    payload = flags.to_bytes(2, "big")
+    for ax, ay in NOMINAL_AT[template]:
+        payload += ax.to_bytes(1, "big", signed=True)
+        payload += ay.to_bytes(1, "big", signed=True)
+    payload += len(order).to_bytes(4, "big")       # SDNUMEXSYMS
+    payload += len(order).to_bytes(4, "big")       # SDNUMNEWSYMS
+    return payload + enc.flush(), order
+
+
+def encode_text_region_payload(w: int, h: int,
+                               instances: list[tuple[int, int, int]],
+                               n_syms: int,
+                               sym_shapes: list[tuple[int, int]], *,
+                               strips_log: int = 0,
+                               comb_op: int = 0, def_pixel: int = 0,
+                               ds_offset: int = 0,
+                               x: int = 0, y: int = 0,
+                               ext_comb: int = 0) -> bytes:
+    """Arithmetic text-region payload (REFCORNER=TOPLEFT, not
+    transposed). ``instances`` are ``(symbol_id, s, t)`` placements
+    (s = left column, t = top row); ``sym_shapes[id]`` gives each
+    symbol's (h, w) so inter-symbol S deltas can be derived."""
+    strips = 1 << strips_log
+    inst = sorted(instances, key=lambda it: ((it[2] // strips), it[1]))
+    codelen = max(0, (n_syms - 1).bit_length())
+    enc = MQEncoder()
+    iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
+                              _IntCtx())
+    iaid_cx = bytearray(1 << (codelen + 1))
+    _encode_int(enc, iadt, 0)                      # STRIPT starts 0
+    strip_t = 0
+    first_s = 0
+    k = 0
+    while k < len(inst):
+        base = (inst[k][2] // strips) * strips
+        _encode_int(enc, iadt, (base - strip_t) // strips)
+        strip_t = base
+        first = True
+        cur_s = 0
+        while k < len(inst) and (inst[k][2] // strips) * strips \
+                == base:
+            sid, s, t = inst[k]
+            if first:
+                _encode_int(enc, iafs, s - first_s)
+                first_s = s
+                first = False
+            else:
+                _encode_int(enc, iads, s - cur_s - ds_offset)
+            if strips > 1:
+                _encode_int(enc, iait, t - base)
+            _encode_iaid(enc, iaid_cx, codelen, sid)
+            cur_s = s + sym_shapes[sid][1] - 1
+            k += 1
+        _encode_int(enc, iads, OOB)                # strip terminator
+    flags = (strips_log & 3) << 2 | (1 << 4) \
+        | (comb_op & 3) << 7 | (def_pixel & 1) << 9 \
+        | (ds_offset & 0x1F) << 10                 # TOPLEFT corner
+    body = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + x.to_bytes(4, "big") + y.to_bytes(4, "big")
+            + bytes([ext_comb & 7]) + flags.to_bytes(2, "big")
+            + len(inst).to_bytes(4, "big"))
+    return body + enc.flush()
+
+
+def encode_embedded_text(symbols: list[np.ndarray],
+                         instances: list[tuple[int, int, int]],
+                         page_w: int, page_h: int, *,
+                         template: int = 0, strips_log: int = 0,
+                         ds_offset: int = 0) -> bytes:
+    """Minimal embedded stream for the symbol/text tier: page info +
+    symbol dictionary (all symbols exported) + one immediate text
+    region + end of page — the layout scanned-PDF producers emit.
+    ``instances`` reference ``symbols`` by ORIGINAL index; ids are
+    remapped to the dictionary's height-class export order here."""
+    dict_payload, order = encode_symbol_dict_payload(
+        symbols, template=template)
+    id_of = {orig: k for k, orig in enumerate(order)}
+    shapes = [symbols[orig].shape for orig in order]
+    mapped = [(id_of[sid], s, t) for sid, s, t in instances]
+    text_payload = encode_text_region_payload(
+        page_w, page_h, mapped, len(symbols), shapes,
+        strips_log=strips_log, ds_offset=ds_offset)
+
+    def seg(num: int, stype: int, refs: list[int],
+            payload: bytes) -> bytes:
+        head = num.to_bytes(4, "big") + bytes([stype])
+        head += bytes([len(refs) << 5])
+        for r in refs:
+            head += r.to_bytes(1, "big")           # seg nums < 257
+        head += bytes([1])                         # page association
+        head += len(payload).to_bytes(4, "big")
+        return head + payload
+
+    page_info = (page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+                 + b"\x00" * 8 + b"\x00" + b"\x00\x00")
+    return (seg(0, _PAGE_INFO, [], page_info)
+            + seg(1, _SYMBOL_DICT, [], dict_payload)
+            + seg(2, 6, [1], text_payload)         # immediate text
+            + seg(3, 49, [], b""))
 
 
 def encode_embedded(bitmap: np.ndarray, *, template: int = 0,

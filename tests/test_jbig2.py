@@ -170,11 +170,18 @@ def test_embedded_multi_region_composition():
 def test_named_errors():
     bm = _img(10, 12, 5)
     blob = encode_embedded(bm)
-    # symbol dictionary (type 0) → named unsupported error
+    # Huffman-coded symbol dictionary → named unsupported error (the
+    # tier boundary; arithmetic dictionaries decode since round 7b)
+    huff = (1).to_bytes(2, "big") + b"\x00" * 10
     sym = (b"\x00\x00\x00\x07" + bytes([0]) + b"\x00" + bytes([1])
-           + (0).to_bytes(4, "big"))
-    with pytest.raises(J.Jbig2Error, match="segment-type-0"):
+           + len(huff).to_bytes(4, "big")) + huff
+    with pytest.raises(J.Jbig2Error, match="symdict-huffman"):
         decode_embedded(sym + blob)
+    # halftone region (type 22) stays a named segment-type error
+    half = (b"\x00\x00\x00\x07" + bytes([22]) + b"\x00" + bytes([1])
+            + (0).to_bytes(4, "big"))
+    with pytest.raises(J.Jbig2Error, match="segment-type-22"):
+        decode_embedded(half + blob)
     # unknown data length sentinel
     unk = (b"\x00\x00\x00\x07" + bytes([38]) + b"\x00" + bytes([1])
            + b"\xff\xff\xff\xff")
@@ -200,8 +207,9 @@ def test_pdf_harvest_jbig2():
     segs = parse_segments(blob)
     cut = blob.index(segs[1]["data"]) - 11
     glob, regiononly = blob[:cut], blob[cut:]
+    huff = (1).to_bytes(2, "big") + b"\x00" * 10
     symdict = (b"\x00\x00\x00\x07" + bytes([0]) + b"\x00" + bytes([1])
-               + (0).to_bytes(4, "big")) + blob
+               + len(huff).to_bytes(4, "big")) + huff + blob
 
     out = bytearray(b"%PDF-1.5\n")
     base = {"Type": N("XObject"), "Subtype": N("Image"),
@@ -234,7 +242,7 @@ def test_pdf_harvest_jbig2():
     for im in images[:3]:
         assert np.array_equal(im["samples"], want)
     assert np.array_equal(images[3]["samples"], 255 - want)
-    assert "segment-type-0" in images[4]["error"]
+    assert "symdict-huffman" in images[4]["error"]
 
 
 def test_pdf_image_features_jbig2_spark_route(spark):
@@ -262,3 +270,128 @@ def test_pdf_image_features_jbig2_spark_route(spark):
     assert (r["width"], r["height"]) == (20, 10)
     assert r["filter"] == "JBIG2Decode" and r["error"] is None
     assert len(r["feature"]) > 0
+
+
+# ------------------------- symbol-dictionary + text-region tier (r7b) --
+
+def _glyph(seed, h, w):
+    r = np.random.RandomState(seed)
+    g = (r.rand(h, w) > 0.6).astype(np.uint8)
+    g[0, 0] = 1
+    g[-1, -1] = 1
+    return g
+
+
+def test_int_arith_coder_roundtrip():
+    """A.2/A.3 integer coder: every range boundary, signs, OOB."""
+    from pubscience_spark.kernels.jbig2 import (OOB, _decode_int,
+                                                _encode_int, _IntCtx)
+    vals = [0, 1, -1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+            100000, -4436, -340, 2 ** 20, OOB, 7, -19, OOB, 0]
+    enc = MQEncoder()
+    ic = J._IntCtx()
+    for v in vals:
+        _encode_int(enc, ic, v)
+    dec = MQDecoder(enc.flush())
+    ic2 = _IntCtx()
+    got = [_decode_int(dec, ic2) for _ in vals]
+    assert all((a is OOB and b is OOB) or a == b
+               for a, b in zip(vals, got))
+
+
+def _text_fixture():
+    syms = [_glyph(1, 8, 5), _glyph(2, 8, 6), _glyph(3, 10, 4),
+            _glyph(4, 6, 6)]
+    inst = [(0, 2, 3), (1, 9, 3), (2, 17, 2), (3, 23, 5), (0, 31, 3),
+            (2, 37, 20), (1, 45, 21), (3, 2, 22), (0, 52, 20)]
+    want = np.zeros((32, 60), np.uint8)
+    for sid, s, t in inst:
+        hh, ww = syms[sid].shape
+        want[t:t + hh, s:s + ww] |= syms[sid]
+    return syms, inst, want
+
+
+@pytest.mark.parametrize("kw", [{}, {"strips_log": 2},
+                                {"template": 2},
+                                {"ds_offset": 3},
+                                {"strips_log": 1, "template": 1}])
+def test_symbol_text_tier_roundtrip(kw):
+    """Symbol dictionary (height classes, shared MQ/GB state) + text
+    region (IADT/IAFS/IADS/IAIT/IAID) round trip across strip counts,
+    templates, and DS offsets — incl. the export-order id remap."""
+    from pubscience_spark.kernels.jbig2 import encode_embedded_text
+    syms, inst, want = _text_fixture()
+    got = decode_embedded(encode_embedded_text(syms, inst, 60, 32,
+                                               **kw))
+    assert np.array_equal(got, want)
+
+
+def test_symbol_text_clipping_and_reuse():
+    """Instances reaching past the region edge clip (not crash); the
+    same symbol id reused many times decodes identically each time."""
+    from pubscience_spark.kernels.jbig2 import encode_embedded_text
+    syms = [_glyph(9, 7, 7)]
+    inst = [(0, 55, 28), (0, 0, 0), (0, 10, 0), (0, 20, 0)]
+    want = np.zeros((32, 60), np.uint8)
+    for sid, s, t in inst:
+        hh, ww = syms[sid].shape
+        he, we = min(32 - t, hh), min(60 - s, ww)
+        want[t:t + he, s:s + we] |= syms[sid][:he, :we]
+    got = decode_embedded(encode_embedded_text(syms, inst, 60, 32))
+    assert np.array_equal(got, want)
+
+
+def test_symbol_text_named_error_tiers():
+    """Refinement text regions and bad export runs stay named."""
+    from pubscience_spark.kernels.jbig2 import (_SYMBOL_DICT,
+                                                encode_embedded_text)
+    syms, inst, _ = _text_fixture()
+    blob = encode_embedded_text(syms, inst, 60, 32)
+    segs = parse_segments(blob)
+    # flip the text-region REFINE flag (bit 1 of the 2-byte flags at
+    # payload offset 17) and rebuild that segment
+    t = segs[2]
+    assert t["type"] == 6
+    body = bytearray(t["data"])
+    body[17 + 1] = b"\x02"[0] | body[18]
+    # reassemble: find the segment's payload inside the blob
+    i = blob.index(t["data"])
+    patched = blob[:i] + bytes(body) + blob[i + len(body):]
+    with pytest.raises(J.Jbig2Error, match="textregion-refine"):
+        decode_embedded(patched)
+    # a text region with NO referred symbol dictionary
+    d = segs[1]
+    assert d["type"] == _SYMBOL_DICT
+    # dict segment header: 4 num + 1 flags + 1 rts + 1 page + 4 len
+    no_dict = blob[:blob.index(d["data"]) - 11] \
+        + blob[blob.index(d["data"]) + len(d["data"]):]
+    with pytest.raises(J.Jbig2Error, match="no-symbols"):
+        decode_embedded(no_dict)
+
+
+def test_pdf_harvest_symbol_text_pdf(spark):
+    """A symbol/text-coded JBIG2 (the layout real scanned PDFs emit)
+    through harvest_images AND the Spark pdf_image_features route."""
+    from pubscience_spark.kernels import pdfobj
+    from pubscience_spark.kernels.jbig2 import encode_embedded_text
+    from pubscience_spark.operators.multimodal import pdf_image_features
+    from tests.test_pdfobj import N, _classic_obj
+
+    syms, inst, want = _text_fixture()
+    blob = encode_embedded_text(syms, inst, 60, 32)
+    out = bytearray(b"%PDF-1.5\n")
+    out += _classic_obj(1, {"Type": N("XObject"), "Subtype": N("Image"),
+                            "Width": 60, "Height": 32,
+                            "ColorSpace": N("DeviceGray"),
+                            "BitsPerComponent": 1,
+                            "Filter": N("JBIG2Decode"),
+                            "Length": len(blob)}, blob)
+    out += b"%%EOF\n"
+    images = pdfobj.harvest_images(pdfobj.parse_document(bytes(out)))
+    assert images[0]["error"] is None
+    assert np.array_equal(images[0]["samples"],
+                          ((1 - want) * 255).reshape(32, 60, 1))
+    df = spark.createDataFrame([("pdf://st", bytearray(bytes(out)))],
+                               "url string, content binary")
+    r = pdf_image_features(df).collect()[0]
+    assert r["error"] is None and (r["width"], r["height"]) == (60, 32)
