@@ -282,6 +282,20 @@ def _context(bitmap: np.ndarray, y: int, x: int, pos, w: int) -> int:
     return ctx
 
 
+def _decode_row(dec: "MQDecoder", cx: bytearray, bitmap: np.ndarray,
+                y: int, pos, w: int) -> None:
+    for x in range(w):
+        if dec.decode(cx, _context(bitmap, y, x, pos, w)):
+            bitmap[y, x] = 1
+
+
+def _encode_row(enc: "MQEncoder", cx: bytearray, bitmap: np.ndarray,
+                y: int, pos, w: int) -> None:
+    for x in range(w):
+        enc.encode(cx, _context(bitmap, y, x, pos, w),
+                   int(bitmap[y, x]))
+
+
 def decode_generic_region(data: bytes, w: int, h: int, *,
                           template: int = 0,
                           at: list[tuple[int, int]] | None = None,
@@ -308,9 +322,7 @@ def decode_generic_region(data: bytes, w: int, h: int, *,
                 if y > 0:
                     bitmap[y] = bitmap[y - 1]
                 continue
-        for x in range(w):
-            if dec.decode(cx, _context(bitmap, y, x, pos, w)):
-                bitmap[y, x] = 1
+        _decode_row(dec, cx, bitmap, y, pos, w)
     return bitmap
 
 
@@ -340,9 +352,7 @@ def encode_generic_region(bitmap: np.ndarray, *, template: int = 0,
                 enc.encode(cx, _TPGDON_CTX[template], 0)
             if ltp:
                 continue
-        for x in range(w):
-            enc.encode(cx, _context(bitmap, y, x, pos, w),
-                       int(bitmap[y, x]))
+        _encode_row(enc, cx, bitmap, y, pos, w)
     return enc.flush()
 
 
@@ -512,9 +522,7 @@ def _decode_generic_inner(dec: MQDecoder, cx: bytearray, w: int,
                           h: int, pos) -> np.ndarray:
     bitmap = np.zeros((h, w), dtype=np.uint8)
     for y in range(h):
-        for x in range(w):
-            if dec.decode(cx, _context(bitmap, y, x, pos, w)):
-                bitmap[y, x] = 1
+        _decode_row(dec, cx, bitmap, y, pos, w)
     return bitmap
 
 
@@ -522,9 +530,7 @@ def _encode_generic_inner(enc: MQEncoder, cx: bytearray,
                           bitmap: np.ndarray, pos) -> None:
     h, w = bitmap.shape
     for y in range(h):
-        for x in range(w):
-            enc.encode(cx, _context(bitmap, y, x, pos, w),
-                       int(bitmap[y, x]))
+        _encode_row(enc, cx, bitmap, y, pos, w)
 
 
 def _decode_region_segment(seg: dict) -> tuple[np.ndarray, int, int,
@@ -568,6 +574,11 @@ def _decode_symbol_dict(seg: dict, sym_map: dict) -> list[np.ndarray]:
         raise Jbig2Error("jbig2-symdict-huffman-unsupported")
     if flags & 2:
         raise Jbig2Error("jbig2-symdict-refagg-unsupported")
+    if flags & (1 << 8):
+        # "bitmap coding context used" (T.88 7.4.3.1.1): the GB
+        # contexts must be seeded from a previous dictionary's retained
+        # state — decoding fresh would silently produce garbage glyphs.
+        raise Jbig2Error("jbig2-symdict-ctx-used-unsupported")
     template = (flags >> 10) & 3
     o = 2
     at = []
@@ -590,7 +601,15 @@ def _decode_symbol_dict(seg: dict, sym_map: dict) -> list[np.ndarray]:
     iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
     new_syms: list[np.ndarray] = []
     hc_height = 0
+    # The MQ decoder never exhausts (past-EOF reads are 0xFF forever),
+    # so loops must bound their own iteration count: a height class may
+    # legally add zero symbols (immediate OOB width), but a stream that
+    # spins without progress is corrupt, not slow.
+    hc_rounds = 0
     while len(new_syms) < n_new:
+        hc_rounds += 1
+        if hc_rounds > n_new + 64:
+            raise Jbig2Error("jbig2-symdict-stall")
         dh = _decode_int(dec, iadh)
         if dh is OOB:
             raise Jbig2Error("jbig2-symdict-oob-height")
@@ -613,7 +632,12 @@ def _decode_symbol_dict(seg: dict, sym_map: dict) -> list[np.ndarray]:
     all_syms = inputs + new_syms
     exported: list[np.ndarray] = []
     i, exflag = 0, 0
+    ex_rounds = 0
     while i < len(all_syms):
+        ex_rounds += 1
+        if ex_rounds > 2 * len(all_syms) + 2:
+            # zero-length runs are legal but i must advance eventually
+            raise Jbig2Error("jbig2-symdict-export-stall")
         run = _decode_int(dec, iaex)
         if run is OOB or run < 0:
             raise Jbig2Error("jbig2-symdict-export-run")
@@ -655,6 +679,10 @@ def _decode_text_region(seg: dict, sym_map: dict
         ds_offset -= 32                            # 5-bit signed
     n_instances = _u32(d, o)
     o += 4
+    if n_instances > 1 << 20:
+        # attacker-controlled u32; the MQ decoder never exhausts, so an
+        # unbounded instance count is a CPU-hang vector, not a decode.
+        raise Jbig2Error("jbig2-textregion-count")
     syms: list[np.ndarray] = []
     for ref in seg["refs"]:
         syms.extend(sym_map.get(ref, []))

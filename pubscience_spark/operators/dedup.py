@@ -77,6 +77,31 @@ def unpersist_input(marked: DataFrame) -> bool:
     return True
 
 
+def _collapse_tuple_copies(marked: DataFrame, tuple_cols: list[str],
+                           flag_col: str) -> DataFrame:
+    """Rows value-identical on ``tuple_cols`` (the flag join key) are
+    indistinguishable to value-based marking — a keeper tuple carried
+    by N physical rows would survive N times. Collapse each such group
+    to ONE row, deterministically (min over a struct of the remaining
+    columns — all column types must be orderable). The ``__tuple_n``
+    column (occurrence count, computed on the slim side) routes the
+    overwhelmingly common unique tuples around the wide groupBy, so the
+    collapse shuffles only the rare ambiguous rows."""
+    clean = marked.where(F.col("__tuple_n") == 1).drop("__tuple_n")
+    amb = marked.where(F.col("__tuple_n") > 1).drop("__tuple_n")
+    rest = [c for c in clean.columns
+            if c not in tuple_cols and c != flag_col]
+    if rest:
+        amb = (amb.groupBy(*tuple_cols, flag_col)
+               .agg(F.min(F.struct(*rest)).alias("__rest"))
+               .select(*tuple_cols, flag_col,
+                       *[F.col("__rest").getField(c).alias(c)
+                         for c in rest]))
+    else:
+        amb = amb.distinct()
+    return clean.unionByName(amb.select(*clean.columns))
+
+
 def mark_duplicates_multi(df: DataFrame, key_cols: list[str],
                           order_col: str = "url",
                           flag_col: str = "is_duplicate") -> DataFrame:
@@ -85,15 +110,21 @@ def mark_duplicates_multi(df: DataFrame, key_cols: list[str],
     Naive per-key windows shuffle the FULL rows once per key — at 100 TB
     that is two+ full-data shuffles of multi-KB text rows. Here the windows
     run over a slim ``(order_col, keys)`` projection (tens of bytes/row),
-    and a single join on ``order_col`` carries the flag back, so the wide
-    rows shuffle exactly once. ``order_col`` must be unique (url / doc_id).
+    and a single join on the distinct ``(order_col, keys)`` tuple carries
+    the flag back, so the wide rows shuffle exactly once. ``order_col``
+    need not be unique (round-7 review: the same url re-fetched with a
+    changed body is two distinct tuples, each flagged independently);
+    rows fully identical on ``(order_col, *key_cols)`` collapse to one
+    deterministic survivor via :func:`_collapse_tuple_copies`.
 
     If the input was not already persisted this operator persists it
     (both join sides read it); release that cache with
     :func:`unpersist_input` on the returned DataFrame after your action.
     """
     df, persisted = _ensure_persisted(df)
-    slim = df.select(order_col, *key_cols)
+    slim = (df.select(order_col, *key_cols)
+            .groupBy(order_col, *key_cols)
+            .agg(F.count(F.lit(1)).alias("__tuple_n")))
     flag = F.lit(False)
     for key in key_cols:
         # keeper-per-key via min() agg, NOT a row_number window: min() has
@@ -106,10 +137,12 @@ def mark_duplicates_multi(df: DataFrame, key_cols: list[str],
             F.min(order_col).alias(f"__keep_{key}"))
         slim = slim.join(keepers, key)
         flag = flag | (F.col(order_col) != F.col(f"__keep_{key}"))
-    flags = slim.select(order_col, flag.alias(flag_col))
+    flags = slim.select(order_col, *key_cols, "__tuple_n",
+                        flag.alias(flag_col))
     # shuffle-hash join, building on the slim flags side: SMJ would SORT the
     # wide rows (as costly as the per-key shuffles this function removes)
-    out = df.join(flags.hint("shuffle_hash"), order_col)
+    out = df.join(flags.hint("shuffle_hash"), [order_col, *key_cols])
+    out = _collapse_tuple_copies(out, [order_col, *key_cols], flag_col)
     out._ps_persisted_input = persisted
     return out
 
@@ -137,7 +170,13 @@ def mark_duplicates_incremental(df: DataFrame, key_cols: list[str],
     """
     spark = df.sparkSession
     df, persisted = _ensure_persisted(df)
-    slim = df.select(order_col, *key_cols)
+    # distinct tuples + occurrence count: the flag joins back on the
+    # FULL tuple, so a repeated order_col value (same url re-fetched
+    # with a changed body in one delta) cannot multiply rows; fully
+    # identical tuples collapse deterministically (round-7 review)
+    slim = (df.select(order_col, *key_cols)
+            .groupBy(order_col, *key_cols)
+            .agg(F.count(F.lit(1)).alias("__tuple_n")))
     flag = F.lit(False)
     new_index = None
     for key in key_cols:
@@ -164,8 +203,12 @@ def mark_duplicates_incremental(df: DataFrame, key_cols: list[str],
         new_index = fresh if new_index is None else new_index.unionByName(fresh)
         slim = slim.join(keepers.drop("__is_new"), key)
         flag = flag | (F.col(order_col) != F.col(f"__keep_{key}"))
-    flags = slim.select(order_col, flag.alias(flag_col))
-    marked = df.join(flags.hint("shuffle_hash"), order_col)
+    flags = slim.select(order_col, *key_cols, "__tuple_n",
+                        flag.alias(flag_col))
+    marked = df.join(flags.hint("shuffle_hash"),
+                     [order_col, *key_cols])
+    marked = _collapse_tuple_copies(marked, [order_col, *key_cols],
+                                    flag_col)
     marked._ps_persisted_input = persisted
     if new_index is None:
         new_index = spark.createDataFrame(

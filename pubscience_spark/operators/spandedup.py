@@ -113,9 +113,11 @@ def duplicate_span_marks(df: DataFrame, id_col: str = "doc_id",
         .select("__doc", "__pos",
                 F.col("__g.k").alias("__k"),
                 F.col("__g.k2").alias("__k2")))
+    persisted_grams = None
     if persist_grams:
         from pyspark.storagelevel import StorageLevel
         grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_grams = grams
     winners = (grams.groupBy("__k", "__k2")
                .agg(F.min(F.struct(F.col("__doc").alias("d"),
                                    F.col("__pos").alias("i")))
@@ -135,8 +137,11 @@ def duplicate_span_marks(df: DataFrame, id_col: str = "doc_id",
                     | (F.col("__w.i") != F.col("__pos")))
              .select(F.col("__doc").alias(id_col),
                      F.col("__pos").alias("pos")))
-    if persist_grams:
-        marks._ps_persisted_input = grams  # noqa: SLF001
+    if persisted_grams is not None:
+        # The handle must be the frame .persist() was called on — the
+        # salted projection above is a different plan, and unpersisting
+        # it would be a silent no-op that leaks the gram cache.
+        marks._ps_persisted_input = persisted_grams  # noqa: SLF001
     return marks
 
 

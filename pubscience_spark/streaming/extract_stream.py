@@ -221,9 +221,15 @@ def run_incremental_curated(spark: SparkSession, input_dir: str,
         # same url (new batch, changed body passing doc-level dedup)
         # must have its boilerplate stripped — bare urls cannot tell
         # the two apart (round-7 review)
+        # ... and the same url CAN appear twice in one batch with
+        # different bodies (both passing content-keyed doc dedup), so
+        # fold the doc-dedup key in too: within `curated` each key
+        # tuple is unique (keep-first), and it is content-derived, so a
+        # crash-retry reproduces the same id (round-7 review #2)
         keyed = curated.withColumn(
-            "__pd_id", F.concat_ws("#", "url",
-                                   F.col("batch_id").cast("string")))
+            "__pd_id", F.concat_ws(
+                "#", "url", F.col("batch_id").cast("string"),
+                F.xxhash64(*key_cols).cast("string")))
         # sep="\n": the extraction kernels join paragraph spans with a
         # single newline (kernels/html_extract), unlike raw documents
         pd_out, new_pidx = dedup_ops.paragraph_dedup_incremental(
@@ -242,12 +248,17 @@ def run_incremental_curated(spark: SparkSession, input_dir: str,
                 .otherwise(0)), F.lit(0))
             .cast("long").alias("emptied")).collect()[0]
         n_paras_dropped, n_para_emptied = st["pd"], st["emptied"]
+        # drop only docs EMPTIED BY paragraph dedup; a doc that arrived
+        # empty (n_paras_dropped == 0) is kept, matching the
+        # para_dedup=False path and the emptied counter above
         curated = (keyed.drop("extracted_text")
-                   .join(pd_out.select("__pd_id", "extracted_text"),
+                   .join(pd_out.select("__pd_id", "extracted_text",
+                                       "n_paras_dropped"),
                          "__pd_id")
-                   .where(F.length(F.trim(F.col("extracted_text")))
-                          > 0)
-                   .drop("__pd_id"))
+                   .where((F.length(F.trim(F.col("extracted_text")))
+                           > 0)
+                          | (F.col("n_paras_dropped") == 0))
+                   .drop("__pd_id", "n_paras_dropped"))
     curated.write.mode("overwrite").partitionBy("batch_id") \
         .parquet(curated_path)
     dedup_ops.unpersist_input(marked)

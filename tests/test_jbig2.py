@@ -395,3 +395,82 @@ def test_pdf_harvest_symbol_text_pdf(spark):
                                "url string, content binary")
     r = pdf_image_features(df).collect()[0]
     assert r["error"] is None and (r["width"], r["height"]) == (60, 32)
+
+
+def test_symdict_ctx_used_named_error():
+    """Flags bit 8 (bitmap coding context used) needs retained state we
+    do not carry — must be a NAMED error, not silent garbage glyphs."""
+    from pubscience_spark.kernels.jbig2 import encode_embedded_text
+    syms, inst, _ = _text_fixture()
+    blob = encode_embedded_text(syms, inst, 60, 32)
+    segs = parse_segments(blob)
+    d = segs[1]
+    body = bytearray(d["data"])
+    body[0] |= 1                                   # bit 8 of BE u16
+    i = blob.index(d["data"])
+    patched = blob[:i] + bytes(body) + blob[i + len(body):]
+    with pytest.raises(J.Jbig2Error, match="ctx-used"):
+        decode_embedded(patched)
+
+
+def test_textregion_instance_count_guard():
+    """An attacker-controlled SBNUMINSTANCES u32 must not drive a
+    multi-billion-iteration decode loop (the MQ coder never exhausts)."""
+    from pubscience_spark.kernels.jbig2 import encode_embedded_text
+    syms, inst, _ = _text_fixture()
+    blob = encode_embedded_text(syms, inst, 60, 32)
+    segs = parse_segments(blob)
+    t = segs[2]
+    body = bytearray(t["data"])
+    body[19:23] = (0xFFFFFFFE).to_bytes(4, "big")  # SBNUMINSTANCES
+    i = blob.index(t["data"])
+    patched = blob[:i] + bytes(body) + blob[i + len(body):]
+    with pytest.raises(J.Jbig2Error, match="textregion-count"):
+        decode_embedded(patched)
+
+
+def test_symdict_stall_guards():
+    """Zero-progress loops (endless empty height classes; endless
+    zero-length export runs) terminate with named errors — past-EOF
+    the MQ decoder yields bits forever, so corrupt streams cannot be
+    allowed to 'run out of data'."""
+    from pubscience_spark.kernels.jbig2 import (
+        NOMINAL_AT, OOB, MQEncoder, _ctx_bits, _decode_symbol_dict,
+        _encode_generic_inner, _encode_int, _IntCtx, _positions)
+
+    def payload(encode_body):
+        enc = MQEncoder()
+        iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+        gb_cx = bytearray(1 << _ctx_bits(0))
+        encode_body(enc, iadh, iadw, iaex, gb_cx)
+        head = (0).to_bytes(2, "big")              # flags: template 0
+        for ax, ay in NOMINAL_AT[0]:
+            head += ax.to_bytes(1, "big", signed=True)
+            head += ay.to_bytes(1, "big", signed=True)
+        head += (1).to_bytes(4, "big")             # SDNUMEXSYMS
+        head += (1).to_bytes(4, "big")             # SDNUMNEWSYMS
+        return head + enc.flush()
+
+    pos = _positions(0, NOMINAL_AT[0])
+
+    def empty_classes(enc, iadh, iadw, iaex, gb_cx):
+        for _ in range(200):                       # > n_new + 64
+            _encode_int(enc, iadh, 1)              # new height class
+            _encode_int(enc, iadw, OOB)            # ... with 0 symbols
+
+    with pytest.raises(J.Jbig2Error, match="symdict-stall"):
+        _decode_symbol_dict({"data": payload(empty_classes),
+                             "refs": []}, {})
+
+    def zero_export_runs(enc, iadh, iadw, iaex, gb_cx):
+        _encode_int(enc, iadh, 1)
+        _encode_int(enc, iadw, 1)
+        _encode_generic_inner(enc, gb_cx,
+                              np.ones((1, 1), np.uint8), pos)
+        _encode_int(enc, iadw, OOB)
+        for _ in range(50):                        # > 2*len(syms)+2
+            _encode_int(enc, iaex, 0)
+
+    with pytest.raises(J.Jbig2Error, match="export-stall"):
+        _decode_symbol_dict({"data": payload(zero_export_runs),
+                             "refs": []}, {})

@@ -234,3 +234,40 @@ def test_fsutil_hadoop_fs_roundtrip(spark, tmp_path):
     assert fsutil.delete(spark, base + "/t2")
     assert not fsutil.exists(spark, base + "/t2")
     assert fsutil.delete(spark, base + "/t2") is False
+
+
+def test_mark_duplicates_repeated_order_col(spark):
+    """Round-7 review: order_col (url) need not be unique. (a) the same
+    url with DIFFERENT content is two tuples, each kept, never
+    multiplied by the flag join-back; (b) rows fully identical on
+    (url, keys) collapse to ONE deterministic survivor; (c) the same
+    content under different urls still keeps only min(url)."""
+    rows = [("u1", "A", "kA", 10), ("u1", "B", "kB", 20),  # (a)
+            ("u2", "C", "kC", 30), ("u2", "C", "kC", 40),  # (b)
+            ("u3", "D", "kD", 50), ("u4", "D", "kD", 60)]  # (c)
+    df = spark.createDataFrame(
+        rows, "url string, sha256 string, dedup_key string, extra int")
+    marked = dedup.mark_duplicates_multi(
+        df, ["sha256", "dedup_key"], "url")
+    got = {(r["url"], r["sha256"]): (r["is_duplicate"], r["extra"])
+           for r in marked.collect()}
+    assert marked.count() == 5                     # (b) collapsed
+    assert got[("u1", "A")][0] is False
+    assert got[("u1", "B")][0] is False
+    assert got[("u2", "C")] == (False, 30)         # deterministic min
+    assert got[("u3", "D")][0] is False
+    assert got[("u4", "D")][0] is True
+    dedup.unpersist_input(marked)
+
+    # incremental variant: same semantics, plus the keeper index
+    marked2, idx = dedup.mark_duplicates_incremental(
+        df, ["sha256", "dedup_key"], "url")
+    got2 = {(r["url"], r["sha256"]): r["is_duplicate"]
+            for r in marked2.collect()}
+    assert marked2.count() == 5
+    assert got2[("u4", "D")] is True
+    assert sum(1 for v in got2.values() if not v) == 4
+    # the index holds one keeper per distinct key value
+    assert (idx.where("key_name = 'sha256'").count()
+            == df.select("sha256").distinct().count())
+    dedup.unpersist_input(marked2)

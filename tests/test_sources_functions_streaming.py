@@ -435,3 +435,62 @@ def test_run_incremental_curated_paragraph_index(spark, tmp_path):
     assert r5["curated_rows"] == 0
     assert r5["para_docs_emptied"] == 1
     assert r5["dups_dropped"] == 0
+
+
+def test_run_incremental_curated_para_id_and_empty_docs(spark, tmp_path):
+    """Round-7 review #2: (a) the same url fetched TWICE in one batch
+    with different bodies keeps two distinct curated rows — the
+    paragraph-dedup join key folds the doc-dedup key in, so the rows
+    are never merged or multiplied; (b) a doc that ARRIVES empty
+    (nothing dropped by paragraph dedup) is kept, matching the
+    para_dedup=False path, and is counted in neither emptied nor
+    duplicate counters."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pubscience_spark.streaming.extract_stream import \
+        run_incremental_curated
+
+    def _page(url, i, body_html):
+        html = ("<html><head><title>T%d</title></head><body>%s</body>"
+                "</html>" % (i, body_html)).encode()
+        return {"url": url,
+                "warc_ts": dt.datetime(2024, 1, 1)
+                + dt.timedelta(seconds=i),
+                "html": html, "text": "", "lang": "en"}
+
+    def _write(path, pages):
+        pq.write_table(pa.table({
+            "url": pa.array([p["url"] for p in pages], pa.string()),
+            "warc_ts": pa.array([p["warc_ts"] for p in pages],
+                                pa.timestamp("us")),
+            "html": pa.array([p["html"] for p in pages], pa.binary()),
+            "text": pa.array([p["text"] for p in pages], pa.string()),
+            "lang": pa.array([p["lang"] for p in pages], pa.string()),
+        }), path)
+
+    body = ("<p>Version %d of this page carries its own distinctive "
+            "body paragraph with plenty of words of its own.</p>")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    # one batch: the same url twice (changed body), plus an empty doc
+    _write(str(in_dir / "a.parquet"),
+           [_page("https://h.example.org/dup", 1, body % 1),
+            _page("https://h.example.org/dup", 2, body % 2),
+            _page("https://h.example.org/empty", 3, "")])
+    r1 = run_incremental_curated(spark, str(in_dir), out, n_buckets=4,
+                                 para_dedup=True)
+    assert r1["curated_rows"] == 3, r1
+    assert r1["para_docs_emptied"] == 0 and r1["dups_dropped"] == 0
+    cur = spark.read.parquet(r1["curated_path"])
+    texts = sorted(r["extracted_text"]
+                   for r in cur.where(cur.url.contains("dup"))
+                   .collect())
+    assert len(texts) == 2 and texts[0] != texts[1]
+    # neither text merged the other version's paragraph
+    assert "Version 1" in texts[0] and "Version 2" not in texts[0]
+    assert "Version 2" in texts[1] and "Version 1" not in texts[1]
+    # the empty doc survived (para_dedup=False parity)
+    assert cur.where(cur.url.contains("empty")).count() == 1

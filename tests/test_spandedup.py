@@ -201,3 +201,21 @@ def test_null_text_passes_through(spark):
     assert got["b"] == (None, 0, 0)
     assert got["a"] == ("w1 w2 w3 w4 w5", 0, 0)
     assert got["c"] == ("", 1, 5)
+
+
+def test_marks_persist_handle_is_the_persisted_frame(spark):
+    """Round-7 review #1: the unpersist handle must be the exact frame
+    .persist() was called on — the salted projection is a different
+    plan and unpersisting it is a silent no-op that leaks the gram
+    cache for the session."""
+    t = "w1 w2 w3 w4 w5"
+    df = spark.createDataFrame([("a", t), ("b", t)],
+                               "doc_id string, text string")
+    marks = duplicate_span_marks(df, "doc_id", "text", min_tokens=5)
+    handle = marks._ps_persisted_input
+    marks.collect()                                # materialize cache
+    assert handle.storageLevel.useMemory or handle.storageLevel.useDisk
+    assert handle.is_cached
+    from pubscience_spark.operators.dedup import unpersist_input
+    unpersist_input(marks)
+    assert not handle.is_cached
