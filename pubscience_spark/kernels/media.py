@@ -216,6 +216,14 @@ def decode_image(raw: bytes) -> np.ndarray:
     if raw[:4] in (b"II*\x00", b"MM\x00*"):
         from .tiff import decode_tiff
         return decode_tiff(raw)
+    if raw[:2] == b"\xff\x4f" \
+            or raw[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n":
+        from .jpeg2000 import decode_jpx
+        got = decode_jpx(raw)
+        arr = got["samples"]
+        if arr.dtype != np.uint8:                  # 16-bit: high byte
+            arr = (np.clip(arr, 0, 65535) >> 8).astype(np.uint8)
+        return arr
     raise UnsupportedFormat("unsupported-format: "
                             + (raw[:4].hex() if raw else "empty"))
 

@@ -1381,6 +1381,26 @@ def _jbig2_samples(payload: bytes, parm, w: int, h: int, objs,
     return _bilevel_display(1 - page, h, w, decode, objs)
 
 
+def _jpx_samples(payload: bytes, w: int, h: int) -> "np.ndarray":
+    """JPXDecode terminal stage → (H, W, C) uint8. Color/depth come
+    from the JPX codestream itself (PDF 32000-1 7.4.9: the embedded
+    data supersedes the image dictionary's ColorSpace/BPC); 16-bit
+    samples display as their high byte (the TIFF-path convention)."""
+    import numpy as np
+
+    from .jpeg2000 import decode_jpx
+
+    got = decode_jpx(payload)
+    arr = got["samples"]
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0, 65535) >> 8).astype(np.uint8)
+    if arr.shape[:2] != (h, w):
+        arr = arr[:h, :w]
+        if arr.shape[:2] != (h, w):
+            raise ValueError("jpx-dims-mismatch")
+    return arr
+
+
 def harvest_images(objs: "ObjMap | dict") -> list[dict]:
     """Embedded image XObjects (the reference's fitz path reads these
     transparently — parse_pdfs.py:221-229): one record per /Subtype
@@ -1400,7 +1420,12 @@ def harvest_images(objs: "ObjMap | dict") -> list[dict]:
       (round 7): generic-region tier incl. MMR, TPGDON, all four
       templates, honoring ``/JBIG2Globals`` — symbol/text-region
       streams land in ``error`` with the segment type named;
-    - anything else (JPX, Separation/ICC spaces) sets
+    - ``JPXDecode`` images decode through :mod:`kernels.jpeg2000`
+      (round 7): JP2 or raw codestream, single tile, 5/3 and 9/7
+      wavelets, RCT/ICT, all five progression orders — unsupported
+      JPX features (multi-tile, user precincts, bypass & co) land in
+      ``error`` with the feature named;
+    - anything else (Separation/ICC spaces) sets
       ``error`` — the error-column contract, never a raise."""
     import numpy as np
     out: list[dict] = []
@@ -1429,7 +1454,8 @@ def harvest_images(objs: "ObjMap | dict") -> list[dict]:
             rec["filter"] = filters[-1] if filters else None
             if filters and filters[-1] in ("DCTDecode",
                                            "CCITTFaxDecode",
-                                           "JBIG2Decode"):
+                                           "JBIG2Decode",
+                                           "JPXDecode"):
                 # strip the terminal stage; decode_stream applies
                 # decryption + the remaining cascade
                 pre = Stream(dict(d), obj.raw, obj.num, obj.gen)
@@ -1452,6 +1478,8 @@ def harvest_images(objs: "ObjMap | dict") -> list[dict]:
                     rec["samples"] = _jbig2_samples(
                         payload, last_parm, w, h, objs,
                         _resolve(d.get("Decode"), objs))
+                elif filters[-1] == "JPXDecode":
+                    rec["samples"] = _jpx_samples(payload, w, h)
                 else:
                     rec["samples"] = _ccitt_samples(
                         payload, last_parm, w, h, objs,

@@ -112,11 +112,11 @@ def pdf_image_features(df: DataFrame, content_col: str = "content",
     DCTDecode streams route through the from-scratch JPEG decoder
     (baseline + progressive + CMYK), CCITTFaxDecode through the G3/G4
     fax kernel (round 6 — the dominant scanned-document codec),
-    JBIG2Decode through the T.88 generic-region kernel (round 7, incl.
-    /JBIG2Globals), Flate/LZW raw-sample images (8-bpc and 1-bpc
-    bilevel) decode directly; unsupported codecs (JPX, JBIG2
-    symbol/text regions) and corrupt files land
-    in the ``error`` column, never a task failure. The reference reads
+    JBIG2Decode through the T.88 kernel (round 7, incl. /JBIG2Globals
+    and the symbol/text tier), JPXDecode through the T.800 JPEG 2000
+    kernel (round 7), Flate/LZW raw-sample images (8-bpc and 1-bpc
+    bilevel) decode directly; unsupported codec features and corrupt
+    files land in the ``error`` column, never a task failure. The reference reads
     embedded images via fitz (parse_pdfs.py:221-229); this is the
     Spark-native equivalent."""
     cols = [f.name for f in PDF_IMAGE_FEATURES_SCHEMA.fields]
