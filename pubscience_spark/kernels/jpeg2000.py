@@ -360,7 +360,6 @@ _ORI_LL, _ORI_HL, _ORI_LH, _ORI_HH = 0, 1, 2, 3
 def _t1_init_cx() -> bytearray:
     """Initial context states (Table D.7): all (0, MPS 0) except ZC
     context 0 -> state 4, run-length -> 3, uniform -> 46."""
-    cx = bytearray(_N_CTX * 1)
     cx = bytearray(_N_CTX)
     cx[0] = 4 << 1
     cx[_CTX_RL] = 3 << 1
@@ -760,7 +759,7 @@ def _decode_packet(data: bytes, pos: int, bands: list[_Band],
                    layer: int, sop: bool, eph: bool) -> int:
     """One packet: header + body; appends code-block contributions.
     Returns the new position."""
-    if data[pos:pos + 2] == b"\xff\x91":           # SOP (6 bytes)
+    if sop and data[pos:pos + 2] == b"\xff\x91":   # SOP (6 bytes)
         pos += 6
     rd = _HdrReader(data, pos)
     contributions: list[tuple[_Cblk, int]] = []
@@ -890,6 +889,32 @@ def _parse_cod(body: bytes) -> dict:
             "reversible": transform == 1}
 
 
+def _parse_coc(body: bytes, cod: dict) -> dict:
+    """COC (A.6.2): per-component coding-style override. ``body``
+    starts at Scoc (the caller strips Ccoc). Scod-level fields
+    (SOP/EPH, progression, layers, MCT) only exist in COD and are
+    inherited."""
+    scoc = body[0]
+    if scoc & 1:
+        raise Jp2Error("jp2-user-precincts-unsupported")
+    if scoc & ~1:
+        raise Jp2Error(f"jp2-coc-scoc-{scoc:#x}")
+    levels, xcb, ycb, style, transform = (body[1], body[2] & 0xF,
+                                          body[3] & 0xF, body[4],
+                                          body[5])
+    if style & ~0x20:
+        raise Jp2Error(f"jp2-cbstyle-{style:#x}-unsupported")
+    if transform > 1:
+        raise Jp2Error(f"jp2-transform-{transform}-unsupported")
+    if xcb + 2 + ycb + 2 > 12 or levels > 32:
+        raise Jp2Error("jp2-cod-range")
+    out = dict(cod)
+    out.update({"levels": levels, "cbw": 1 << (xcb + 2),
+                "cbh": 1 << (ycb + 2), "segsym": bool(style & 0x20),
+                "reversible": transform == 1})
+    return out
+
+
 def _parse_qcd(body: bytes) -> dict:
     sqcd = body[0]
     style, guard = sqcd & 0x1F, sqcd >> 5
@@ -953,16 +978,21 @@ def parse_codestream(data: bytes) -> dict:
                 raise Jp2Error("jp2-multitile-unsupported")
             if csiz < 1 or csiz > 16:
                 raise Jp2Error("jp2-component-count")
+            if xs > 1 << 15 or ys > 1 << 15:
+                # the DEFAULT precinct is 2^15, not unbounded: a
+                # larger image has multiple precincts per resolution,
+                # which the single-precinct packet iterator cannot
+                # parse — named error, never desynced packets
+                raise Jp2Error("jp2-precinct-count-unsupported")
             siz = {"w": xs, "h": ys, "comps": comps}
             pos += ln
         elif m == b"\xff\x52":                     # COD
             cod = _parse_cod(body)
             pos += ln
         elif m == b"\xff\x53":                     # COC
-            ci = body[0]
-            sub = _parse_cod(b"\x00" + body[1:2]
-                             + b"\x00\x01\x00" + body[2:])
-            coc[ci] = sub
+            if cod is None:
+                raise Jp2Error("jp2-coc-before-cod")
+            coc[body[0]] = _parse_coc(body[1:], cod)
             pos += ln
         elif m == b"\xff\x5c":                     # QCD
             qcd = _parse_qcd(body)
@@ -976,13 +1006,32 @@ def parse_codestream(data: bytes) -> dict:
             del tpsot, tnsot
             if isot != 0:
                 raise Jp2Error("jp2-multitile-unsupported")
-            end = pos - 2 + psot if psot else n
-            sod = data.find(b"\xff\x93", pos + ln - 2, end)
-            if sod < 0:
-                raise Jp2Error("jp2-missing-sod")
-            seg_end = min(end, n)
-            tile += data[sod + 2:seg_end]
-            pos = seg_end
+            end = min(pos - 2 + psot if psot else n, n)
+            # walk the tile-part header marker by marker up to SOD:
+            # tile-level coding overrides would silently change the
+            # decode parameters, so they are NAMED errors, and the
+            # SOT's own bytes can never false-match as SOD
+            pos += ln
+            while True:
+                if pos + 2 > end:
+                    raise Jp2Error("jp2-missing-sod")
+                tm = data[pos:pos + 2]
+                pos += 2
+                if tm == b"\xff\x93":              # SOD
+                    break
+                if tm in (b"\xff\x52", b"\xff\x53", b"\xff\x5c",
+                          b"\xff\x5d", b"\xff\x5e", b"\xff\x5f",
+                          b"\xff\x61"):
+                    raise Jp2Error(
+                        f"jp2-tilepart-{tm.hex()}-unsupported")
+                if tm not in (b"\xff\x64", b"\xff\x58"):  # COM/PLT
+                    raise Jp2Error(
+                        f"jp2-tilepart-marker-{tm.hex()}")
+                if pos + 2 > end:
+                    raise Jp2Error("jp2-truncated")
+                pos += struct.unpack(">H", data[pos:pos + 2])[0]
+            tile += data[pos:end]
+            pos = end
         elif m in (b"\xff\x5e",):                  # RGN
             raise Jp2Error("jp2-rgn-unsupported")
         elif m in (b"\xff\x5f",):                  # POC
@@ -1052,6 +1101,11 @@ def decode_codestream(data: bytes) -> tuple[np.ndarray, dict]:
             continue
         pos = _decode_packet(tile, pos, comp_bands[c][r], layer,
                              cod0["sop"], cod0["eph"])
+    if pos != len(tile):
+        # every byte of the tile-part must be consumed: leftovers mean
+        # the packet structure disagrees with the headers (e.g. an
+        # inconsistent COC) — raising beats silently wrong pixels
+        raise Jp2Error("jp2-trailing-tile-bytes")
     # tier-1 + dequant + synthesis per component
     out = []
     for c in range(ncomp):
@@ -1140,29 +1194,66 @@ def decode_jpx(data: bytes) -> dict:
         dtype = np.int32
     return {"width": meta["width"], "height": meta["height"],
             "components": ncomp, "bit_depth": depth,
+            "depths": meta["depths"], "signed": meta["signed"],
             "samples": out.astype(dtype)}
 
 
-def _jp2_find_codestream(data: bytes) -> bytes:
-    pos = 0
-    n = len(data)
-    while pos + 8 <= n:
+def to_display_uint8(decoded: dict) -> np.ndarray:
+    """Per-component depth-aware display mapping of a
+    :func:`decode_jpx` result → (H, W, C) uint8: 8-bit passes through,
+    deeper samples keep their top 8 bits (the TIFF-path convention),
+    shallower samples scale to full range (the `_bilevel_display`
+    convention — a bilevel JPX must come out 0/255, not 0/1), and
+    signed components shift to mid-gray first."""
+    arr = decoded["samples"]
+    out = np.zeros(arr.shape, dtype=np.uint8)
+    for c in range(arr.shape[2]):
+        d = decoded["depths"][c]
+        ch = arr[..., c].astype(np.int64)
+        if decoded["signed"][c]:
+            ch = np.clip(ch + (1 << (d - 1)), 0, (1 << d) - 1)
+        if d == 8:
+            out[..., c] = ch.astype(np.uint8)
+        elif d > 8:
+            out[..., c] = (ch >> (d - 8)).astype(np.uint8)
+        else:
+            out[..., c] = np.rint(
+                ch * (255.0 / ((1 << d) - 1))).astype(np.uint8)
+    return out
+
+
+def _jp2_boxes(data: bytes, pos: int, end: int):
+    while pos + 8 <= end:
         ln = struct.unpack(">I", data[pos:pos + 4])[0]
         btype = data[pos + 4:pos + 8]
         hdr = 8
         if ln == 1:
-            if pos + 16 > n:
+            if pos + 16 > end:
                 raise Jp2Error("jp2-box-truncated")
             ln = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
             hdr = 16
         elif ln == 0:
-            ln = n - pos
-        if ln < hdr or pos + ln > n:
+            ln = end - pos
+        if ln < hdr or pos + ln > end:
             raise Jp2Error("jp2-box-truncated")
-        if btype == b"jp2c":
-            return data[pos + hdr:pos + ln]
+        yield btype, pos + hdr, pos + ln
         pos += ln
-    raise Jp2Error("jp2-no-codestream-box")
+
+
+def _jp2_find_codestream(data: bytes) -> bytes:
+    jp2c = None
+    for btype, body, end in _jp2_boxes(data, 0, len(data)):
+        if btype == b"jp2h":
+            # walk the header superbox: palettized output (pclr/cmap)
+            # would make the decoded index plane silently wrong pixels
+            for sub, _, _ in _jp2_boxes(data, body, end):
+                if sub in (b"pclr", b"cmap"):
+                    raise Jp2Error("jp2-palette-unsupported")
+        elif btype == b"jp2c" and jp2c is None:
+            jp2c = data[body:end]
+    if jp2c is None:
+        raise Jp2Error("jp2-no-codestream-box")
+    return jp2c
 
 # ---------------------------------------------------------------------------
 # mirror encoder (spec-built test streams; one tile, style 0)

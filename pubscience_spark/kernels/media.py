@@ -218,12 +218,8 @@ def decode_image(raw: bytes) -> np.ndarray:
         return decode_tiff(raw)
     if raw[:2] == b"\xff\x4f" \
             or raw[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n":
-        from .jpeg2000 import decode_jpx
-        got = decode_jpx(raw)
-        arr = got["samples"]
-        if arr.dtype != np.uint8:                  # 16-bit: high byte
-            arr = (np.clip(arr, 0, 65535) >> 8).astype(np.uint8)
-        return arr
+        from .jpeg2000 import decode_jpx, to_display_uint8
+        return to_display_uint8(decode_jpx(raw))
     raise UnsupportedFormat("unsupported-format: "
                             + (raw[:4].hex() if raw else "empty"))
 

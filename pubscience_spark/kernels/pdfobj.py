@@ -1384,16 +1384,12 @@ def _jbig2_samples(payload: bytes, parm, w: int, h: int, objs,
 def _jpx_samples(payload: bytes, w: int, h: int) -> "np.ndarray":
     """JPXDecode terminal stage → (H, W, C) uint8. Color/depth come
     from the JPX codestream itself (PDF 32000-1 7.4.9: the embedded
-    data supersedes the image dictionary's ColorSpace/BPC); 16-bit
-    samples display as their high byte (the TIFF-path convention)."""
-    import numpy as np
+    data supersedes the image dictionary's ColorSpace/BPC); depth
+    mapping is per-component via :func:`~.jpeg2000.to_display_uint8`
+    (>8-bit keeps the top byte, <8-bit scales to full range)."""
+    from .jpeg2000 import decode_jpx, to_display_uint8
 
-    from .jpeg2000 import decode_jpx
-
-    got = decode_jpx(payload)
-    arr = got["samples"]
-    if arr.dtype != np.uint8:
-        arr = (np.clip(arr, 0, 65535) >> 8).astype(np.uint8)
+    arr = to_display_uint8(decode_jpx(payload))
     if arr.shape[:2] != (h, w):
         arr = arr[:h, :w]
         if arr.shape[:2] != (h, w):

@@ -267,3 +267,119 @@ def test_media_decode_image_dispatch():
     arr = decode_image(encode_jpx(img16, jp2=False, levels=1))
     assert arr.dtype == np.uint8
     assert np.array_equal(arr[..., 0], (img16 >> 8).astype(np.uint8))
+
+
+def test_coc_override_and_named_errors():
+    """COC per-component overrides parse properly (round-7 review: the
+    synthetic-COD hack put Scoc into the progression byte, so a
+    user-precinct COC was silently accepted)."""
+    img = _img(24, 24, seed=40)
+    blob = encode_jpx(img, jp2=False, levels=2, cb=(16, 16))
+    qcd_at = blob.index(b"\xff\x5c")
+    # valid COC for comp 0: levels=1, cb 8x8, style 0, 5/3
+    coc = b"\xff\x53" + (9).to_bytes(2, "big") + bytes(
+        [0, 0, 1, 1, 1, 0, 1])
+    patched = blob[:qcd_at] + coc + blob[qcd_at:]
+    with pytest.raises(Jp2Error):                  # packets mismatch
+        decode_jpx(patched)                        # ... but NO wrong pixels
+    # user-precinct COC -> the NAMED error, before any packet parse
+    coc_bad = b"\xff\x53" + (9).to_bytes(2, "big") + bytes(
+        [0, 1, 1, 1, 1, 0, 1])
+    with pytest.raises(Jp2Error, match="user-precincts"):
+        decode_jpx(blob[:qcd_at] + coc_bad + blob[qcd_at:])
+    # COC matching the COD exactly decodes bit-identically
+    coc_same = b"\xff\x53" + (9).to_bytes(2, "big") + bytes(
+        [0, 0, 2, 2, 2, 0, 1])
+    got = decode_jpx(blob[:qcd_at] + coc_same + blob[qcd_at:])
+    assert np.array_equal(got["samples"][..., 0], img)
+
+
+def test_tilepart_header_markers():
+    """Tile-part headers are walked marker by marker: a tile-level COD
+    override is a NAMED error (it would silently change the decode
+    parameters), COM is skipped, and SOT header bytes can never
+    false-match as SOD."""
+    import struct as st
+    img = _img(16, 16, seed=41)
+    blob = bytearray(encode_jpx(img, jp2=False, levels=1))
+    sot_at = bytes(blob).index(b"\xff\x90")
+    sod_at = bytes(blob).index(b"\xff\x93", sot_at)
+
+    def with_inserted(seg):
+        out = bytearray(blob)
+        out[sod_at:sod_at] = seg
+        psot = st.unpack(">I", bytes(out[sot_at + 6:sot_at + 10]))[0]
+        out[sot_at + 6:sot_at + 10] = st.pack(">I", psot + len(seg))
+        return bytes(out)
+
+    cod_seg = b"\xff\x52" + (12).to_bytes(2, "big") + bytes(
+        [0, 0, 0, 1, 0, 1, 1, 1, 0, 1])
+    with pytest.raises(Jp2Error, match="tilepart-ff52"):
+        decode_jpx(with_inserted(cod_seg))
+    com_seg = b"\xff\x64" + (7).to_bytes(2, "big") + b"\x00\x01abc"
+    got = decode_jpx(with_inserted(com_seg))
+    assert np.array_equal(got["samples"][..., 0], img)
+
+
+def test_oversized_image_named_error():
+    """Default precincts are 2^15, not unbounded: a larger grid means
+    multiple precincts per resolution, which the single-precinct
+    iterator cannot parse — named error instead of desynced packets."""
+    img = _img(8, 8, seed=42)
+    blob = bytearray(encode_jpx(img, jp2=False, levels=1))
+    siz_at = bytes(blob).index(b"\xff\x51") + 4
+    blob[siz_at + 2:siz_at + 6] = (40000).to_bytes(4, "big")   # Xsiz
+    blob[siz_at + 18:siz_at + 22] = (40000).to_bytes(4, "big")  # XTsiz
+    with pytest.raises(Jp2Error, match="precinct-count"):
+        decode_jpx(bytes(blob))
+
+
+def test_jp2_palette_named_error():
+    """pclr/cmap in jp2h would make the decoded index plane silently
+    wrong pixels -> named error (round-7 review)."""
+    img = _img(8, 8, seed=43)
+    wrapped = bytearray(encode_jpx(img, jp2=True, levels=1))
+    jp2h_at = bytes(wrapped).index(b"jp2h") - 4
+    import struct as st
+    ln = st.unpack(">I", bytes(wrapped[jp2h_at:jp2h_at + 4]))[0]
+    pclr = st.pack(">I", 8 + 3) + b"pclr" + b"\x00\x01\x07"
+    wrapped[jp2h_at + ln:jp2h_at + ln] = pclr
+    wrapped[jp2h_at:jp2h_at + 4] = st.pack(">I", ln + len(pclr))
+    with pytest.raises(Jp2Error, match="palette"):
+        decode_jpx(bytes(wrapped))
+
+
+def test_display_mapping_depth_aware():
+    """to_display_uint8 scales per COMPONENT depth (round-7 review:
+    blanket >>8 made 12-bit images 16x too dark and left sub-8-bit
+    output unscaled)."""
+    from pubscience_spark.kernels.jpeg2000 import to_display_uint8
+    from pubscience_spark.kernels.media import decode_image
+
+    # 4-bit: encode with the 8-bit DC shift compensated (coeff =
+    # value4 - 2^3 must survive the encoder's value8 - 2^7 shift),
+    # then patch SIZ Ssiz to depth 4
+    img = (_img(12, 12, seed=44) >> 4).astype(np.uint8)
+    blob = bytearray(encode_jpx((img + 120).astype(np.uint8),
+                                jp2=False, levels=1))
+    siz_at = bytes(blob).index(b"\xff\x51") + 4
+    blob[siz_at + 36] = 3                          # Ssiz: depth-1
+    got = decode_jpx(bytes(blob))
+    assert got["bit_depth"] == 4
+    assert np.array_equal(got["samples"][..., 0], img)
+    disp = to_display_uint8(got)
+    assert np.array_equal(disp[..., 0], img * 17)  # 255/15
+    assert np.array_equal(decode_image(bytes(blob))[..., 0], img * 17)
+
+    # 12-bit: a 16-bit stream's Ssiz patched down to 12, same shift
+    # compensation (+ 2^15 - 2^11)
+    img12 = (_img(10, 10, seed=45, depth=16) >> 4).astype(np.uint16)
+    blob = bytearray(encode_jpx((img12 + 30720).astype(np.uint16),
+                                jp2=False, levels=1))
+    siz_at = bytes(blob).index(b"\xff\x51") + 4
+    blob[siz_at + 36] = 11
+    got = decode_jpx(bytes(blob))
+    assert got["bit_depth"] == 12
+    assert np.array_equal(got["samples"][..., 0], img12)
+    assert np.array_equal(to_display_uint8(got)[..., 0],
+                          (img12 >> 4).astype(np.uint8))
