@@ -7,6 +7,8 @@ UDFs — never Java ``regexp_replace`` (SURVEY.md §7.4).
 
 from __future__ import annotations
 
+import re as _re
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -101,19 +103,39 @@ def with_detected_lang(df, text_col: str = "text", out_col: str = "detected",
     columns, CollapseProject keeps each expensive intermediate materialized
     once and the final CASE references only cheap attributes."""
     words_col, padded_col, nchars_col = "__lid_w", "__lid_p", "__lid_nc"
+    # each stage is ONE withColumns call: incremental withColumn
+    # re-analyzes the whole accumulating tree per column, and with 10
+    # languages the analyzer cost (NOT row work) dominated — round-7
+    # bench measured ~3.2 s/trial of pure driver planning vs 0.16 s
+    # execution on the 5k-row fixture
     df = df.withColumn(words_col, F.expr(
         f"regexp_extract_all(lower(substring({text_col}, 1, "
         f"{sample_size})), '{_langid.WORD_RE}', 0)"))
-    df = df.withColumn(padded_col, F.concat(
-        F.lit(" "), F.array_join(F.col(words_col), " "), F.lit(" ")))
-    df = df.withColumn(
-        nchars_col, F.greatest(F.length(padded_col) - 2, F.lit(1)))
+    df = df.withColumns({
+        padded_col: F.concat(
+            F.lit(" "), F.array_join(F.col(words_col), " "),
+            F.lit(" ")),
+    })
+    df = df.withColumns({
+        nchars_col: F.greatest(F.length(padded_col) - 2, F.lit(1)),
+    })
     words, padded = F.col(words_col), F.col(padded_col)
     n_words, n_chars = F.size(words), F.col(nchars_col)
     langs = sorted(_langid._PROFILES)
+    score_cols = {}
     for lang in langs:
         stop, grams = _langid._PROFILES[lang]
-        stop_hits = F.size(F.filter(words, lambda w: w.isin(*sorted(stop))))
+        # stopword hits WITHOUT a higher-order function: lambda
+        # variables get fresh expression ids per construction, which
+        # busts the codegen cache — round-7 bench measured ~2 s of
+        # recompile per fresh q_langid plan, and the interpreted HOF
+        # was also 2x the row cost. The zero-width lookahead counts
+        # every position where " <stopword> " starts, i.e. exactly
+        # the words-in-set count (padded joins words with single
+        # spaces; adjacent stopwords share a delimiter, which plain
+        # non-overlapping counting would miss).
+        alt = "|".join(_re.escape(w) for w in sorted(stop))
+        stop_hits = F.regexp_count(padded, F.lit(f"(?= ({alt}) )"))
         gram_hits = None
         for g in grams:
             cnt = (F.length(padded)
@@ -122,26 +144,27 @@ def with_detected_lang(df, text_col: str = "text", out_col: str = "detected",
             gram_hits = cnt if gram_hits is None else gram_hits + cnt
         score = (stop_hits / n_words
                  + F.lit(0.5) * (gram_hits / n_chars) * F.lit(10.0))
-        df = df.withColumn(f"__lid_s_{lang}",
-                           F.when(n_words > 0, score).otherwise(F.lit(0.0)))
+        score_cols[f"__lid_s_{lang}"] = \
+            F.when(n_words > 0, score).otherwise(F.lit(0.0))
+    df = df.withColumns(score_cols)
     scores = {lang: F.col(f"__lid_s_{lang}") for lang in langs}
-    best = F.greatest(*[scores[lang] for lang in langs])
-
-    def _case(value_for_lang):
-        """CASE over 'which language is best', alphabetical first on ties."""
-        expr = None
-        for lang in reversed(langs):
-            cond = F.lit(True)
-            for other in langs:
-                if other != lang:
-                    cond = cond & (scores[lang] >= scores[other])
-            expr = (F.when(cond, value_for_lang(lang)) if expr is None
-                    else F.when(cond, value_for_lang(lang)).otherwise(expr))
-        return expr
-
-    best_lang = _case(lambda lang: F.lit(lang))
-    runner = _case(lambda lang: F.greatest(
-        *[scores[o] for o in langs if o != lang]))
+    # winner selection via ONE sorted struct array, not pairwise CASE
+    # chains: the old O(langs^2) conjunct tree (10 branches x 9
+    # comparisons, plus a greatest-of-9 per branch for the runner)
+    # dominated plan/codegen time once the profile table grew to 10
+    # languages (round-7 bench: langid 1.5 s -> 4.2 s with ~0 row
+    # work — 5k rows x 300 chars). sort_array on struct(score, rank)
+    # orders by score, then by rank; rank = -alphabet_index makes the
+    # alphabetically FIRST language win ties, the kernel's rule.
+    ranked = F.sort_array(F.array(*[
+        F.struct(scores[lang].alias("s"),
+                 F.lit(-i).alias("r"))
+        for i, lang in enumerate(langs)]), asc=False)
+    best = ranked[0]["s"]
+    runner = ranked[1]["s"]
+    best_lang = F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]),
+        (-ranked[0]["r"]).cast("int") + 1)
     detected = F.when(
         (best < F.lit(margin)) | ((best - runner) < F.lit(1e-9)),
         F.lit("unknown")).otherwise(best_lang)
