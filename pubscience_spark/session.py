@@ -33,6 +33,11 @@ def get_spark(app_name: str = "pubscience-spark",
          # pages fits executor memory at 100 TB scale
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
          .config("spark.sql.files.maxPartitionBytes", "134217728")
+         # many-query workloads (the 50-entry battery, multi-stage
+         # curation plans) generate hundreds of codegen'd stages; the
+         # default 100-entry class cache thrashes and every re-planned
+         # query repays ~1-2 s of janino compile (measured round 7)
+         .config("spark.sql.codegen.cache.maxEntries", "2000")
          .config("spark.sql.parquet.compression.codec", "zstd")
          .config("spark.driver.memory",
                  os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
