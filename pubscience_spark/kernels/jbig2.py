@@ -418,6 +418,7 @@ _COMBINE = {
 _SKIP_TYPES = {49, 50, 51, 53, 62}
 _GENERIC_TYPES = {36, 38, 39}
 _TEXT_TYPES = {4, 6, 7}
+_REFINE_TYPES = {40, 42, 43}
 _SYMBOL_DICT = 0
 _PAGE_INFO = 48
 
@@ -533,6 +534,79 @@ def _encode_generic_inner(enc: MQEncoder, cx: bytearray,
         _encode_row(enc, cx, bitmap, y, pos, w)
 
 
+# ---------------------------------------------------------------------------
+# generic refinement region (T.88 §6.3): decode a bitmap AGAINST a
+# reference bitmap — the lossless tier (refinement regions, SDREFAGG
+# symbol dictionaries, text-region REFINE instances)
+# ---------------------------------------------------------------------------
+
+# fixed context pixels per GRTEMPLATE; template 0 additionally carries
+# one adaptive pixel in each bitmap (A1 current, A2 reference), 13
+# context bits total; template 1 is fixed-only, 10 bits. Context bit
+# ORDER (coding fixed, A1, reference fixed, A2 — MSB first) is
+# mirrored exactly by the in-repo encoder; no third-party JBIG2 codec
+# exists in this container to cross-validate the spec's bit order, so
+# round-trip tests pin decoder and encoder to each other and to the
+# documented layout here.
+_GR_CODING = {
+    0: ((0, -1), (1, -1), (-1, 0)),
+    1: ((-1, -1), (0, -1), (1, -1), (-1, 0)),
+}
+_GR_REF = {
+    0: ((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1),
+        (1, 1)),
+    1: ((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)),
+}
+NOMINAL_GR_AT = ((-1, -1), (-1, -1))
+_GR_CTX_BITS = {0: 13, 1: 10}
+
+
+def _pix(arr: np.ndarray, y: int, x: int) -> int:
+    if 0 <= y < arr.shape[0] and 0 <= x < arr.shape[1]:
+        return int(arr[y, x])
+    return 0
+
+
+def _gr_context(bitmap: np.ndarray, ref: np.ndarray, y: int, x: int,
+                dx: int, dy: int, template: int, at) -> int:
+    ctx = 0
+    for (px, py) in _GR_CODING[template]:
+        ctx = (ctx << 1) | _pix(bitmap, y + py, x + px)
+    if template == 0:
+        ctx = (ctx << 1) | _pix(bitmap, y + at[0][1], x + at[0][0])
+    ry, rx = y - dy, x - dx
+    for (px, py) in _GR_REF[template]:
+        ctx = (ctx << 1) | _pix(ref, ry + py, rx + px)
+    if template == 0:
+        ctx = (ctx << 1) | _pix(ref, ry + at[1][1], rx + at[1][0])
+    return ctx
+
+
+def _decode_refinement_inner(dec: MQDecoder, cx: bytearray, w: int,
+                             h: int, ref: np.ndarray, dx: int,
+                             dy: int, template: int,
+                             at=NOMINAL_GR_AT) -> np.ndarray:
+    bitmap = np.zeros((h, w), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            if dec.decode(cx, _gr_context(bitmap, ref, y, x, dx, dy,
+                                          template, at)):
+                bitmap[y, x] = 1
+    return bitmap
+
+
+def _encode_refinement_inner(enc: MQEncoder, cx: bytearray,
+                             bitmap: np.ndarray, ref: np.ndarray,
+                             dx: int, dy: int, template: int,
+                             at=NOMINAL_GR_AT) -> None:
+    h, w = bitmap.shape
+    for y in range(h):
+        for x in range(w):
+            enc.encode(cx, _gr_context(bitmap, ref, y, x, dx, dy,
+                                       template, at),
+                       int(bitmap[y, x]))
+
+
 def _decode_region_segment(seg: dict) -> tuple[np.ndarray, int, int,
                                                int]:
     d = seg["data"]
@@ -572,8 +646,8 @@ def _decode_symbol_dict(seg: dict, sym_map: dict) -> list[np.ndarray]:
     flags = int.from_bytes(d[0:2], "big")
     if flags & 1:
         raise Jbig2Error("jbig2-symdict-huffman-unsupported")
-    if flags & 2:
-        raise Jbig2Error("jbig2-symdict-refagg-unsupported")
+    refagg = bool(flags & 2)
+    rtemplate = (flags >> 12) & 1
     if flags & (1 << 8):
         # "bitmap coding context used" (T.88 7.4.3.1.1): the GB
         # contexts must be seeded from a previous dictionary's retained
@@ -587,6 +661,13 @@ def _decode_symbol_dict(seg: dict, sym_map: dict) -> list[np.ndarray]:
         ay = int.from_bytes(d[o + 1:o + 2], "big", signed=True)
         at.append((ax, ay))
         o += 2
+    gr_at = NOMINAL_GR_AT
+    if refagg and rtemplate == 0:
+        gr_at = ((int.from_bytes(d[o:o + 1], "big", signed=True),
+                  int.from_bytes(d[o + 1:o + 2], "big", signed=True)),
+                 (int.from_bytes(d[o + 2:o + 3], "big", signed=True),
+                  int.from_bytes(d[o + 3:o + 4], "big", signed=True)))
+        o += 4
     n_ex = _u32(d, o)
     n_new = _u32(d, o + 4)
     o += 8
@@ -599,6 +680,12 @@ def _decode_symbol_dict(seg: dict, sym_map: dict) -> list[np.ndarray]:
     dec = MQDecoder(d[o:])
     gb_cx = bytearray(1 << _ctx_bits(template))
     iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    # refinement/aggregate state (T.88 6.5.8.2): SBSYMCODELEN spans
+    # inputs + new symbols and is fixed for the whole dictionary
+    iaai, iardx, iardy = _IntCtx(), _IntCtx(), _IntCtx()
+    gr_cx = bytearray(1 << _GR_CTX_BITS[rtemplate])
+    ref_codelen = max(0, (len(inputs) + n_new - 1).bit_length())
+    ref_iaid_cx = bytearray(1 << (ref_codelen + 1))
     new_syms: list[np.ndarray] = []
     hc_height = 0
     # The MQ decoder never exhausts (past-EOF reads are 0xFF forever),
@@ -626,8 +713,29 @@ def _decode_symbol_dict(seg: dict, sym_map: dict) -> list[np.ndarray]:
                 raise Jbig2Error("jbig2-symdict-width")
             if len(new_syms) >= n_new:
                 raise Jbig2Error("jbig2-symdict-too-many")
-            new_syms.append(_decode_generic_inner(
-                dec, gb_cx, sym_width, hc_height, pos))
+            if refagg:
+                n_inst = _decode_int(dec, iaai)
+                if n_inst is OOB or n_inst < 1:
+                    raise Jbig2Error("jbig2-symdict-refagg-ninst")
+                if n_inst != 1:
+                    # >1 instances means a full nested text-region
+                    # decode (6.5.8.2.2) — the honest tier boundary
+                    raise Jbig2Error(
+                        "jbig2-symdict-refagg-aggregate-unsupported")
+                sid = _decode_iaid(dec, ref_iaid_cx, ref_codelen)
+                pool = inputs + new_syms
+                if sid >= len(pool):
+                    raise Jbig2Error("jbig2-symdict-refagg-bad-id")
+                rdx = _decode_int(dec, iardx)
+                rdy = _decode_int(dec, iardy)
+                if rdx is OOB or rdy is OOB:
+                    raise Jbig2Error("jbig2-symdict-refagg-oob")
+                new_syms.append(_decode_refinement_inner(
+                    dec, gr_cx, sym_width, hc_height, pool[sid],
+                    rdx, rdy, rtemplate, gr_at))
+            else:
+                new_syms.append(_decode_generic_inner(
+                    dec, gb_cx, sym_width, hc_height, pos))
     # exports: alternating IAEX run lengths over inputs + new symbols
     all_syms = inputs + new_syms
     exported: list[np.ndarray] = []
@@ -666,8 +774,8 @@ def _decode_text_region(seg: dict, sym_map: dict
     o = 19
     if flags & 1:
         raise Jbig2Error("jbig2-textregion-huffman-unsupported")
-    if flags & 2:
-        raise Jbig2Error("jbig2-textregion-refine-unsupported")
+    refine = bool(flags & 2)
+    rtemplate = (flags >> 15) & 1
     log_strips = (flags >> 2) & 3
     strips = 1 << log_strips
     ref_corner = (flags >> 4) & 3
@@ -677,6 +785,13 @@ def _decode_text_region(seg: dict, sym_map: dict
     ds_offset = (flags >> 10) & 0x1F
     if ds_offset > 15:
         ds_offset -= 32                            # 5-bit signed
+    gr_at = NOMINAL_GR_AT
+    if refine and rtemplate == 0:
+        gr_at = ((int.from_bytes(d[o:o + 1], "big", signed=True),
+                  int.from_bytes(d[o + 1:o + 2], "big", signed=True)),
+                 (int.from_bytes(d[o + 2:o + 3], "big", signed=True),
+                  int.from_bytes(d[o + 3:o + 4], "big", signed=True)))
+        o += 4
     n_instances = _u32(d, o)
     o += 4
     if n_instances > 1 << 20:
@@ -696,6 +811,9 @@ def _decode_text_region(seg: dict, sym_map: dict
     iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
                               _IntCtx())
     iaid_cx = bytearray(1 << (codelen + 1))
+    iari, iardw, iardh = _IntCtx(), _IntCtx(), _IntCtx()
+    iardx, iardy = _IntCtx(), _IntCtx()
+    gr_cx = bytearray(1 << _GR_CTX_BITS[rtemplate])
 
     def blit(bmp: np.ndarray, x0: int, y0: int) -> None:
         hh, ww = bmp.shape
@@ -741,6 +859,26 @@ def _decode_text_region(seg: dict, sym_map: dict
             if sid >= len(syms):
                 raise Jbig2Error("jbig2-textregion-bad-symbol-id")
             bmp = syms[sid]
+            if refine:
+                ri = _decode_int(dec, iari)
+                if ri is OOB:
+                    raise Jbig2Error("jbig2-textregion-oob-ri")
+                if ri:
+                    rdw = _decode_int(dec, iardw)
+                    rdh = _decode_int(dec, iardh)
+                    rdx = _decode_int(dec, iardx)
+                    rdy = _decode_int(dec, iardy)
+                    if OOB in (rdw, rdh, rdx, rdy):
+                        raise Jbig2Error("jbig2-textregion-oob-rd")
+                    nh = bmp.shape[0] + rdh
+                    nw = bmp.shape[1] + rdw
+                    if not (0 < nw <= 1 << 14 and 0 < nh <= 1 << 14):
+                        raise Jbig2Error("jbig2-textregion-refine-dims")
+                    # GRREFERENCEDX/DY per 6.4.11 (floor halves)
+                    bmp = _decode_refinement_inner(
+                        dec, gr_cx, nw, nh, bmp,
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                        rtemplate, gr_at)
             hh, ww = bmp.shape
             if not transposed:
                 # x spans cur_s..cur_s+ww-1 for every corner; TOP*
@@ -756,14 +894,58 @@ def _decode_text_region(seg: dict, sym_map: dict
     return region, x, y, ext_comb
 
 
+def _decode_refinement_segment(seg: dict, page, default: int
+                               ) -> tuple[np.ndarray, int, int, int]:
+    """Generic refinement region segment (T.88 §6.3, types 40/42/43)
+    refining the PAGE contents under its region box (7.4.7.2: when no
+    intermediate region is referred to, the reference is the page)."""
+    d = seg["data"]
+    if len(d) < 18:
+        raise Jbig2Error("jbig2-refinement-truncated")
+    w, h = _u32(d, 0), _u32(d, 4)
+    x, y = _u32(d, 8), _u32(d, 12)
+    comb = d[16] & 0x07
+    flags = d[17]
+    template = flags & 1
+    if flags & 2:
+        raise Jbig2Error("jbig2-refinement-tpgron-unsupported")
+    o = 18
+    gr_at = NOMINAL_GR_AT
+    if template == 0:
+        gr_at = ((int.from_bytes(d[o:o + 1], "big", signed=True),
+                  int.from_bytes(d[o + 1:o + 2], "big", signed=True)),
+                 (int.from_bytes(d[o + 2:o + 3], "big", signed=True),
+                  int.from_bytes(d[o + 3:o + 4], "big", signed=True)))
+        o += 4
+    if seg["refs"]:
+        raise Jbig2Error("jbig2-refinement-intermediate-unsupported")
+    if not (w and h) or w > 1 << 16 or h > 1 << 16:
+        raise Jbig2Error("jbig2-refinement-dims")
+    if page is None:
+        raise Jbig2Error("jbig2-refinement-before-page")
+    ref = np.full((h, w), default, dtype=np.uint8)
+    ph, pw = page.shape
+    cy, cx_ = min(h, max(0, ph - y)), min(w, max(0, pw - x))
+    if cy and cx_:
+        ref[:cy, :cx_] = page[y:y + cy, x:x + cx_]
+    dec = MQDecoder(d[o:])
+    cx = bytearray(1 << _GR_CTX_BITS[template])
+    bmp = _decode_refinement_inner(dec, cx, w, h, ref, 0, 0,
+                                   template, gr_at)
+    return bmp, x, y, comb
+
+
 def decode_embedded(data: bytes, globals_data: bytes = b""
                     ) -> np.ndarray:
     """PDF ``JBIG2Decode`` payload (+ optional ``JBIG2Globals``) →
     (H, W) uint8 page bitmap, 1 = black. Covers the generic-region
-    tier AND (round 7b) the symbol-dictionary + text-region tier that
-    real scanned PDFs actually use — arithmetic coding only; Huffman
-    tables, refinement/aggregate symbols, and halftone regions raise
-    named errors."""
+    tier, (round 7b) the symbol-dictionary + text-region tier that
+    real scanned PDFs actually use, and (round 7c) the §6.3 refinement
+    tier — standalone refinement regions against the page, SDREFAGG=1
+    dictionaries (single-instance refinement), and REFINE=1 text
+    instances. Arithmetic coding only; Huffman tables, aggregate
+    (REFAGGNINST > 1) symbols, TPGRON, intermediate-region references,
+    and halftone regions raise named errors."""
     segs = (parse_segments(globals_data) if globals_data else []) \
         + parse_segments(data)
     page = None
@@ -805,6 +987,10 @@ def decode_embedded(data: bytes, globals_data: bytes = b""
             sym_map[seg["num"]] = _decode_symbol_dict(seg, sym_map)
         elif t in _TEXT_TYPES:
             bmp, x, y, comb = _decode_text_region(seg, sym_map)
+            compose(bmp, x, y, comb)
+        elif t in _REFINE_TYPES:
+            bmp, x, y, comb = _decode_refinement_segment(seg, page,
+                                                         default)
             compose(bmp, x, y, comb)
         elif t in _SKIP_TYPES:
             continue
@@ -855,25 +1041,109 @@ def encode_symbol_dict_payload(symbols: list[np.ndarray], *,
     return payload + enc.flush(), order
 
 
+def encode_symbol_dict_refagg_payload(
+        inputs: list[np.ndarray],
+        new_spec: list[tuple[np.ndarray, int, int, int]]) -> bytes:
+    """SDREFAGG=1 dictionary payload (SDRTEMPLATE=1): each new symbol
+    ``(bitmap, ref_id, rdx, rdy)`` is refinement-coded against symbol
+    ``ref_id`` in the inputs+new pool (``inputs`` are the referred
+    dictionaries' exported bitmaps, in order). ``new_spec`` must
+    already be in nondecreasing height order (the height-class stream
+    structure)."""
+    heights = [b.shape[0] for (b, _, _, _) in new_spec]
+    if heights != sorted(heights):
+        raise Jbig2Error("jbig2-encode-height-order")
+    n_new = len(new_spec)
+    enc = MQEncoder()
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    iaai, iardx, iardy = _IntCtx(), _IntCtx(), _IntCtx()
+    gr_cx = bytearray(1 << _GR_CTX_BITS[1])
+    ref_codelen = max(0, (len(inputs) + n_new - 1).bit_length())
+    ref_iaid_cx = bytearray(1 << (ref_codelen + 1))
+    pool = list(inputs)
+    hc = 0
+    i = 0
+    while i < n_new:
+        h = new_spec[i][0].shape[0]
+        _encode_int(enc, iadh, h - hc)
+        hc = h
+        sw = 0
+        while i < n_new and new_spec[i][0].shape[0] == hc:
+            bmp, ref_id, rdx, rdy = new_spec[i]
+            bmp = np.ascontiguousarray(bmp, dtype=np.uint8)
+            _encode_int(enc, iadw, bmp.shape[1] - sw)
+            sw = bmp.shape[1]
+            _encode_int(enc, iaai, 1)              # REFAGGNINST
+            _encode_iaid(enc, ref_iaid_cx, ref_codelen, ref_id)
+            _encode_int(enc, iardx, rdx)
+            _encode_int(enc, iardy, rdy)
+            if not 0 <= ref_id < len(pool):
+                raise Jbig2Error("jbig2-encode-refagg-bad-ref")
+            _encode_refinement_inner(enc, gr_cx, bmp, pool[ref_id],
+                                     rdx, rdy, 1)
+            pool.append(bmp)
+            i += 1
+        _encode_int(enc, iadw, OOB)
+    _encode_int(enc, iaex, 0)
+    _encode_int(enc, iaex, len(inputs) + n_new)    # export everything
+    flags = 2 | (1 << 12)                          # SDREFAGG, SDRT=1
+    payload = flags.to_bytes(2, "big")
+    for (ax, ay) in NOMINAL_AT[0]:                 # GB AT (unused)
+        payload += ax.to_bytes(1, "big", signed=True)
+        payload += ay.to_bytes(1, "big", signed=True)
+    payload += (len(inputs) + n_new).to_bytes(4, "big")
+    payload += n_new.to_bytes(4, "big")
+    return payload + enc.flush()
+
+
+def encode_refinement_segment_payload(bitmap: np.ndarray,
+                                      ref: np.ndarray, x: int, y: int,
+                                      *, template: int = 1,
+                                      comb: int = 4) -> bytes:
+    """Standalone refinement-region payload refining ``ref`` (the page
+    contents under the region box) into ``bitmap`` at dx=dy=0."""
+    h, w = bitmap.shape
+    enc = MQEncoder()
+    cx = bytearray(1 << _GR_CTX_BITS[template])
+    _encode_refinement_inner(enc, cx, bitmap, ref, 0, 0, template)
+    body = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + x.to_bytes(4, "big") + y.to_bytes(4, "big")
+            + bytes([comb & 7]) + bytes([template & 1]))
+    if template == 0:
+        for (ax, ay) in NOMINAL_GR_AT:
+            body += ax.to_bytes(1, "big", signed=True)
+            body += ay.to_bytes(1, "big", signed=True)
+    return body + enc.flush()
+
+
 def encode_text_region_payload(w: int, h: int,
-                               instances: list[tuple[int, int, int]],
+                               instances: list[tuple],
                                n_syms: int,
                                sym_shapes: list[tuple[int, int]], *,
                                strips_log: int = 0,
                                comb_op: int = 0, def_pixel: int = 0,
                                ds_offset: int = 0,
                                x: int = 0, y: int = 0,
-                               ext_comb: int = 0) -> bytes:
+                               ext_comb: int = 0,
+                               sym_refs: list | None = None) -> bytes:
     """Arithmetic text-region payload (REFCORNER=TOPLEFT, not
     transposed). ``instances`` are ``(symbol_id, s, t)`` placements
     (s = left column, t = top row); ``sym_shapes[id]`` gives each
-    symbol's (h, w) so inter-symbol S deltas can be derived."""
+    symbol's (h, w) so inter-symbol S deltas can be derived. A
+    6-tuple instance ``(sid, s, t, refined_bitmap, rdx, rdy)`` places
+    a REFINE=1 instance: the refined bitmap is coded against symbol
+    ``sid`` (whose actual bitmaps must then arrive via ``sym_refs``)
+    with SBRTEMPLATE=1."""
     strips = 1 << strips_log
     inst = sorted(instances, key=lambda it: ((it[2] // strips), it[1]))
+    refine = any(len(it) > 3 and it[3] is not None for it in inst)
     codelen = max(0, (n_syms - 1).bit_length())
     enc = MQEncoder()
     iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
                               _IntCtx())
+    iari, iardw, iardh = _IntCtx(), _IntCtx(), _IntCtx()
+    iardx, iardy = _IntCtx(), _IntCtx()
+    gr_cx = bytearray(1 << _GR_CTX_BITS[1])        # SBRTEMPLATE=1
     iaid_cx = bytearray(1 << (codelen + 1))
     _encode_int(enc, iadt, 0)                      # STRIPT starts 0
     strip_t = 0
@@ -887,7 +1157,9 @@ def encode_text_region_payload(w: int, h: int,
         cur_s = 0
         while k < len(inst) and (inst[k][2] // strips) * strips \
                 == base:
-            sid, s, t = inst[k]
+            it = inst[k]
+            sid, s, t = it[0], it[1], it[2]
+            rbm = it[3] if len(it) > 3 else None
             if first:
                 _encode_int(enc, iafs, s - first_s)
                 first_s = s
@@ -897,12 +1169,32 @@ def encode_text_region_payload(w: int, h: int,
             if strips > 1:
                 _encode_int(enc, iait, t - base)
             _encode_iaid(enc, iaid_cx, codelen, sid)
-            cur_s = s + sym_shapes[sid][1] - 1
+            ww = sym_shapes[sid][1]
+            if refine:
+                _encode_int(enc, iari, 0 if rbm is None else 1)
+                if rbm is not None:
+                    if sym_refs is None:
+                        raise Jbig2Error("jbig2-encode-needs-sym-refs")
+                    ref = sym_refs[sid]
+                    rdw = rbm.shape[1] - ref.shape[1]
+                    rdh = rbm.shape[0] - ref.shape[0]
+                    rdx, rdy = it[4], it[5]
+                    _encode_int(enc, iardw, rdw)
+                    _encode_int(enc, iardh, rdh)
+                    _encode_int(enc, iardx, rdx)
+                    _encode_int(enc, iardy, rdy)
+                    _encode_refinement_inner(
+                        enc, gr_cx, rbm, ref,
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy, 1)
+                    ww = rbm.shape[1]
+            cur_s = s + ww - 1
             k += 1
         _encode_int(enc, iads, OOB)                # strip terminator
-    flags = (strips_log & 3) << 2 | (1 << 4) \
+    flags = (2 if refine else 0) \
+        | (strips_log & 3) << 2 | (1 << 4) \
         | (comb_op & 3) << 7 | (def_pixel & 1) << 9 \
-        | (ds_offset & 0x1F) << 10                 # TOPLEFT corner
+        | (ds_offset & 0x1F) << 10 \
+        | (1 << 15 if refine else 0)               # TOPLEFT, SBRT=1
     body = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
             + x.to_bytes(4, "big") + y.to_bytes(4, "big")
             + bytes([ext_comb & 7]) + flags.to_bytes(2, "big")
@@ -924,10 +1216,11 @@ def encode_embedded_text(symbols: list[np.ndarray],
         symbols, template=template)
     id_of = {orig: k for k, orig in enumerate(order)}
     shapes = [symbols[orig].shape for orig in order]
-    mapped = [(id_of[sid], s, t) for sid, s, t in instances]
+    refs = [symbols[orig] for orig in order]
+    mapped = [(id_of[it[0]],) + tuple(it[1:]) for it in instances]
     text_payload = encode_text_region_payload(
         page_w, page_h, mapped, len(symbols), shapes,
-        strips_log=strips_log, ds_offset=ds_offset)
+        strips_log=strips_log, ds_offset=ds_offset, sym_refs=refs)
 
     def seg(num: int, stype: int, refs: list[int],
             payload: bytes) -> bytes:
