@@ -16,11 +16,15 @@ Scope (honest tier boundaries, each a NAMED error):
   Annex A integer decoding procedures (IADH/IADW/IAEX/IADT/IAFS/IADS/
   IAIT), IAID symbol codes, height classes against one shared coder,
   export runs, strip placement with all four reference corners and
-  transposition; Huffman-coded dictionaries/regions
+  transposition; PLUS (r7c) the §6.3 refinement tier — standalone
+  page-refining regions (types 42/43), SDREFAGG=1 dictionaries with
+  single-instance refinement, REFINE=1 text instances, both GR
+  templates. Huffman-coded dictionaries/regions
   (``jbig2-symdict-huffman-unsupported`` /
-  ``jbig2-textregion-huffman-unsupported``) and refinement/aggregate
-  coding (``…-refagg-…`` / ``…-refine-…``) stay named errors, as do
-  halftone regions (``jbig2-segment-type-N-unsupported``);
+  ``jbig2-textregion-huffman-unsupported``), aggregate symbols
+  (REFAGGNINST > 1), TPGRON, and intermediate refinement regions
+  (type 40) stay named errors, as do halftone regions
+  (``jbig2-segment-type-N-unsupported``);
 - unknown segment data length 0xFFFFFFFF (``jbig2-unknown-length``).
 
 Validation note: the Qe state table (E.1) is transcribed from the
@@ -418,7 +422,7 @@ _COMBINE = {
 _SKIP_TYPES = {49, 50, 51, 53, 62}
 _GENERIC_TYPES = {36, 38, 39}
 _TEXT_TYPES = {4, 6, 7}
-_REFINE_TYPES = {40, 42, 43}
+_REFINE_TYPES = {42, 43}                           # immediate only
 _SYMBOL_DICT = 0
 _PAGE_INFO = 48
 
@@ -634,12 +638,14 @@ def _decode_region_segment(seg: dict) -> tuple[np.ndarray, int, int,
 
 
 def _decode_symbol_dict(seg: dict, sym_map: dict) -> list[np.ndarray]:
-    """Symbol dictionary (T.88 §6.5), arithmetic tier: SDHUFF=0,
-    SDREFAGG=0 — each new symbol is a generic-region bitmap decoded
-    against ONE shared MQ coder + GB context set; heights arrive as
-    IADH deltas per height class, widths as IADW deltas (OOB ends the
-    class), exports as IAEX run lengths. Huffman and refinement-
-    aggregate dictionaries stay named errors."""
+    """Symbol dictionary (T.88 §6.5), arithmetic tier: SDHUFF=0 —
+    each new symbol is a generic-region bitmap (SDREFAGG=0) or, since
+    r7c, a single-instance refinement of an earlier symbol
+    (SDREFAGG=1, REFAGGNINST=1), decoded against ONE shared MQ coder;
+    heights arrive as IADH deltas per height class, widths as IADW
+    deltas (OOB ends the class), exports as IAEX run lengths. Huffman
+    dictionaries and true aggregates (REFAGGNINST > 1, a nested text
+    region) stay named errors."""
     d = seg["data"]
     if len(d) < 2:
         raise Jbig2Error("jbig2-symdict-truncated")
@@ -723,15 +729,17 @@ def _decode_symbol_dict(seg: dict, sym_map: dict) -> list[np.ndarray]:
                     raise Jbig2Error(
                         "jbig2-symdict-refagg-aggregate-unsupported")
                 sid = _decode_iaid(dec, ref_iaid_cx, ref_codelen)
-                pool = inputs + new_syms
-                if sid >= len(pool):
+                n_pool = len(inputs) + len(new_syms)
+                if sid >= n_pool:
                     raise Jbig2Error("jbig2-symdict-refagg-bad-id")
+                ref_sym = inputs[sid] if sid < len(inputs) \
+                    else new_syms[sid - len(inputs)]
                 rdx = _decode_int(dec, iardx)
                 rdy = _decode_int(dec, iardy)
                 if rdx is OOB or rdy is OOB:
                     raise Jbig2Error("jbig2-symdict-refagg-oob")
                 new_syms.append(_decode_refinement_inner(
-                    dec, gr_cx, sym_width, hc_height, pool[sid],
+                    dec, gr_cx, sym_width, hc_height, ref_sym,
                     rdx, rdy, rtemplate, gr_at))
             else:
                 new_syms.append(_decode_generic_inner(
@@ -760,10 +768,12 @@ def _decode_symbol_dict(seg: dict, sym_map: dict) -> list[np.ndarray]:
 
 def _decode_text_region(seg: dict, sym_map: dict
                         ) -> tuple[np.ndarray, int, int, int]:
-    """Text region (T.88 §6.4), arithmetic tier: SBHUFF=0, REFINE=0.
-    Symbol instances place onto the region bitmap strip by strip —
-    IADT strip deltas, IAFS/IADS S-coordinates, IAIT in-strip T, IAID
-    symbol ids at SBSYMCODELEN bits."""
+    """Text region (T.88 §6.4), arithmetic tier: SBHUFF=0. Symbol
+    instances place onto the region bitmap strip by strip — IADT
+    strip deltas, IAFS/IADS S-coordinates, IAIT in-strip T, IAID
+    symbol ids at SBSYMCODELEN bits; REFINE=1 instances (r7c) carry
+    an IARI bit and refinement-decode a size-delta variant of the
+    referenced symbol in place."""
     d = seg["data"]
     if len(d) < 19 + 4:
         raise Jbig2Error("jbig2-textregion-truncated")
@@ -912,11 +922,17 @@ def _decode_refinement_segment(seg: dict, page, default: int
     o = 18
     gr_at = NOMINAL_GR_AT
     if template == 0:
+        if len(d) < o + 4:
+            raise Jbig2Error("jbig2-refinement-truncated")
         gr_at = ((int.from_bytes(d[o:o + 1], "big", signed=True),
                   int.from_bytes(d[o + 1:o + 2], "big", signed=True)),
                  (int.from_bytes(d[o + 2:o + 3], "big", signed=True),
                   int.from_bytes(d[o + 3:o + 4], "big", signed=True)))
         o += 4
+    if len(d) <= o:
+        # MQDecoder over an empty payload decodes deterministic
+        # garbage (all-ones) — corrupt input must raise, not compose
+        raise Jbig2Error("jbig2-refinement-truncated")
     if seg["refs"]:
         raise Jbig2Error("jbig2-refinement-intermediate-unsupported")
     if not (w and h) or w > 1 << 16 or h > 1 << 16:
@@ -992,6 +1008,13 @@ def decode_embedded(data: bytes, globals_data: bytes = b""
             bmp, x, y, comb = _decode_refinement_segment(seg, page,
                                                          default)
             compose(bmp, x, y, comb)
+        elif t == 40:
+            # INTERMEDIATE refinement regions are retained for later
+            # reference, never composed (T.88 7.4.7) — and this
+            # decoder keeps no intermediate-region store, so
+            # composing one would be silently wrong pixels
+            raise Jbig2Error(
+                "jbig2-refinement-intermediate-unsupported")
         elif t in _SKIP_TYPES:
             continue
         else:

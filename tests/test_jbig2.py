@@ -531,15 +531,25 @@ def test_refinement_region_segment():
         want = base.copy()
         want[4:14, 5:25] = refined
         assert np.array_equal(page, want), template
-    # TPGRON and intermediate references stay named errors
+    def seg42(body, stype=42):
+        return ((9).to_bytes(4, "big") + bytes([stype, 0, 1])
+                + len(body).to_bytes(4, "big") + bytes(body))
+
+    # TPGRON stays a named error
     bad = bytearray(payload)
     bad[17] |= 2
-    patched = blob[:cut] + head[:11] + bytes(bad) + blob[cut:]
-    head2 = (9).to_bytes(4, "big") + bytes([42, 0, 1]) \
-        + len(bad).to_bytes(4, "big")
-    patched = blob[:cut] + head2 + bytes(bad) + blob[cut:]
     with pytest.raises(J.Jbig2Error, match="tpgron"):
-        decode_embedded(patched)
+        decode_embedded(blob[:cut] + seg42(bad) + blob[cut:])
+    # INTERMEDIATE (type 40) regions are never composed — named error
+    with pytest.raises(J.Jbig2Error, match="intermediate"):
+        decode_embedded(blob[:cut] + seg42(payload, 40) + blob[cut:])
+    # truncated template-0 segment (AT/data bytes missing) must raise,
+    # not compose deterministic garbage (round-7 review)
+    short = encode_refinement_segment_payload(
+        refined, base[4:14, 5:25], 5, 4, template=0)[:18]
+    assert short[17] & 1 == 0                      # template 0
+    with pytest.raises(J.Jbig2Error, match="refinement-truncated"):
+        decode_embedded(blob[:cut] + seg42(short) + blob[cut:])
 
 
 def test_symbol_dict_refagg_roundtrip():
@@ -561,18 +571,10 @@ def test_symbol_dict_refagg_roundtrip():
     assert len(got) == 5
     for want, have in zip(inputs + [v1, v2, v3], got):
         assert np.array_equal(want, have)
-    # REFAGGNINST > 1 stays a named error: re-encode with iaai=2
-    from pubscience_spark.kernels import jbig2 as JJ
-    orig = JJ._encode_int
-    def patched(enc, ic, v):
-        orig(enc, ic, 2 if v == 1 and ic is marker[0] else v)
-    marker = [None]
-    enc_spy = []
-    # simpler: flip by monkeypatching encode around iaai only is
-    # brittle; instead decode a stream built with ninst=2 by hand
+    # REFAGGNINST > 1 stays a named error: hand-build a stream whose
+    # first symbol declares an aggregate of 2 instances
     from pubscience_spark.kernels.jbig2 import (
-        _GR_CTX_BITS, MQEncoder, _IntCtx, _encode_iaid, _encode_int,
-        _encode_refinement_inner, NOMINAL_AT)
+        NOMINAL_AT, MQEncoder, _encode_int, _IntCtx)
     enc = MQEncoder()
     iadh, iadw = _IntCtx(), _IntCtx()
     iaai = _IntCtx()
