@@ -22,9 +22,12 @@ Scope (honest tier boundaries, each a NAMED error):
   templates. Huffman-coded dictionaries/regions
   (``jbig2-symdict-huffman-unsupported`` /
   ``jbig2-textregion-huffman-unsupported``), aggregate symbols
-  (REFAGGNINST > 1), TPGRON, and intermediate refinement regions
-  (type 40) stay named errors, as do halftone regions
-  (``jbig2-segment-type-N-unsupported``);
+  (REFAGGNINST > 1), TPGRON, and intermediate halftone/refinement
+  regions (types 20/40) stay named errors;
+- halftone tier (r7c): pattern dictionaries (§6.7) and immediate
+  halftone regions (§6.6) — gray-coded bitplanes over the grid,
+  rotatable-grid placement in 1/256-pixel units, all composition
+  ops; ENABLESKIP and MMR-coded gray planes stay named errors;
 - unknown segment data length 0xFFFFFFFF (``jbig2-unknown-length``).
 
 Validation note: the Qe state table (E.1) is transcribed from the
@@ -951,22 +954,169 @@ def _decode_refinement_segment(seg: dict, page, default: int
     return bmp, x, y, comb
 
 
+def _decode_pattern_dict(seg: dict) -> list[np.ndarray]:
+    """Pattern dictionary (T.88 §6.7, type 16): one collective
+    generic-region bitmap of (GRAYMAX+1) patterns side by side, split
+    into HDPW x HDPH tiles. Arithmetic or MMR."""
+    d = seg["data"]
+    if len(d) < 7:
+        raise Jbig2Error("jbig2-patdict-truncated")
+    flags, hdpw, hdph = d[0], d[1], d[2]
+    graymax = _u32(d, 3)
+    mmr = bool(flags & 1)
+    template = (flags >> 1) & 3
+    if not (hdpw and hdph) or graymax > 1 << 12:
+        raise Jbig2Error("jbig2-patdict-range")
+    # spec AT: A1 = (-HDPW, 0); remaining pixels nominal
+    at = [(-hdpw, 0)] + NOMINAL_AT[template][1:] \
+        if template == 0 else [(-hdpw, 0)]
+    coll = decode_generic_region(d[7:], (graymax + 1) * hdpw, hdph,
+                                 template=template, at=at, mmr=mmr)
+    return [coll[:, i * hdpw:(i + 1) * hdpw].copy()
+            for i in range(graymax + 1)]
+
+
+def _decode_halftone_region(seg: dict, pat_map: dict
+                            ) -> tuple[np.ndarray, int, int, int]:
+    """Halftone region (T.88 §6.6, types 20/22/23): a gray-code image
+    over the grid selects patterns from the referred dictionary.
+    Grid-cell placement follows the spec's rotatable grid
+    (x = HGX + m*HRY + n*HRX; y = HGY + m*HRX - n*HRY)."""
+    d = seg["data"]
+    if len(d) < 18 + 16:
+        raise Jbig2Error("jbig2-halftone-truncated")
+    w, h = _u32(d, 0), _u32(d, 4)
+    x, y = _u32(d, 8), _u32(d, 12)
+    ext_comb = d[16] & 0x07
+    flags = d[17]
+    mmr = bool(flags & 1)
+    template = (flags >> 1) & 3
+    if flags & 8:
+        raise Jbig2Error("jbig2-halftone-enableskip-unsupported")
+    comb_op = (flags >> 4) & 7
+    def_pixel = (flags >> 7) & 1
+    hgw, hgh = _u32(d, 18), _u32(d, 22)
+    hgx = int.from_bytes(d[26:30], "big", signed=True)
+    hgy = int.from_bytes(d[30:34], "big", signed=True)
+    hrx = int.from_bytes(d[34:36], "big")
+    hry = int.from_bytes(d[36:38], "big")
+    o = 38
+    pats: list[np.ndarray] = []
+    for ref in seg["refs"]:
+        pats.extend(pat_map.get(ref, []))
+    if not pats:
+        raise Jbig2Error("jbig2-halftone-no-patterns")
+    if not (w and h) or w > 1 << 16 or h > 1 << 16 \
+            or hgw > 1 << 16 or hgh > 1 << 16 or not (hgw and hgh):
+        raise Jbig2Error("jbig2-halftone-dims")
+    if comb_op not in _COMBINE:
+        raise Jbig2Error(f"jbig2-combine-op-{comb_op}")
+    nplanes = max(1, (len(pats) - 1).bit_length())
+    # gray-code image (Annex C.5): bitplanes MSB->LSB, one shared
+    # coder + GB context set (arithmetic) or one MMR stream each? —
+    # MMR halftones also share ONE codeword stream per spec; this
+    # decoder supports the arithmetic form and rejects MMR here.
+    if mmr:
+        raise Jbig2Error("jbig2-halftone-mmr-unsupported")
+    dec = MQDecoder(d[o:])
+    cx = bytearray(1 << _ctx_bits(template))
+    pos = _positions(template, NOMINAL_AT[template])
+    gray = np.zeros((hgh, hgw), dtype=np.int64)
+    prev = np.zeros((hgh, hgw), dtype=np.uint8)
+    for _ in range(nplanes):
+        plane = _decode_generic_inner(dec, cx, hgw, hgh, pos)
+        bit = plane ^ prev
+        gray = (gray << 1) | bit
+        prev = bit
+    region = np.full((h, w), def_pixel, dtype=np.uint8)
+    ph, pw = pats[0].shape
+    for m in range(hgh):
+        for n in range(hgw):
+            gi = int(gray[m, n])
+            if gi >= len(pats):
+                raise Jbig2Error("jbig2-halftone-gray-overflow")
+            px = (hgx + m * hry + n * hrx) >> 8
+            py = (hgy + m * hrx - n * hry) >> 8
+            ry0, rx0 = max(0, py), max(0, px)
+            ry1 = min(h, py + ph)
+            rx1 = min(w, px + pw)
+            if ry0 >= ry1 or rx0 >= rx1:
+                continue
+            sub = pats[gi][ry0 - py:ry1 - py, rx0 - px:rx1 - px]
+            win = region[ry0:ry1, rx0:rx1]
+            region[ry0:ry1, rx0:rx1] = _COMBINE[comb_op](win, sub)
+    return region, x, y, ext_comb
+
+
+def encode_pattern_dict_payload(patterns: list[np.ndarray], *,
+                                template: int = 0) -> bytes:
+    """Mirror of :func:`_decode_pattern_dict` (arithmetic)."""
+    hdph, hdpw = patterns[0].shape
+    if any(p.shape != (hdph, hdpw) for p in patterns):
+        raise Jbig2Error("jbig2-encode-pattern-shapes")
+    coll = np.concatenate(patterns, axis=1).astype(np.uint8)
+    at = [(-hdpw, 0)] + NOMINAL_AT[template][1:] \
+        if template == 0 else [(-hdpw, 0)]
+    data = encode_generic_region(coll, template=template, at=at)
+    return (bytes([template << 1, hdpw, hdph])
+            + (len(patterns) - 1).to_bytes(4, "big") + data)
+
+
+def encode_halftone_region_payload(
+        grid: np.ndarray, npatterns: int, pat_shape: tuple[int, int],
+        w: int, h: int, *, x: int = 0, y: int = 0,
+        hgx: int = 0, hgy: int = 0, template: int = 0,
+        comb_op: int = 0, def_pixel: int = 0,
+        ext_comb: int = 0) -> bytes:
+    """Mirror of :func:`_decode_halftone_region`: axis-aligned square
+    grid (HRX = pattern width << 8, HRY = 0 — the common screen).
+    ``grid[m, n]`` holds pattern indices."""
+    hgh, hgw = grid.shape
+    ph, pw = pat_shape
+    if pw != ph:
+        raise Jbig2Error("jbig2-encode-halftone-square-only")
+    nplanes = max(1, (npatterns - 1).bit_length())
+    enc = MQEncoder()
+    cx = bytearray(1 << _ctx_bits(template))
+    pos = _positions(template, NOMINAL_AT[template])
+    planes = []
+    prev = np.zeros_like(grid, dtype=np.uint8)
+    for j in range(nplanes - 1, -1, -1):
+        bit = ((grid >> j) & 1).astype(np.uint8)
+        planes.append((bit ^ prev).astype(np.uint8))
+        prev = bit
+    for plane in planes:
+        _encode_generic_inner(enc, cx, plane, pos)
+    flags = (template & 3) << 1 | (comb_op & 7) << 4 \
+        | (def_pixel & 1) << 7
+    body = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + x.to_bytes(4, "big") + y.to_bytes(4, "big")
+            + bytes([ext_comb & 7]) + bytes([flags])
+            + hgw.to_bytes(4, "big") + hgh.to_bytes(4, "big")
+            + hgx.to_bytes(4, "big", signed=True)
+            + hgy.to_bytes(4, "big", signed=True)
+            + (pw << 8).to_bytes(2, "big") + (0).to_bytes(2, "big"))
+    return body + enc.flush()
+
+
 def decode_embedded(data: bytes, globals_data: bytes = b""
                     ) -> np.ndarray:
     """PDF ``JBIG2Decode`` payload (+ optional ``JBIG2Globals``) →
     (H, W) uint8 page bitmap, 1 = black. Covers the generic-region
     tier, (round 7b) the symbol-dictionary + text-region tier that
     real scanned PDFs actually use, and (round 7c) the §6.3 refinement
-    tier — standalone refinement regions against the page, SDREFAGG=1
-    dictionaries (single-instance refinement), and REFINE=1 text
-    instances. Arithmetic coding only; Huffman tables, aggregate
-    (REFAGGNINST > 1) symbols, TPGRON, intermediate-region references,
-    and halftone regions raise named errors."""
+    tier (standalone page-refining regions, SDREFAGG=1 dictionaries,
+    REFINE=1 text instances) plus the §6.6/6.7 halftone tier (pattern
+    dictionaries + immediate halftone regions). Arithmetic coding
+    only; Huffman tables, aggregate (REFAGGNINST > 1) symbols, TPGRON,
+    ENABLESKIP, and intermediate-region references raise named
+    errors."""
     segs = (parse_segments(globals_data) if globals_data else []) \
         + parse_segments(data)
     page = None
     default = 0
     sym_map: dict[int, list[np.ndarray]] = {}
+    pat_map: dict[int, list[np.ndarray]] = {}
 
     def compose(bmp, x, y, comb):
         nonlocal page
@@ -1008,13 +1158,18 @@ def decode_embedded(data: bytes, globals_data: bytes = b""
             bmp, x, y, comb = _decode_refinement_segment(seg, page,
                                                          default)
             compose(bmp, x, y, comb)
-        elif t == 40:
-            # INTERMEDIATE refinement regions are retained for later
-            # reference, never composed (T.88 7.4.7) — and this
-            # decoder keeps no intermediate-region store, so
+        elif t == 16:
+            pat_map[seg["num"]] = _decode_pattern_dict(seg)
+        elif t in (22, 23):
+            bmp, x, y, comb = _decode_halftone_region(seg, pat_map)
+            compose(bmp, x, y, comb)
+        elif t in (20, 40):
+            # INTERMEDIATE halftone/refinement regions are retained
+            # for later reference, never composed (T.88 7.4) — and
+            # this decoder keeps no intermediate-region store, so
             # composing one would be silently wrong pixels
             raise Jbig2Error(
-                "jbig2-refinement-intermediate-unsupported")
+                f"jbig2-intermediate-{t}-unsupported")
         elif t in _SKIP_TYPES:
             continue
         else:

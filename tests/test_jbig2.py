@@ -177,10 +177,11 @@ def test_named_errors():
            + len(huff).to_bytes(4, "big")) + huff
     with pytest.raises(J.Jbig2Error, match="symdict-huffman"):
         decode_embedded(sym + blob)
-    # halftone region (type 22) stays a named segment-type error
-    half = (b"\x00\x00\x00\x07" + bytes([22]) + b"\x00" + bytes([1])
+    # INTERMEDIATE halftone regions (type 20) stay a named error
+    # (immediate halftones decode since round 7c)
+    half = (b"\x00\x00\x00\x07" + bytes([20]) + b"\x00" + bytes([1])
             + (0).to_bytes(4, "big"))
-    with pytest.raises(J.Jbig2Error, match="segment-type-22"):
+    with pytest.raises(J.Jbig2Error, match="intermediate-20"):
         decode_embedded(half + blob)
     # unknown data length sentinel
     unk = (b"\x00\x00\x00\x07" + bytes([38]) + b"\x00" + bytes([1])
@@ -634,3 +635,77 @@ def test_text_region_refine_instances(spark):
                                "url string, content binary")
     r = pdf_image_features(df).collect()[0]
     assert r["error"] is None and (r["width"], r["height"]) == (40, 16)
+
+
+def test_halftone_region_roundtrip(spark):
+    """Pattern dictionary + halftone region (r7c): gray-coded bitplane
+    image selecting patterns onto the page — embedded round trip, a
+    named-error tier check, and the PDF/Spark route."""
+    from pubscience_spark.kernels import pdfobj
+    from pubscience_spark.kernels.jbig2 import (
+        _PAGE_INFO, encode_halftone_region_payload,
+        encode_pattern_dict_payload)
+    from pubscience_spark.operators.multimodal import pdf_image_features
+    from tests.test_pdfobj import N, _classic_obj
+
+    rng = np.random.RandomState(4)
+    # 6 density patterns, 4x4 each
+    pats = []
+    for k in range(6):
+        p = np.zeros((4, 4), np.uint8)
+        flat = p.ravel()
+        flat[rng.permutation(16)[:k * 3]] = 1
+        pats.append(p)
+    grid = rng.randint(0, 6, size=(5, 8))
+    w, h = 8 * 4, 5 * 4
+    dict_payload = encode_pattern_dict_payload(pats)
+    half_payload = encode_halftone_region_payload(
+        grid, len(pats), (4, 4), w, h)
+
+    def seg(num, stype, refs, payload):
+        head = num.to_bytes(4, "big") + bytes([stype])
+        head += bytes([len(refs) << 5])
+        for r in refs:
+            head += r.to_bytes(1, "big")
+        head += bytes([1])
+        head += len(payload).to_bytes(4, "big")
+        return head + payload
+
+    page_info = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                 + b"\x00" * 8 + b"\x00" + b"\x00\x00")
+    blob = (seg(0, _PAGE_INFO, [], page_info)
+            + seg(1, 16, [], dict_payload)
+            + seg(2, 22, [1], half_payload)
+            + seg(3, 49, [], b""))
+    got = decode_embedded(blob)
+    want = np.zeros((h, w), np.uint8)
+    for m in range(5):
+        for n in range(8):
+            want[4 * m:4 * m + 4, 4 * n:4 * n + 4] = pats[grid[m, n]]
+    assert np.array_equal(got, want)
+
+    # ENABLESKIP stays a named error
+    bad = bytearray(half_payload)
+    bad[17] |= 8
+    blob_bad = (seg(0, _PAGE_INFO, [], page_info)
+                + seg(1, 16, [], dict_payload)
+                + seg(2, 22, [1], bytes(bad)))
+    with pytest.raises(J.Jbig2Error, match="enableskip"):
+        decode_embedded(blob_bad)
+
+    out = bytearray(b"%PDF-1.5\n")
+    out += _classic_obj(1, {"Type": N("XObject"), "Subtype": N("Image"),
+                            "Width": w, "Height": h,
+                            "ColorSpace": N("DeviceGray"),
+                            "BitsPerComponent": 1,
+                            "Filter": N("JBIG2Decode"),
+                            "Length": len(blob)}, blob)
+    out += b"%%EOF\n"
+    images = pdfobj.harvest_images(pdfobj.parse_document(bytes(out)))
+    assert images[0]["error"] is None
+    assert np.array_equal(images[0]["samples"],
+                          ((1 - want) * 255).reshape(h, w, 1))
+    df = spark.createDataFrame([("pdf://ht", bytearray(bytes(out)))],
+                               "url string, content binary")
+    r = pdf_image_features(df).collect()[0]
+    assert r["error"] is None and (r["width"], r["height"]) == (w, h)
