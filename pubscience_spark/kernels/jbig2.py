@@ -954,6 +954,15 @@ def _decode_refinement_segment(seg: dict, page, default: int
     return bmp, x, y, comb
 
 
+def _patdict_at(template: int, hdpw: int) -> list[tuple[int, int]]:
+    """Pattern-dictionary AT pixels (§6.7.5): A1 = (-HDPW, 0), the
+    rest nominal — ONE home for the rule, shared by decoder and
+    mirror encoder."""
+    if template == 0:
+        return [(-hdpw, 0)] + NOMINAL_AT[0][1:]
+    return [(-hdpw, 0)]
+
+
 def _decode_pattern_dict(seg: dict) -> list[np.ndarray]:
     """Pattern dictionary (T.88 §6.7, type 16): one collective
     generic-region bitmap of (GRAYMAX+1) patterns side by side, split
@@ -967,9 +976,7 @@ def _decode_pattern_dict(seg: dict) -> list[np.ndarray]:
     template = (flags >> 1) & 3
     if not (hdpw and hdph) or graymax > 1 << 12:
         raise Jbig2Error("jbig2-patdict-range")
-    # spec AT: A1 = (-HDPW, 0); remaining pixels nominal
-    at = [(-hdpw, 0)] + NOMINAL_AT[template][1:] \
-        if template == 0 else [(-hdpw, 0)]
+    at = _patdict_at(template, hdpw)
     coll = decode_generic_region(d[7:], (graymax + 1) * hdpw, hdph,
                                  template=template, at=at, mmr=mmr)
     return [coll[:, i * hdpw:(i + 1) * hdpw].copy()
@@ -983,7 +990,7 @@ def _decode_halftone_region(seg: dict, pat_map: dict
     Grid-cell placement follows the spec's rotatable grid
     (x = HGX + m*HRY + n*HRX; y = HGY + m*HRX - n*HRY)."""
     d = seg["data"]
-    if len(d) < 18 + 16:
+    if len(d) < 38:                                # 18 + HGW..HRY (20)
         raise Jbig2Error("jbig2-halftone-truncated")
     w, h = _u32(d, 0), _u32(d, 4)
     x, y = _u32(d, 8), _u32(d, 12)
@@ -1011,7 +1018,13 @@ def _decode_halftone_region(seg: dict, pat_map: dict
         raise Jbig2Error("jbig2-halftone-dims")
     if comb_op not in _COMBINE:
         raise Jbig2Error(f"jbig2-combine-op-{comb_op}")
-    nplanes = max(1, (len(pats) - 1).bit_length())
+    if any(p.shape != pats[0].shape for p in pats):
+        # pats aggregates every referred dictionary; mixed tile sizes
+        # would broadcast-crash the blit below with a raw ValueError
+        raise Jbig2Error("jbig2-halftone-pattern-shapes")
+    # HBPP = ceil(log2(HNUMPATS)): a single-pattern dictionary carries
+    # ZERO gray bitplanes (the grid is all pattern 0)
+    nplanes = (len(pats) - 1).bit_length()
     # gray-code image (Annex C.5): bitplanes MSB->LSB, one shared
     # coder + GB context set (arithmetic) or one MMR stream each? —
     # MMR halftones also share ONE codeword stream per spec; this
@@ -1055,9 +1068,8 @@ def encode_pattern_dict_payload(patterns: list[np.ndarray], *,
     if any(p.shape != (hdph, hdpw) for p in patterns):
         raise Jbig2Error("jbig2-encode-pattern-shapes")
     coll = np.concatenate(patterns, axis=1).astype(np.uint8)
-    at = [(-hdpw, 0)] + NOMINAL_AT[template][1:] \
-        if template == 0 else [(-hdpw, 0)]
-    data = encode_generic_region(coll, template=template, at=at)
+    data = encode_generic_region(coll, template=template,
+                                 at=_patdict_at(template, hdpw))
     return (bytes([template << 1, hdpw, hdph])
             + (len(patterns) - 1).to_bytes(4, "big") + data)
 
@@ -1075,7 +1087,7 @@ def encode_halftone_region_payload(
     ph, pw = pat_shape
     if pw != ph:
         raise Jbig2Error("jbig2-encode-halftone-square-only")
-    nplanes = max(1, (npatterns - 1).bit_length())
+    nplanes = (npatterns - 1).bit_length()
     enc = MQEncoder()
     cx = bytearray(1 << _ctx_bits(template))
     pos = _positions(template, NOMINAL_AT[template])

@@ -709,3 +709,44 @@ def test_halftone_region_roundtrip(spark):
                                "url string, content binary")
     r = pdf_image_features(df).collect()[0]
     assert r["error"] is None and (r["width"], r["height"]) == (w, h)
+
+
+def test_halftone_edge_cases():
+    """Round-7 review: truncated headers raise the named error (not
+    garbage pixels); a single-pattern dictionary carries ZERO gray
+    bitplanes (HBPP = ceil(log2(1)) = 0) and tiles pattern 0; mixed
+    pattern shapes across referred dictionaries are a named error."""
+    from pubscience_spark.kernels.jbig2 import (
+        _PAGE_INFO, _decode_halftone_region,
+        encode_halftone_region_payload, encode_pattern_dict_payload)
+
+    pat = np.array([[1, 0], [0, 1]], np.uint8)
+    dict_payload = encode_pattern_dict_payload([pat])
+    half_payload = encode_halftone_region_payload(
+        np.zeros((3, 4), np.int64), 1, (2, 2), 8, 6)
+
+    def seg(num, stype, refs, payload):
+        head = num.to_bytes(4, "big") + bytes([stype])
+        head += bytes([len(refs) << 5])
+        for r in refs:
+            head += r.to_bytes(1, "big")
+        head += bytes([1]) + len(payload).to_bytes(4, "big")
+        return head + payload
+
+    page_info = ((8).to_bytes(4, "big") + (6).to_bytes(4, "big")
+                 + b"\x00" * 8 + b"\x00" + b"\x00\x00")
+    blob = (seg(0, _PAGE_INFO, [], page_info)
+            + seg(1, 16, [], dict_payload)
+            + seg(2, 22, [1], half_payload))
+    got = decode_embedded(blob)
+    assert np.array_equal(got, np.tile(pat, (3, 4)))
+
+    # truncated halftone header -> named error
+    with pytest.raises(J.Jbig2Error, match="halftone-truncated"):
+        _decode_halftone_region({"data": half_payload[:36],
+                                 "refs": [1]}, {1: [pat]})
+    # mixed pattern shapes -> named error
+    with pytest.raises(J.Jbig2Error, match="pattern-shapes"):
+        _decode_halftone_region(
+            {"data": half_payload, "refs": [1, 2]},
+            {1: [pat], 2: [np.zeros((4, 4), np.uint8)]})
