@@ -23,13 +23,16 @@ itself is a TIFF IFD). Supported, per the public TIFF 6.0 spec:
   (PlanarConfiguration 2, round 6), 1 / 3 / 4 samples per pixel
   (4 = RGB + unassociated alpha, alpha dropped).
 
-Round 7 closes three more named-error classes: old-style JPEG
+Round 7 closes six more named-error classes: old-style JPEG
 (compression 6, interchange-stream / SOI-scan layouts), IEEE float
-samples (SampleFormat 3 → min/max-normalized display), and tiled fax.
+samples (SampleFormat 3 → min/max-normalized display; strips AND
+tiles, predictor 3 byte-plane differencing per TIFF TechNote 3),
+tiled fax, and signed-int samples (SampleFormat 2 → top-bit-flip
+display shift, predictor-2-safe).
 
-Anything else (tag-assembled old JPEG, signed-int samples, planar
-tiles, float tiles/planar/predictor-3) is a named :class:`TiffError`
-— the error-column contract.
+Anything else (tag-assembled old JPEG, planar tiles, planar float,
+palette+signed) is a named :class:`TiffError` — the error-column
+contract.
 """
 
 from __future__ import annotations
@@ -265,22 +268,22 @@ def _decode_jpeg6(raw: bytes, t: dict, one) -> np.ndarray:
 
 def _decode_float(raw: bytes, t: dict, one, e: str,
                   comp: int) -> np.ndarray:
-    """SampleFormat 3 (IEEE float, 32- or 64-bit) strips → normalized
-    display: finite values scale min→0, max→255 over the whole image
-    (the float data has no intrinsic display range); non-finite
-    samples display as 0; photometric 0 (WhiteIsZero) inverts the
-    normalized value. Tiled/planar/predictor-3 float layouts stay
-    named errors."""
+    """SampleFormat 3 (IEEE float, 32- or 64-bit) strips OR tiles →
+    normalized display: finite values scale min→0, max→255 over the
+    whole image (the float data has no intrinsic display range);
+    non-finite samples display as 0; photometric 0 (WhiteIsZero)
+    inverts the normalized value. Predictor 3 (floating-point
+    horizontal differencing, TIFF TechNote 3: big-endian byte planes,
+    byte-wise differenced) is undone per row. Planar float layouts
+    stay named errors."""
     w, h = one(256), one(257)
     spp = one(277, 1)
     bits = t.get(258, [32])
-    if 322 in t or 323 in t:
-        raise TiffError("tiff-float-tiles-unsupported")
     if one(284, 1) != 1:
         raise TiffError("tiff-float-planar-unsupported")
-    if one(317, 1) != 1:
-        # predictor 3 = floating-point horizontal differencing
-        raise TiffError(f"tiff-float-predictor-{one(317, 1)}"
+    predictor = one(317, 1)
+    if predictor not in (1, 3):
+        raise TiffError(f"tiff-float-predictor-{predictor}"
                         "-unsupported")
     photo = one(262, 1)
     if photo not in (0, 1, 2):
@@ -289,22 +292,63 @@ def _decode_float(raw: bytes, t: dict, one, e: str,
         raise TiffError(f"tiff-float-{spp}-samples-unsupported")
     bps = bits[0] // 8
     sdtype = np.dtype(e + ("f4" if bits[0] == 32 else "f8"))
-    offsets = t.get(273)
-    counts = t.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise TiffError("tiff-missing-strips")
-    rps = one(278, h)
-    if rps <= 0 or len(offsets) < -(-h // rps):
-        raise TiffError("tiff-missing-strips")
-    out = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        data = raw[off:off + cnt]
-        if len(data) < cnt:
-            raise TiffError("tiff-truncated-strip")
-        nrows = min(rps, h - si * rps)
-        out += _decompress_segment(data, comp, nrows * w * spp * bps)
-    arr = np.frombuffer(bytes(out), dtype=sdtype) \
-        .reshape(h, w, spp).astype(np.float64)
+
+    def undiff(chunk: bytes, rows: int, width: int) -> np.ndarray:
+        """One decompressed segment → (rows, width, spp) float64."""
+        a = np.frombuffer(chunk, dtype=np.uint8) \
+            .reshape(rows, width * spp * bps)
+        if predictor == 3:
+            a = np.cumsum(a, axis=1, dtype=np.uint8)
+            # deinterleave the big-endian byte planes
+            a = a.reshape(rows, bps, width * spp) \
+                .transpose(0, 2, 1).copy()
+            return np.frombuffer(a.tobytes(),
+                                 dtype=np.dtype(">" + sdtype.str[1:])
+                                 ).reshape(rows, width, spp) \
+                .astype(np.float64)
+        return np.frombuffer(chunk, dtype=sdtype) \
+            .reshape(rows, width, spp).astype(np.float64)
+
+    if 322 in t or 323 in t:                       # tile organization
+        tw, tl = one(322), one(323)
+        if not (tw and tl):
+            raise TiffError("tiff-zero-tile-dims")
+        offsets, counts = t.get(324), t.get(325)
+        across, down = -(-w // tw), -(-h // tl)
+        if not offsets or not counts or len(offsets) != len(counts) \
+                or len(offsets) < across * down:
+            raise TiffError("tiff-missing-tiles")
+        canvas = np.zeros((down * tl, across * tw, spp),
+                          dtype=np.float64)
+        for ti in range(across * down):
+            off, cnt = offsets[ti], counts[ti]
+            data = raw[off:off + cnt]
+            if len(data) < cnt:
+                raise TiffError("tiff-truncated-tile")
+            chunk = _decompress_segment(data, comp,
+                                        tl * tw * spp * bps)
+            ty, tx = divmod(ti, across)
+            canvas[ty * tl:(ty + 1) * tl,
+                   tx * tw:(tx + 1) * tw] = undiff(chunk, tl, tw)
+        arr = np.ascontiguousarray(canvas[:h, :w])
+    else:
+        offsets = t.get(273)
+        counts = t.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TiffError("tiff-missing-strips")
+        rps = one(278, h)
+        if rps <= 0 or len(offsets) < -(-h // rps):
+            raise TiffError("tiff-missing-strips")
+        rows_list = []
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            data = raw[off:off + cnt]
+            if len(data) < cnt:
+                raise TiffError("tiff-truncated-strip")
+            nrows = min(rps, h - si * rps)
+            chunk = _decompress_segment(data, comp,
+                                        nrows * w * spp * bps)
+            rows_list.append(undiff(chunk, nrows, w))
+        arr = np.concatenate(rows_list, axis=0)
     finite = np.isfinite(arr)
     vals = arr[finite]
     norm = np.zeros_like(arr)
@@ -440,9 +484,9 @@ def _decode(raw: bytes) -> np.ndarray:
         if len(set(bits)) > 1 or bits[0] not in (32, 64):
             raise TiffError("tiff-float-bitdepth-unsupported")
         return _decode_float(raw, t, one, e, comp)
-    if sample_fmt not in (1, 4):                   # unsigned/undefined
-        # signed ints (2) would silently decode wrong as unsigned
+    if sample_fmt not in (1, 2, 4):                # unsigned/signed/undef
         raise TiffError(f"tiff-sampleformat-{sample_fmt}-unsupported")
+    signed = sample_fmt == 2                       # r7: shift to display
     if all(b == 8 for b in bits):
         bps = 1                                    # bytes per sample
     elif all(b == 16 for b in bits):
@@ -465,6 +509,8 @@ def _decode(raw: bytes) -> np.ndarray:
             raise TiffError("tiff-palette-multisample-unsupported")
         if bps != 1:
             raise TiffError("tiff-palette-16bit-unsupported")
+        if signed:
+            raise TiffError("tiff-palette-signed-unsupported")
         if not t.get(320):
             raise TiffError("tiff-palette-missing-colormap")
     elif photo not in (0, 1, 2):
@@ -560,6 +606,11 @@ def _decode(raw: bytes) -> np.ndarray:
         if predictor == 2:                         # horizontal diff
             np.cumsum(arr, axis=1, dtype=arr.dtype, out=arr)
 
+    if signed:
+        # two's-complement → display: value + 2^(bits-1) mod 2^bits is
+        # a top-bit flip, correct even after predictor-2 cumsum (the
+        # differencing is mod 2^bits either way)
+        arr = arr ^ (np.uint8(0x80) if bps == 1 else np.uint16(0x8000))
     if bps == 2:                                   # display: high byte
         arr = (arr >> 8).astype(np.uint8)
 

@@ -954,8 +954,132 @@ def test_tiff_float_samples():
     cn = (c - c.min()) / (c.max() - c.min())
     assert np.array_equal(
         got, np.clip(np.rint(cn * 255.0), 0, 255).astype(np.uint8))
-    # named errors: float tiles, signed-int samples
-    with pytest.raises(tiff.TiffError, match="float-tiles"):
-        tiff.decode_tiff(ftiff(f, tile=True))
-    with pytest.raises(tiff.TiffError, match="sampleformat-2"):
-        tiff.decode_tiff(ftiff(f, fmt=2))
+    # float tiles and signed ints decode since r7d — see
+    # test_tiff_float_tiles_and_predictor3 / test_tiff_signed_samples;
+    # planar float stays the named residue
+    ent = [(256, 3, [14]), (257, 3, [10]), (258, 3, [32]),
+           (259, 3, [1]), (262, 3, [1]), (277, 3, [1]),
+           (284, 3, [2]), (339, 3, [3]),
+           (278, 3, [10]), (273, 4, None), (279, 4, None)]
+    seg = f.astype("<f4").tobytes()
+    with pytest.raises(tiff.TiffError, match="float-planar"):
+        tiff.decode_tiff(_pack_tiff(
+            [e if e[0] != 279 else (279, 4, [len(seg)]) for e in ent],
+            [seg], "<"))
+
+
+def test_tiff_float_tiles_and_predictor3():
+    """Round 7d: float TILES place/crop like integer tiles; predictor 3
+    (TechNote 3 byte-plane differencing) round-trips on strips AND
+    tiles, both byte orders, f4 and f8."""
+    rng = np.random.RandomState(31)
+    f = (rng.rand(10, 13).astype(np.float32) * 9.0 - 2.0)
+    f[0, 0], f[9, 12] = -2.0, 7.0
+    norm = (f - f.min()) / (f.max() - f.min())
+    want = np.clip(np.rint(norm * 255.0), 0, 255) \
+        .astype(np.uint8).reshape(10, 13, 1)
+
+    def pred3_rows(block, bits, endian):
+        be = block.astype(np.dtype(">" + ("f4" if bits == 32
+                                          else "f8")))
+        rows, width = block.shape[:2]
+        spp = block.shape[2] if block.ndim == 3 else 1
+        bps = bits // 8
+        a = np.frombuffer(be.tobytes(), dtype=np.uint8) \
+            .reshape(rows, width * spp, bps)
+        planes = a.transpose(0, 2, 1).reshape(rows, width * spp * bps)
+        out = np.diff(planes.astype(np.int16), axis=1,
+                      prepend=np.zeros((rows, 1), np.int16)) \
+            .astype(np.uint8)
+        return out.tobytes()
+
+    def ftiff(data, *, bits=32, endian="<", tile=None, pred=1):
+        h, w = data.shape[:2]
+        spp = data.shape[2] if data.ndim == 3 else 1
+        d3 = data.reshape(h, w, spp)
+        ent = [(256, 3, [w]), (257, 3, [h]), (258, 3, [bits] * spp),
+               (259, 3, [1]), (262, 3, [1]), (277, 3, [spp]),
+               (339, 3, [3] * spp), (317, 3, [pred])]
+        if tile:
+            tw, tl = tile
+            segs = []
+            for ty in range(0, h, tl):
+                for tx in range(0, w, tw):
+                    block = np.zeros((tl, tw, spp), data.dtype)
+                    sub = d3[ty:ty + tl, tx:tx + tw]
+                    block[:sub.shape[0], :sub.shape[1]] = sub
+                    segs.append(
+                        pred3_rows(block, bits, endian) if pred == 3
+                        else block.astype(np.dtype(
+                            endian + ("f4" if bits == 32 else "f8"))
+                        ).tobytes())
+            ent += [(322, 3, [tw]), (323, 3, [tl]), (324, 4, None),
+                    (325, 4, [len(s) for s in segs])]
+        else:
+            seg = pred3_rows(d3, bits, endian) if pred == 3 \
+                else d3.astype(np.dtype(
+                    endian + ("f4" if bits == 32 else "f8"))).tobytes()
+            segs = [seg]
+            ent += [(278, 3, [h]), (273, 4, None),
+                    (279, 4, [len(s) for s in segs])]
+        return _pack_tiff(ent, segs, endian)
+
+    assert np.array_equal(tiff.decode_tiff(ftiff(f, tile=(8, 8))),
+                          want)
+    assert np.array_equal(
+        tiff.decode_tiff(ftiff(f, tile=(8, 8), bits=64)), want)
+    # predictor 3: strips and tiles; for pred 3 the bytes are
+    # big-endian planes regardless of file order
+    assert np.array_equal(tiff.decode_tiff(ftiff(f, pred=3)), want)
+    assert np.array_equal(
+        tiff.decode_tiff(ftiff(f, pred=3, tile=(8, 8))), want)
+    assert np.array_equal(
+        tiff.decode_tiff(ftiff(f, pred=3, bits=64)), want)
+    # RGB float tiles
+    c = rng.rand(6, 5, 3).astype(np.float32)
+    got = tiff.decode_tiff(ftiff(c, tile=(4, 4)))
+    cn = (c - c.min()) / (c.max() - c.min())
+    assert np.array_equal(
+        got, np.clip(np.rint(cn * 255.0), 0, 255).astype(np.uint8))
+
+
+def test_tiff_signed_samples():
+    """Round 7d SampleFormat 2: two's-complement samples shift to
+    display (top-bit flip), incl. 16-bit high-byte display and
+    predictor 2; palette+signed stays a named error."""
+    rng = np.random.RandomState(33)
+    s8 = rng.randint(-128, 128, size=(9, 11), dtype=np.int16)
+
+    def stiff(data, *, bits=8, pred=1, photo=1):
+        h, w = data.shape
+        if bits == 8:
+            raw = data.astype(np.int8)
+        else:
+            raw = data.astype("<i2")
+        if pred == 2:
+            raw = np.diff(raw.astype(np.int32), axis=1,
+                          prepend=np.zeros((h, 1), np.int32))
+            raw = raw.astype(np.int8 if bits == 8 else "<i2")
+        seg = raw.tobytes()
+        ent = [(256, 3, [w]), (257, 3, [h]), (258, 3, [bits]),
+               (259, 3, [1]), (262, 3, [photo]), (277, 3, [1]),
+               (339, 3, [2]), (317, 3, [pred]), (278, 3, [h]),
+               (273, 4, None), (279, 4, [len(seg)])]
+        if photo == 3:
+            ent += [(320, 3, list(range(768)))]
+        return _pack_tiff(ent, [seg], "<")
+
+    want8 = (s8 + 128).astype(np.uint8).reshape(9, 11, 1)
+    assert np.array_equal(tiff.decode_tiff(stiff(s8)), want8)
+    assert np.array_equal(tiff.decode_tiff(stiff(s8, pred=2)), want8)
+    s16 = rng.randint(-32768, 32768, size=(7, 6), dtype=np.int32)
+    want16 = (((s16 + 32768) >> 8).astype(np.uint8)).reshape(7, 6, 1)
+    assert np.array_equal(tiff.decode_tiff(stiff(s16, bits=16)),
+                          want16)
+    assert np.array_equal(
+        tiff.decode_tiff(stiff(s16, bits=16, pred=2)), want16)
+    # photometric 0 inverts the shifted display value
+    assert np.array_equal(tiff.decode_tiff(stiff(s8, photo=0)),
+                          255 - want8)
+    with pytest.raises(tiff.TiffError, match="palette-signed"):
+        tiff.decode_tiff(stiff(s8, photo=3))
