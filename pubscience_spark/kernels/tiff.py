@@ -295,13 +295,15 @@ def _decode_float(raw: bytes, t: dict, one, e: str,
 
     def undiff(chunk: bytes, rows: int, width: int) -> np.ndarray:
         """One decompressed segment → (rows, width, spp) float64."""
-        a = np.frombuffer(chunk, dtype=np.uint8) \
-            .reshape(rows, width * spp * bps)
         if predictor == 3:
+            # byte-wise accumulate with STRIDE = spp (libtiff fpAcc:
+            # byte[i] += byte[i - spp]), i.e. one chain per residue
+            # class mod spp, then deinterleave the big-endian planes
+            a = np.frombuffer(chunk, dtype=np.uint8) \
+                .reshape(rows, width * bps, spp)
             a = np.cumsum(a, axis=1, dtype=np.uint8)
-            # deinterleave the big-endian byte planes
             a = a.reshape(rows, bps, width * spp) \
-                .transpose(0, 2, 1).copy()
+                .transpose(0, 2, 1)
             return np.frombuffer(a.tobytes(),
                                  dtype=np.dtype(">" + sdtype.str[1:])
                                  ).reshape(rows, width, spp) \
@@ -337,10 +339,15 @@ def _decode_float(raw: bytes, t: dict, one, e: str,
         if not offsets or not counts or len(offsets) != len(counts):
             raise TiffError("tiff-missing-strips")
         rps = one(278, h)
-        if rps <= 0 or len(offsets) < -(-h // rps):
+        n_strips = -(-h // rps) if rps > 0 else 0
+        if rps <= 0 or len(offsets) < n_strips:
             raise TiffError("tiff-missing-strips")
         rows_list = []
-        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        # cap at the strips the geometry needs: extra StripOffsets
+        # entries in a malformed file must not append garbage rows
+        # (which would also skew the whole-image normalization)
+        for si in range(n_strips):
+            off, cnt = offsets[si], counts[si]
             data = raw[off:off + cnt]
             if len(data) < cnt:
                 raise TiffError("tiff-truncated-strip")
@@ -349,6 +356,8 @@ def _decode_float(raw: bytes, t: dict, one, e: str,
                                         nrows * w * spp * bps)
             rows_list.append(undiff(chunk, nrows, w))
         arr = np.concatenate(rows_list, axis=0)
+        if arr.shape[0] != h:
+            raise TiffError("tiff-float-rows-mismatch")
     finite = np.isfinite(arr)
     vals = arr[finite]
     norm = np.zeros_like(arr)

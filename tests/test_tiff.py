@@ -987,9 +987,10 @@ def test_tiff_float_tiles_and_predictor3():
         bps = bits // 8
         a = np.frombuffer(be.tobytes(), dtype=np.uint8) \
             .reshape(rows, width * spp, bps)
-        planes = a.transpose(0, 2, 1).reshape(rows, width * spp * bps)
+        planes = a.transpose(0, 2, 1).reshape(rows, width * bps, spp)
+        # libtiff fpDiff: byte[i] -= byte[i - spp] on the plane bytes
         out = np.diff(planes.astype(np.int16), axis=1,
-                      prepend=np.zeros((rows, 1), np.int16)) \
+                      prepend=np.zeros((rows, 1, spp), np.int16)) \
             .astype(np.uint8)
         return out.tobytes()
 
@@ -1035,12 +1036,28 @@ def test_tiff_float_tiles_and_predictor3():
         tiff.decode_tiff(ftiff(f, pred=3, tile=(8, 8))), want)
     assert np.array_equal(
         tiff.decode_tiff(ftiff(f, pred=3, bits=64)), want)
-    # RGB float tiles
+    # RGB float tiles, and RGB predictor 3 (stride = spp — the review
+    # caught a stride-1 accumulate that garbled multi-sample files)
     c = rng.rand(6, 5, 3).astype(np.float32)
-    got = tiff.decode_tiff(ftiff(c, tile=(4, 4)))
     cn = (c - c.min()) / (c.max() - c.min())
+    cwant = np.clip(np.rint(cn * 255.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(tiff.decode_tiff(ftiff(c, tile=(4, 4))),
+                          cwant)
+    assert np.array_equal(tiff.decode_tiff(ftiff(c, pred=3)), cwant)
     assert np.array_equal(
-        got, np.clip(np.rint(cn * 255.0), 0, 255).astype(np.uint8))
+        tiff.decode_tiff(ftiff(c, pred=3, tile=(4, 4))), cwant)
+    # a malformed EXTRA strip entry must not append garbage rows or
+    # skew the normalization (review: the loop now caps at the strips
+    # the geometry needs)
+    h, w = f.shape
+    seg = f.astype("<f4").tobytes()
+    junk = (np.full((5, w), 99.0, np.float32)).astype("<f4").tobytes()
+    ent = [(256, 3, [w]), (257, 3, [h]), (258, 3, [32]),
+           (259, 3, [1]), (262, 3, [1]), (277, 3, [1]),
+           (339, 3, [3]), (278, 3, [h]), (273, 4, None),
+           (279, 4, [len(seg), len(junk)])]
+    got = tiff.decode_tiff(_pack_tiff(ent, [seg, junk], "<"))
+    assert np.array_equal(got, want)
 
 
 def test_tiff_signed_samples():
