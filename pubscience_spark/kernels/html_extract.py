@@ -73,6 +73,8 @@ class _Node:
 
 
 def _is_boilerplate_attrs(attrs: dict) -> bool:
+    if not attrs:
+        return False
     blob = " ".join(
         v for k, v in attrs.items() if k in ("class", "id", "role") and v
     ).lower()
@@ -201,12 +203,15 @@ def _node_text(node) -> tuple[str, int]:
         anchor += a
     joined = "".join(text)
     if node.tag == "a":
-        anchor = len(_WS.sub(" ", joined).strip())
+        anchor = len(" ".join(joined.split()))
     return joined, anchor
 
 
 def _norm(s: str) -> str:
-    return _WS.sub(" ", s).strip()
+    # ≡ _WS.sub(" ", s).strip(): str.split()'s whitespace set equals
+    # regex \s (verified across the BMP in tests) and join/split skips
+    # the regex machinery — _norm runs tens of times per document
+    return " ".join(s.split())
 
 
 _INLINE_WRAP = {"strong": "**", "b": "**", "em": "*", "i": "*", "code": "`"}
@@ -301,7 +306,7 @@ class _Emitter:
                 text = _norm(_node_text(ch)[0])
                 if not text:
                     continue
-                if any(text.lower().startswith(s) for s in STOP_HEADINGS):
+                if text.lower().startswith(STOP_HEADINGS):
                     self.stopped = True
                     return
                 self.blocks.append(("heading:" + HEADING_TAGS[tag], text))
@@ -398,6 +403,216 @@ class _Emitter:
         return density > LINK_DENSITY_MAX and n < MIN_PROSE_CHARS
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer (round-8 optimization, guide §1.2 step 2 "per-task work").
+#
+# Profiling the extraction hot stage showed ~60% of the HTML route inside
+# html.parser's feed machinery (goahead / parse_starttag / updatepos /
+# check_for_whole_start_tag — per-token method dispatch and incremental-
+# buffer bookkeeping we never need: documents arrive whole). _fast_parse
+# replicates HTMLParser.feed(doc); close() for convert_charrefs=True
+# BYTE-FOR-BYTE — same module regexes, same malformed-input recovery, same
+# cdata (script/style) handling — in one tight loop driving the same
+# _TreeBuilder handlers. Anything whose stdlib handling is stateful in a
+# way not replicated here (marked sections "<![") returns False and the
+# caller re-parses the whole document with the stdlib path. Equivalence is
+# pinned by tests over the datagen corpus, the frozen fixtures and an
+# adversarial mutation sweep.
+# ---------------------------------------------------------------------------
+
+from html.parser import (attrfind_tolerant, commentclose, endtagfind,
+                         locatestarttagend_tolerant, tagfind_tolerant)
+
+_CDATA_RE = {
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
+}
+# attribute-free start tag incl. the terminating '>' (no '/', no attrs):
+# the overwhelmingly common case skips the attr loop entirely
+_SIMPLE_TAG = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)>")
+# start tag whose attributes are all double-quoted, '&'-free and
+# whitespace-separated — on a match, the tolerant machinery provably
+# yields exactly (name.lower(), value) pairs with no unescape effect,
+# so the big verbose-regex + per-attr match loop can be skipped
+_EASY_TAG = re.compile(
+    r'<([a-zA-Z][a-zA-Z0-9]*)'
+    r'((?:\s+[a-zA-Z][-a-zA-Z0-9_:.]*="[^"<>&]*")*)\s*(/?)>')
+_EASY_ATTR = re.compile(r'([a-zA-Z][-a-zA-Z0-9_:.]*)="([^"]*)"')
+# well-formed end tag (no spaces): first '>' is the matched one, so this
+# short-circuits endendtag.search + endtagfind.match
+_SIMPLE_END = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)>")
+_ATTR_END_CHARS = ("abcdefghijklmnopqrstuvwxyz=/"
+                   "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def _fast_parse(tb: "_TreeBuilder", rawdata: str) -> bool:
+    handle_data = tb.handle_data
+    handle_starttag = tb.handle_starttag
+    handle_endtag = tb.handle_endtag
+    find = rawdata.find
+    startswith = rawdata.startswith
+    n = len(rawdata)
+    i = 0
+    cdata_elem = None
+    cdata_re = None
+    while i < n:
+        if cdata_elem is None:
+            j = find("<", i)
+            if j < 0:
+                j = n
+        else:
+            m = cdata_re.search(rawdata, i)
+            if m is None:
+                return True      # unterminated cdata: stdlib drops the rest
+            j = m.start()
+        if i < j:
+            handle_data(rawdata[i:j] if cdata_elem is not None
+                        else unescape(rawdata[i:j]))
+        i = j
+        if i == n:
+            break
+        c = rawdata[i + 1] if i + 1 < n else ""
+        if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+            # ---- start tag (parse_starttag + check_for_whole_start_tag)
+            sm = _SIMPLE_TAG.match(rawdata, i)
+            if sm is not None:
+                tag = sm.group(1).lower()
+                handle_starttag(tag, [])
+                if tag in ("script", "style"):
+                    cdata_elem = tag
+                    cdata_re = _CDATA_RE[tag]
+                i = sm.end()
+                continue
+            em2 = _EASY_TAG.match(rawdata, i)
+            if em2 is not None:
+                tag = em2.group(1).lower()
+                attrs = [(a.lower(), v)
+                         for a, v in _EASY_ATTR.findall(em2.group(2))]
+                handle_starttag(tag, attrs)
+                if em2.group(3):
+                    handle_endtag(tag)
+                elif tag in ("script", "style"):
+                    cdata_elem = tag
+                    cdata_re = _CDATA_RE[tag]
+                i = em2.end()
+                continue
+            lm = locatestarttagend_tolerant.match(rawdata, i)
+            j2 = lm.end()
+            nxt = rawdata[j2:j2 + 1]
+            if nxt == ">":
+                endpos = j2 + 1
+            elif nxt == "/":
+                endpos = j2 + 2 if startswith("/>", j2) else -1
+            elif nxt == "" or nxt in _ATTR_END_CHARS:
+                endpos = -1
+            else:
+                endpos = j2 if j2 > i else i + 1
+            if endpos < 0:
+                k = -1
+            else:
+                nm = tagfind_tolerant.match(rawdata, i + 1)
+                k2 = nm.end()
+                tag = nm.group(1).lower()
+                attrs = []
+                while k2 < endpos:
+                    am = attrfind_tolerant.match(rawdata, k2)
+                    if am is None:
+                        break
+                    attrname, rest, attrvalue = am.group(1, 2, 3)
+                    if not rest:
+                        attrvalue = None
+                    elif attrvalue[:1] == "'" == attrvalue[-1:] or \
+                            attrvalue[:1] == '"' == attrvalue[-1:]:
+                        attrvalue = attrvalue[1:-1]
+                    if attrvalue:
+                        attrvalue = unescape(attrvalue)
+                    attrs.append((attrname.lower(), attrvalue))
+                    k2 = am.end()
+                end = rawdata[k2:endpos].strip()
+                if end not in (">", "/>"):
+                    handle_data(rawdata[i:endpos])
+                elif end == "/>":
+                    handle_starttag(tag, attrs)
+                    handle_endtag(tag)
+                else:
+                    handle_starttag(tag, attrs)
+                    if tag in ("script", "style"):
+                        cdata_elem = tag
+                        cdata_re = _CDATA_RE[tag]
+                k = endpos
+        elif c == "/":
+            # ---- end tag (parse_endtag)
+            if cdata_elem is None:
+                se = _SIMPLE_END.match(rawdata, i)
+                if se is not None:
+                    handle_endtag(se.group(1).lower())
+                    i = se.end()
+                    continue
+            gt0 = find(">", i + 1)
+            if gt0 < 0:
+                k = -1
+            else:
+                gtpos = gt0 + 1
+                em = endtagfind.match(rawdata, i)
+                if em is None:
+                    if cdata_elem is not None:
+                        handle_data(rawdata[i:gtpos])
+                        k = gtpos
+                    else:
+                        nm = tagfind_tolerant.match(rawdata, i + 2)
+                        if nm is None:
+                            if startswith("</>", i):
+                                k = i + 3
+                            else:           # parse_bogus_comment
+                                pos = find(">", i + 2)
+                                k = pos + 1 if pos >= 0 else -1
+                        else:
+                            handle_endtag(nm.group(1).lower())
+                            k = find(">", nm.end()) + 1
+                else:
+                    elem = em.group(1).lower()
+                    if cdata_elem is not None and elem != cdata_elem:
+                        handle_data(rawdata[i:gtpos])
+                    else:
+                        handle_endtag(elem)
+                        cdata_elem = cdata_re = None
+                    k = gtpos
+        elif startswith("<!--", i):
+            cm = commentclose.search(rawdata, i + 4)
+            k = cm.end() if cm else -1
+        elif c == "?":
+            pos = find(">", i + 2)
+            k = pos + 1 if pos >= 0 else -1
+        elif c == "!":
+            if startswith("<![", i):
+                return False    # marked section: stdlib-only machinery
+            if rawdata[i:i + 9].lower() == "<!doctype":
+                pos = find(">", i + 9)
+                k = pos + 1 if pos >= 0 else -1
+            else:               # parse_bogus_comment
+                pos = find(">", i + 2)
+                k = pos + 1 if pos >= 0 else -1
+        else:
+            # lone '<' before junk or EOF
+            handle_data("<")
+            k = i + 1
+        if k < 0:
+            # unterminated construct at EOF — goahead(end=1) recovery
+            k = find(">", i + 1)
+            if k < 0:
+                k = find("<", i + 1)
+                if k < 0:
+                    k = i + 1
+            else:
+                k += 1
+            handle_data(rawdata[i:k] if cdata_elem is not None
+                        else unescape(rawdata[i:k]))
+        i = k
+    if i < n and cdata_elem is None:
+        handle_data(unescape(rawdata[i:n]))
+    return True
+
+
 def extract_html(html: str, extended: bool = False) -> dict:
     """Extract main content + metadata from an HTML document.
 
@@ -408,10 +623,16 @@ def extract_html(html: str, extended: bool = False) -> dict:
     """
     tb = _TreeBuilder()
     try:
-        tb.feed(html)
-        tb.close()
+        ok = _fast_parse(tb, html)
     except Exception:
-        pass  # keep whatever tree we built from malformed input
+        ok = False
+    if not ok:
+        tb = _TreeBuilder()
+        try:
+            tb.feed(html)
+            tb.close()
+        except Exception:
+            pass  # keep whatever tree we built from malformed input
 
     title = _norm("".join(tb.title_parts)) or None
     authors: list[str] = []

@@ -48,29 +48,37 @@ _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
 def _unescape_pdf_string(raw: bytes) -> bytes:
     if b"\\" not in raw:        # fast path: most strings have no escapes
         return raw
+    # find()-driven slicing instead of the former byte-at-a-time loop —
+    # identical output (incl. the kept trailing lone backslash and the
+    # dropped-backslash unknown-escape rule), ~5× fewer Python ops on
+    # escape-bearing strings
     out = bytearray()
-    i = 0
-    while i < len(raw):
-        c = raw[i:i + 1]
-        if c == b"\\" and i + 1 < len(raw):
-            nxt = raw[i + 1:i + 2]
-            if nxt in _ESCAPES:
-                out += _ESCAPES[nxt]
-                i += 2
-                continue
-            if nxt.isdigit():  # octal escape, up to 3 digits
-                j = i + 1
-                oct_digits = b""
-                while j < len(raw) and raw[j:j + 1].isdigit() and len(oct_digits) < 3:
-                    oct_digits += raw[j:j + 1]
-                    j += 1
-                out.append(int(oct_digits, 8) & 0xFF)
-                i = j
-                continue
-            i += 1
-            continue
-        out += c
-        i += 1
+    i, n = 0, len(raw)
+    find = raw.find
+    while True:
+        j = find(b"\\", i)
+        if j < 0:
+            out += raw[i:]
+            break
+        out += raw[i:j]
+        if j + 1 >= n:
+            out += b"\\"        # trailing backslash is kept as-is
+            break
+        nxt = raw[j + 1:j + 2]
+        esc = _ESCAPES.get(nxt)
+        if esc is not None:
+            out += esc
+            i = j + 2
+        elif nxt.isdigit():     # octal escape, up to 3 digits
+            k = j + 1
+            oct_digits = b""
+            while k < n and raw[k:k + 1].isdigit() and len(oct_digits) < 3:
+                oct_digits += raw[k:k + 1]
+                k += 1
+            out.append(int(oct_digits, 8) & 0xFF)
+            i = k
+        else:                   # unknown escape: drop the backslash
+            i = j + 1
     return bytes(out)
 
 
@@ -103,7 +111,8 @@ def _stream_text(body: bytes) -> str:
                     pieces.append(_unescape_pdf_string(s.group(1)))
                 else:
                     pieces.append(_decode_hex_string(s.group(2)))
-    return "\n".join(p.decode("latin-1") for p in pieces)
+    # latin-1 is bytewise: decoding the join equals joining the decodes
+    return b"\n".join(pieces).decode("latin-1")
 
 
 def _decode_stream(hdr: bytes, body: bytes) -> tuple[bytes | None, str | None]:
@@ -258,7 +267,8 @@ _STOPPERS = ("d ankwoord", "na woord", "a cknowledgment", "c ontents",
 
 def _page_has(page: str, phrases: tuple[str, ...]) -> bool:
     low = page.lower()
-    return any((x in low[:60]) or (x in low[-60:]) for x in phrases)
+    head, tail = low[:60], low[-60:]    # hoisted: one slice pair, not one per phrase
+    return any((x in head) or (x in tail) for x in phrases)
 
 
 def _cleanup_pages(pages: list[str]) -> list[str]:
@@ -269,6 +279,15 @@ def _cleanup_pages(pages: list[str]) -> list[str]:
     pages = [_RE_ONLY_NUM_LINES.sub("", s) for s in pages]
     pages = [_RE_NUMS_STRING_START.sub("\n", s) for s in pages]
     return pages
+
+
+# hoisted per-page tuple concatenations from extract_summary (identical
+# phrase lists, built once instead of once per page)
+_STOPPERS_FOR_DUTCH = _STOPPERS + ("s ummary", "summary", "english summary")
+_STOPPERS_FOR_ENGLISH = _STOPPERS + ("s amenvatting", "samenvatting",
+                                     "nederlandse samenvatting",
+                                     "d utch summary", "dutch summary",
+                                     "n ederlandse samenvatting")
 
 
 def extract_summary(pages: list[str], max_scount: int = 20) -> tuple[str, str]:
@@ -285,7 +304,7 @@ def extract_summary(pages: list[str], max_scount: int = 20) -> tuple[str, str]:
             capture = True
             init_section_num = section_num
             scount += 1
-        elif _page_has(page, _STOPPERS + ("s ummary", "summary", "english summary")):
+        elif _page_has(page, _STOPPERS_FOR_DUTCH):
             capture = False
         elif section_num != init_section_num:
             capture = False
@@ -306,10 +325,7 @@ def extract_summary(pages: list[str], max_scount: int = 20) -> tuple[str, str]:
             capture = True
             init_section_num = section_num
             scount += 1
-        elif _page_has(page, _STOPPERS + ("s amenvatting", "samenvatting",
-                                          "nederlandse samenvatting",
-                                          "d utch summary", "dutch summary",
-                                          "n ederlandse samenvatting")):
+        elif _page_has(page, _STOPPERS_FOR_ENGLISH):
             capture = False
         elif section_num != init_section_num:
             capture = False
@@ -354,8 +370,8 @@ def text_extractor(pages: list[str]) -> tuple[list[str], list[int]]:
     kept = [t for t in kept if len(t.split()) > 50]
 
     drop_idx = 0  # reference drops reference-phrase pages before line scrub
-    kept = [t for t in kept
-            if not any(p in t.lower() for p in _DROP_PHRASES[drop_idx])]
+    kept = [t for t, low in ((t, t.lower()) for t in kept)
+            if not any(p in low for p in _DROP_PHRASES[drop_idx])]
 
     scrubbed: list[str] = []
     for page in kept:
@@ -364,10 +380,14 @@ def text_extractor(pages: list[str]) -> tuple[list[str], list[int]]:
         scrubbed.append("\n".join(lines))
     kept = scrubbed
 
+    # one lower() per page for the whole drop-phrase cascade (the former
+    # genexprs re-lowered the page once per phrase)
+    lowers = [(t, t.lower()) for t in kept]
     for phrases in _DROP_PHRASES[1:]:
-        kept = [t for t in kept if not any(p in t.lower() for p in phrases)]
-    kept = [t for t in kept
-            if sum(t.lower().count(c) for c in _CHAPTER_PHRASES) < 2]
+        lowers = [(t, low) for t, low in lowers
+                  if not any(p in low for p in phrases)]
+    kept = [t for t, low in lowers
+            if sum(low.count(c) for c in _CHAPTER_PHRASES) < 2]
     kept = [t for t in kept if len(t.split()) > 25]
     return kept, [len(t.split()) for t in kept]
 

@@ -50,6 +50,33 @@ def _unit_rows(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(n, 1e-12)
 
 
+def _adc_tables(qx: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Per-query ADC lookup tables ``tables[q, j, code]`` computed with
+    ROW-COUNT-INDEPENDENT per-row batched matmuls. BLAS gemm rounding
+    depends on the matrix shape, so building the same query's table
+    inside a 5-row vs a 3-row ``qx`` matmul can differ in the last
+    float32 ulp — enough to flip ``round(score, 6)`` on a boundary
+    value and break the collect-path == chunked-join-path equality the
+    tests pin. One ``(m,1,dsub)x(m,dsub,256)`` batched matmul per query
+    keeps every path bitwise-identical no matter how queries are
+    chunked."""
+    m, n_codes, dsub = cents.shape
+    ct = np.ascontiguousarray(cents.transpose(0, 2, 1))  # (m, dsub, 256)
+    out = np.empty((len(qx), m, n_codes), dtype=np.float32)
+    for i in range(len(qx)):
+        out[i] = np.matmul(qx[i].reshape(m, 1, dsub), ct)[:, 0, :]
+    return out
+
+
+def _rows_dot(qx: np.ndarray, mat_t: np.ndarray) -> np.ndarray:
+    """``qx @ mat_t`` one gemv row at a time — same row-count-rounding
+    independence rationale as :func:`_adc_tables`."""
+    out = np.empty((len(qx), mat_t.shape[1]), dtype=np.float32)
+    for i in range(len(qx)):
+        out[i] = qx[i] @ mat_t
+    return out
+
+
 def _check_dim(x: np.ndarray, codebook: "PQCodebook", who: str) -> None:
     want = codebook.m * codebook.dsub
     if x.shape[1] != want:
@@ -299,9 +326,7 @@ def _adc_candidates(codes_df: DataFrame, q_ids: np.ndarray,
     cents = codebook.centroids
     m, dsub = codebook.m, codebook.dsub
     # tables[q, j, code] = dot(query_sub_j, centroid_j_code)
-    tables = np.stack([
-        qx[:, j * dsub:(j + 1) * dsub] @ cents[j].T for j in range(m)],
-        axis=1)                                   # (nq, m, 256)
+    tables = _adc_tables(qx, cents)               # (nq, m, 256)
     bc = codes_df.sparkSession.sparkContext.broadcast((q_ids, tables))
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -404,9 +429,7 @@ def pq_topk_join(codes_df: DataFrame, queries: DataFrame,
                 qx = _unit_rows(np.array([r["qv"] for r in q_rows],
                                          dtype=np.float32))
                 _check_dim(qx, codebook, "pq_topk_join")
-                tables = np.stack([
-                    qx[:, j * dsub:(j + 1) * dsub] @ cents[j].T
-                    for j in range(m)], axis=1)   # (nq_chunk, m, 256)
+                tables = _adc_tables(qx, cents)   # (nq_chunk, m, 256)
                 bcs.append(sc.broadcast((q_ids, tables)))
         finally:
             slim.unpersist()
@@ -522,11 +545,8 @@ def ivfpq_topk_join(corpus: DataFrame, queries: DataFrame, *,
                 qx = _unit_rows(np.array([r["qv"] for r in q_rows],
                                          dtype=np.float32))
                 _check_dim(qx, codebook, "ivfpq_topk_join")
-                tables = np.stack([
-                    qx[:, j * dsub:(j + 1) * dsub]
-                    @ codebook.centroids[j].T
-                    for j in range(mm)], axis=1)
-                qdotc = qx @ cmat.T               # (nq_chunk, n_lists)
+                tables = _adc_tables(qx, codebook.centroids)
+                qdotc = _rows_dot(qx, cmat.T)     # (nq_chunk, n_lists)
                 probe = np.zeros_like(qdotc, dtype=bool)
                 top = np.argsort(-qdotc, axis=1)[:, :n_probe]
                 probe[np.arange(len(q_ids))[:, None], top] = True
@@ -699,7 +719,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
         return _empty_topk(corpus.sparkSession)
     qx = _unit_rows(np.array([r["qv"] for r in q_rows], dtype=np.float32))
     _check_dim(qx, codebook, "ivfpq_topk")
-    qdotc = qx @ cmat.T                           # (nq, n_lists)
+    qdotc = _rows_dot(qx, cmat.T)                 # (nq, n_lists)
     probe_rows = []
     for r, row in zip(q_rows, qdotc):
         for li in np.argsort(-row)[:n_probe]:
@@ -711,9 +731,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
 
     mm, dsub = codebook.m, codebook.dsub
     q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
-    tables = np.stack([
-        qx[:, j * dsub:(j + 1) * dsub] @ codebook.centroids[j].T
-        for j in range(mm)], axis=1)
+    tables = _adc_tables(qx, codebook.centroids)
     qpos = {int(q): i for i, q in enumerate(q_ids)}
     use_resid = residual
 
@@ -722,8 +740,13 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
             codes = np.stack(
                 b["codes"].map(lambda c: np.frombuffer(c, dtype=np.uint8)))
             qi = b["query_id"].map(qpos).to_numpy()
-            per_row = tables[qi[:, None], np.arange(mm)[None, :],
-                             codes].sum(axis=1)
+            # sequential j-order accumulation, bitwise-identical to
+            # _score_chunk's loop (numpy's sum(axis=1) is pairwise with
+            # 8 accumulators at m=8 — a last-ulp float32 divergence that
+            # flips round(score, 6) on boundary values)
+            per_row = np.zeros(len(qi), dtype=np.float32)
+            for j in range(mm):
+                per_row += tables[qi, j, codes[:, j]]
             if use_resid:                          # + q·c_list term
                 per_row = per_row + qdotc[qi, b["list_id"].to_numpy()]
             # batch-local top-(k+1) per query (same prune as pq_topk) so
