@@ -344,8 +344,8 @@ def minhash_neardup_incremental(df: DataFrame, id_col: str,
                    .withColumnRenamed("t", "t_a"), "id_a")
              .join(texts.withColumnRenamed("id", "id_b")
                    .withColumnRenamed("t", "t_b"), "id_b")
-             .withColumn("jaccard", _jaccard_pair_udf(F.col("t_a"),
-                                                      F.col("t_b")))
+             .withColumn("jaccard", _jaccard_pair_udf_1pass(F.col("t_a"),
+                                                            F.col("t_b")))
              .where(F.col("jaccard") >= threshold))
     run_dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
 
@@ -446,17 +446,32 @@ def minhash_candidates(df: DataFrame, id_col: str,
                             F.col(text_col).alias("t")))
     banded = (slim.withColumn("band", F.explode(udf(F.col("t"))))
               .select("id", "band"))
+    # banded feeds BOTH sides of the self-join; without a persist the
+    # signature pUDF (128 perms per doc) runs twice (round-8 plan audit:
+    # two ArrowEvalPython subtrees over the same scan). Slim (id, band)
+    # rows only — bands × rows, tens of bytes each.
+    from pyspark.storagelevel import StorageLevel
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct())
+    out = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.id") < F.col("b.id")))
+           .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+           .distinct())
+    out._ps_persisted_input = banded  # noqa: SLF001
+    return out
 
 
 @pandas_udf(DoubleType())
 def _jaccard_pair_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
     return pd.Series([H.jaccard(x or "", y or "") for x, y in zip(ta, tb)])
+
+
+# filter-over-UDF-column plans evaluate a deterministic UDF TWICE (once
+# under the pushed filter, once in the projection — optimization guide
+# §4.4); the function is pure, the marker only blocks the optimizer from
+# duplicating it
+_jaccard_pair_udf_1pass = _jaccard_pair_udf.asNondeterministic()
 
 
 def minhash_neardup(df: DataFrame, id_col: str, text_col: str = "text",
@@ -477,10 +492,15 @@ def minhash_neardup(df: DataFrame, id_col: str, text_col: str = "text",
                    .withColumnRenamed("t", "t_a"), "id_a")
              .join(texts.withColumnRenamed("id", "id_b")
                    .withColumnRenamed("t", "t_b"), "id_b"))
-    return (pairs.withColumn("jaccard",
-                             _jaccard_pair_udf(F.col("t_a"), F.col("t_b")))
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    out = (pairs.withColumn("jaccard",
+                            _jaccard_pair_udf_1pass(F.col("t_a"),
+                                                    F.col("t_b")))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    handle = getattr(cands, "_ps_persisted_input", None)
+    if handle is not None:
+        out._ps_persisted_input = handle  # noqa: SLF001
+    return out
 
 
 def simhash_keys(df: DataFrame, text_col: str = "text") -> DataFrame:

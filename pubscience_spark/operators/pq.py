@@ -655,6 +655,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
                m: int = 8, residual: bool = False,
                n_train: int = 20_000, pq_iter: int = 10,
                kmeans_iter: int = 5,
+               centroids: "str | list[list[float]]" = "kmeans",
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """Full IVF-PQ: coarse inverted lists prune the corpus (each query
@@ -680,9 +681,22 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
     ``n_probe/n_lists`` of the code rows per query; scoring is a
     vectorized table lookup; vectors never cross a shuffle. Approximate
     on BOTH axes (coarse recall via n_probe, fine precision via m)."""
-    from .similarity import kmeans_centroids
-    cents = kmeans_centroids(corpus, n_lists, n_iter=kmeans_iter,
-                             id_col=id_col, vec_col=vec_col)
+    # ``centroids`` mirrors ivf_topk: "kmeans" (default, the recall-tuned
+    # coarse quantizer), "first" (first n_lists vectors by id — zero
+    # training jobs; at n_probe == n_lists every list is probed, so ADC
+    # scores and therefore results are IDENTICAL under any centroid
+    # choice, test-pinned), or a precomputed list.
+    if centroids == "kmeans":
+        from .similarity import kmeans_centroids
+        cents = kmeans_centroids(corpus, n_lists, n_iter=kmeans_iter,
+                                 id_col=id_col, vec_col=vec_col)
+    elif centroids == "first":
+        cents = [r["v"] for r in
+                 corpus.orderBy(id_col).limit(n_lists)
+                 .select(F.col(vec_col).cast("array<double>").alias("v"))
+                 .collect()]
+    else:
+        cents = centroids
     cmat = _unit_rows(np.array(cents, dtype=np.float32))
     if residual:
         if codebook is not None:

@@ -302,6 +302,11 @@ def embedding_neardup_lsh(corpus: DataFrame, threshold: float, dim: int,
     # back only for candidate pairs (wide arrays never shuffle n_bands×)
     banded = vecs.withColumn("band", F.explode(sig(F.col("v")))) \
         .select("id", "band")
+    # banded feeds BOTH sides of the self-join; without a persist the
+    # signature pUDF runs twice over the corpus (round-8 plan audit).
+    # Slim (id, band) rows only.
+    from pyspark.storagelevel import StorageLevel
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.id") < F.col("b.id")))
@@ -315,9 +320,11 @@ def embedding_neardup_lsh(corpus: DataFrame, threshold: float, dim: int,
                                F.col("v").alias("vb")), "id_b"))
     cos = _dot(F.col("va"), F.col("vb")) \
         / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return (pairs.withColumn("cosine", cos)
-            .where(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+    out = (pairs.withColumn("cosine", cos)
+           .where(F.col("cosine") >= threshold)
+           .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+    out._ps_persisted_input = banded  # noqa: SLF001
+    return out
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,

@@ -50,10 +50,8 @@ from __future__ import annotations
 import re
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField
 
 from .dedup import _ensure_persisted
 
@@ -182,59 +180,86 @@ def drop_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
 
     The input feeds both the mark generation and the rebuild join, so
     it is persisted here if the caller didn't (``_ensure_persisted``);
-    release with :func:`~.dedup.unpersist_input` on the result."""
+    release with :func:`~.dedup.unpersist_input` on the result.
+
+    Round-8 rebuild: the reassembly is NATIVE Catalyst — the same
+    token-list + separator-run formula the DuckDB oracle uses (tokens
+    re-extracted, covered indices dropped, each kept token re-joined
+    with its trailing whitespace run, leading whitespace preserved) —
+    behind a CASE that short-circuits unmarked docs to their original
+    text. The former shape (mapInPandas rebuild for marked docs UNION a
+    passthrough branch) consumed the per-doc marks twice (the whole
+    winner aggregation executed once per branch), shuffled the wide doc
+    rows through two separate joins, and launched a Python worker stage;
+    this shape is one left join + one projection, no Python, no union.
+    The Python ``_rebuild_one`` stays as the reference implementation
+    (equivalence is test-pinned against it)."""
     out_col = out_col or text_col
     n = int(min_tokens)
+    # (round-8 note: persisting the input PRE-PARTITIONED on id_col was
+    # tried to save the doc-side join exchange and reverted — under AQE
+    # a cached plan's output partitioning is not trusted by
+    # EnsureRequirements, so the exchange stayed AND the cache build
+    # paid an extra shuffle.)
     df, handle = _ensure_persisted(df)
     marks = duplicate_span_marks(df, id_col, text_col,
                                  min_tokens=n, salt=salt)
-    handles = [h for h in (handle,
-                           getattr(marks, "_ps_persisted_input", None))
-               if h is not None]
     per_doc = (marks.groupBy(id_col)
                .agg(F.sort_array(F.collect_set("pos"))
                     .alias("__starts")))
+    handles = [h for h in (handle,
+                           getattr(marks, "_ps_persisted_input", None))
+               if h is not None]
     # shuffle-hash: the wide doc rows must not be sort-merge sorted
     joined = df.join(per_doc.hint("shuffle_hash"), id_col, "left")
 
-    untouched = (joined.where(F.col("__starts").isNull())
-                 .drop("__starts")
-                 .withColumn(out_col, F.col(text_col))
-                 .withColumn("n_spans_removed", F.lit(0).cast("long"))
-                 .withColumn("n_tokens_removed", F.lit(0).cast("long")))
+    text = F.col(text_col)
+    ts = F.regexp_extract_all(text, F.lit(TOKEN_RE_JAVA), 0)
+    ss = F.regexp_extract_all(text, F.lit(f"[{_WS_JAVA}]+"), 0)
+    pre = F.when(text.rlike(f"^[{_WS_JAVA}]"), F.lit(1)) \
+        .otherwise(F.lit(0))
+    # covered token indices: every start expands to [s, s+n) (starts are
+    # gram positions, so s + n - 1 < n_tokens by construction)
+    cov = F.sort_array(F.array_distinct(F.flatten(F.transform(
+        F.col("__starts"), lambda s: F.sequence(s, s + F.lit(n - 1))))))
+    # kept token i carries its trailing separator run: 0-based, the run
+    # after token i is ss[pre + i] (F.get is out-of-bounds-NULL, unlike
+    # ANSI element_at)
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size(ts) - 1),
+        lambda i: ~F.array_contains(F.col("__cov"), i))
+    rebuilt_text = F.concat(
+        F.when(pre == 1, F.get(ss, F.lit(0))).otherwise(F.lit("")),
+        F.array_join(F.transform(
+            kept_idx,
+            lambda i: F.concat(F.get(ts, i),
+                               F.coalesce(F.get(ss, pre + i),
+                                          F.lit("")))), ""))
+    # runs of covered positions = 1 + (# gaps > 1 between neighbors)
+    diffs = F.zip_with(
+        F.slice(F.col("__cov"), 2, F.size(F.col("__cov"))),
+        F.slice(F.col("__cov"), 1,
+                F.greatest(F.size(F.col("__cov")) - 1, F.lit(0))),
+        lambda a, b: a - b)
+    n_spans = (F.lit(1) + F.size(F.filter(diffs, lambda d: d > 1)))
 
-    marked = joined.where(F.col("__starts").isNotNull())
-    in_fields = [f for f in joined.schema.fields
-                 if f.name != "__starts"]
-    out_names = [f.name for f in in_fields]
-    out_fields = list(in_fields)
+    marked = F.col("__starts").isNotNull()
+    in_names = [f.name for f in joined.schema.fields
+                if f.name != "__starts"]
+    out_names = list(in_names)
     if out_col not in out_names:
-        out_fields.append(StructField(out_col, StringType()))
         out_names.append(out_col)
-    out_fields += [StructField("n_spans_removed", LongType()),
-                   StructField("n_tokens_removed", LongType())]
-    from pyspark.sql.types import StructType
-    out_schema = StructType(out_fields)
-
-    def _rebuild(it):
-        for pdf in it:
-            texts, spans, toks_rm = [], [], []
-            for text, starts in zip(pdf[text_col], pdf["__starts"]):
-                t, s, r = _rebuild_one(text, starts, n)
-                texts.append(t)
-                spans.append(s)
-                toks_rm.append(r)
-            out = pdf.drop(columns=["__starts"])
-            out[out_col] = texts
-            out["n_spans_removed"] = pd.Series(spans, dtype="int64")
-            out["n_tokens_removed"] = pd.Series(toks_rm, dtype="int64")
-            yield out[out_names + ["n_spans_removed",
-                                   "n_tokens_removed"]]
-
-    rebuilt = marked.mapInPandas(_rebuild, schema=out_schema)
-    result = rebuilt.unionByName(
-        untouched.select(*out_names, "n_spans_removed",
-                         "n_tokens_removed"))
+    result = (joined
+              .withColumn("__cov", F.when(marked, cov))
+              .withColumn(out_col,
+                          F.when(marked, rebuilt_text).otherwise(text))
+              .withColumn("n_spans_removed",
+                          F.when(marked, n_spans)
+                          .otherwise(F.lit(0)).cast("long"))
+              .withColumn("n_tokens_removed",
+                          F.when(marked, F.size(F.col("__cov")))
+                          .otherwise(F.lit(0)).cast("long"))
+              .select(*out_names, "n_spans_removed", "n_tokens_removed"))
     if handles:
         result._ps_persisted_input = \
             handles if len(handles) > 1 else handles[0]  # noqa: SLF001

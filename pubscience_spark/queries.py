@@ -540,9 +540,16 @@ def q_minhash_pairs(spark, sf_dir):
     all-pairs shingle Jaccard in SQL — banding at 64 bands × 2 rows gives
     recall 1-(1-t²)^64 (≈1-1e-8 at t=0.5), so LSH+verify must equal the
     exact pair set at battery scale."""
-    return (dedup_ops.minhash_neardup(_docs(spark, sf_dir), "doc_id",
-                                      "text", threshold=0.5, bands=64)
-            .select("id_a", "id_b", F.round("jaccard", 6).alias("jacc")))
+    marked = dedup_ops.minhash_neardup(_docs(spark, sf_dir), "doc_id",
+                                       "text", threshold=0.5, bands=64)
+    out = marked.select("id_a", "id_b",
+                        F.round("jaccard", 6).alias("jacc"))
+    # DataFrame attributes do not survive .select — re-tag the operator's
+    # persist handle so the bench's unpersist_input() releases the cache
+    handle = getattr(marked, "_ps_persisted_input", None)
+    if handle is not None:
+        out._ps_persisted_input = handle
+    return out
 
 
 SQL_MINHASH_PAIRS = """
@@ -1050,11 +1057,13 @@ def q_ivfpq_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 8)
     cb = pq_ops.train_pq(emb, dim=64, m=8, n_train=1000, n_iter=6)
-    # kmeans_iter=1: probe-all scores every list, so coarse-centroid
-    # quality cannot change results — extra Lloyd rounds here are pure
-    # battery wall-time (each is 2 Spark jobs)
+    # centroids="first": probe-all scores every list, so the coarse
+    # quantizer cannot change results (test-pinned vs plain PQ) — a
+    # k-means round here was pure battery wall-time (r8: the init sort
+    # job + a Lloyd round with an n_lists×dim literal codegen tree,
+    # ~1.3 s of the query)
     return (pq_ops.ivfpq_topk(emb, queries, cb, k=5, n_lists=8, n_probe=8,
-                              kmeans_iter=1)
+                              centroids="first")
             .withColumn("rank", F.col("rank").cast("long")))
 
 
