@@ -40,6 +40,29 @@ def _hash64(s: str) -> int:
     return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
 
 
+# Cross-document word-hash cache. Word frequency is Zipfian, so the md5
+# per DISTINCT WORD dominates the shingle/embed kernels once per-doc
+# caching is in place (round-8 profile: ~85% of minhash_signature wall
+# was hashlib calls); a module-level cache amortizes it across every
+# document a reused Python worker processes (guide §4.5 — this module
+# is importable on executors, so globals survive task boundaries when
+# spark.python.worker.reuse is on). Values are pure md5 — the cache
+# cannot change any hash, only skip recomputing it. Capacity-capped:
+# on overflow new words are hashed without being cached (first-come
+# residency is fine for Zipf — the common words arrive early).
+_WORD_CACHE: dict[str, int] = {}
+_WORD_CACHE_MAX = 1 << 19  # ~0.5M words ≈ ≤100 MB per Python worker
+
+
+def word_hash64(w: str) -> int:
+    h = _WORD_CACHE.get(w)
+    if h is None:
+        h = _hash64(w)
+        if len(_WORD_CACHE) < _WORD_CACHE_MAX:
+            _WORD_CACHE[w] = h
+    return h
+
+
 def _perm_params(num_perm: int, seed: int = 42):
     """Deterministic (a, b) arrays for multiply-shift universal hashing
     h(x) = ((a*x + b) mod 2^64) >> 32 with odd a (Dietzfelbinger et al.) —
@@ -82,6 +105,13 @@ def minhash_signature(text: str, num_perm: int = 128, k: int = 3,
     return mins.tolist()
 
 
+# odd mix constants per band row position (blake2b-derived, seed-stable)
+_BAND_MIX = np.array([
+    struct.unpack("<Q", hashlib.blake2b(f"band:{j}".encode(),
+                                        digest_size=8).digest())[0] | 1
+    for j in range(256)], dtype=np.uint64)
+
+
 # odd mix constants per shingle position (blake2b-derived, seed-stable)
 _POS_MIX = np.array([
     struct.unpack("<Q", hashlib.blake2b(f"pos:{j}".encode(),
@@ -98,10 +128,8 @@ def _shingle_hashes(text: str, k: int = 3) -> "np.ndarray | None":
         return None
     if len(words) < k:
         return np.array([_hash64(" ".join(words))], dtype=np.uint64)
-    cache: dict[str, int] = {}
-    wh = np.fromiter(
-        (cache.get(w) or cache.setdefault(w, _hash64(w)) for w in words),
-        dtype=np.uint64, count=len(words))
+    wh = np.fromiter((word_hash64(w) for w in words),
+                     dtype=np.uint64, count=len(words))
     n = len(words) - k + 1
     with np.errstate(over="ignore"):
         h = np.zeros(n, dtype=np.uint64)
@@ -111,15 +139,28 @@ def _shingle_hashes(text: str, k: int = 3) -> "np.ndarray | None":
 
 
 def minhash_bands(signature: list[int], bands: int = 16) -> list[str]:
-    """LSH band keys: 'band_idx:hash(rows)' — equal key ⇒ candidate pair."""
-    rows = len(signature) // bands
-    keys = []
-    for b in range(bands):
-        chunk = signature[b * rows:(b + 1) * rows]
-        digest = hashlib.md5(
-            (str(b) + ":" + ",".join(map(str, chunk))).encode()).hexdigest()[:16]
-        keys.append(f"{b}:{digest}")
-    return keys
+    """LSH band keys: 'band_idx:hash(rows)' — equal key ⇒ candidate pair.
+
+    Round 8: the per-band md5 over a formatted decimal string (~3 string
+    builds + a hashlib call per band per doc) is replaced with one
+    vectorized uint64 linear mix over the whole signature — odd
+    blake2b-derived multipliers make each band's map injective per row
+    position, so two different chunks collide only with ~2⁻⁶⁴ odds
+    (same regime as the md5 truncation it replaced), and the band index
+    stays in the key prefix so cross-band collisions remain impossible.
+    Collisions only ever ADD candidate pairs, which downstream exact
+    verification discards — the key function is internal plumbing, not
+    part of any frozen contract."""
+    sig = np.asarray(signature, dtype=np.uint64)
+    rows = len(sig) // bands
+    if rows > len(_BAND_MIX):
+        raise ValueError(f"minhash_bands: {rows} rows/band exceeds the "
+                         f"{len(_BAND_MIX)} mix constants")
+    chunks = sig[:bands * rows].reshape(bands, rows)
+    with np.errstate(over="ignore"):
+        mixed = (chunks * _BAND_MIX[:rows][None, :]).sum(
+            axis=1, dtype=np.uint64)
+    return [f"{b}:{v:016x}" for b, v in enumerate(mixed.tolist())]
 
 
 _BITS64 = np.arange(64, dtype=np.uint64)

@@ -39,6 +39,12 @@ def sentences_udf(s: pd.Series) -> pd.Series:
                  if t is not None else [])
 
 
+# filter-over-UDF-column plans evaluate a deterministic UDF twice (once
+# under the pushed filter, once in the projection — guide §4.4); the
+# fold is pure, the marker only blocks the optimizer from duplicating it
+sentences_udf_1pass = sentences_udf.asNondeterministic()
+
+
 @pandas_udf(ArrayType(StringType()))
 def split_sentences_udf(s: pd.Series) -> pd.Series:
     """G1 sentence segmentation."""
@@ -119,8 +125,6 @@ def with_detected_lang(df, text_col: str = "text", out_col: str = "detected",
     df = df.withColumns({
         nchars_col: F.greatest(F.length(padded_col) - 2, F.lit(1)),
     })
-    words, padded = F.col(words_col), F.col(padded_col)
-    n_words, n_chars = F.size(words), F.col(nchars_col)
     langs = sorted(_langid._PROFILES)
     score_cols = {}
     for lang in langs:
@@ -134,18 +138,28 @@ def with_detected_lang(df, text_col: str = "text", out_col: str = "detected",
         # the words-in-set count (padded joins words with single
         # spaces; adjacent stopwords share a delimiter, which plain
         # non-overlapping counting would miss).
+        #
+        # Each score is ONE ``F.expr`` parse (round 8): composed from
+        # per-call Column API pieces, the 10-language loop cost
+        # hundreds of py4j round-trips of pure driver time per query
+        # build; the SQL text parses JVM-side to the identical tree
+        # (0.5D/10.0D keep the literals DOUBLE, int/int division is
+        # double in both forms).
         alt = "|".join(_re.escape(w) for w in sorted(stop))
-        stop_hits = F.regexp_count(padded, F.lit(f"(?= ({alt}) )"))
-        gram_hits = None
-        for g in grams:
-            cnt = (F.length(padded)
-                   - F.length(F.replace(padded, F.lit(g), F.lit("")))) \
-                / F.lit(len(g))
-            gram_hits = cnt if gram_hits is None else gram_hits + cnt
-        score = (stop_hits / n_words
-                 + F.lit(0.5) * (gram_hits / n_chars) * F.lit(10.0))
-        score_cols[f"__lid_s_{lang}"] = \
-            F.when(n_words > 0, score).otherwise(F.lit(0.0))
+        if "'" in alt or "\\" in alt or any(
+                "'" in g or "\\" in g for g in grams):
+            raise ValueError(
+                f"langid profile for {lang!r} contains SQL-literal-unsafe "
+                "characters — extend the expr builder's escaping first")
+        gram_terms = " + ".join(
+            f"(length({padded_col}) - length(replace({padded_col}, "
+            f"'{g}', ''))) / {len(g)}" for g in grams)
+        score_cols[f"__lid_s_{lang}"] = F.expr(
+            f"CASE WHEN size({words_col}) > 0 THEN "
+            f"regexp_count({padded_col}, '(?= ({alt}) )')"
+            f" / size({words_col})"
+            f" + 0.5D * (({gram_terms}) / {nchars_col}) * 10.0D "
+            f"ELSE 0.0D END")
     df = df.withColumns(score_cols)
     scores = {lang: F.col(f"__lid_s_{lang}") for lang in langs}
     # winner selection via ONE sorted struct array, not pairwise CASE

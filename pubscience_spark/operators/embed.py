@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (ArrayType, FloatType, StringType, StructField,
                                StructType)
 
-from ..kernels.hashing import _hash64, normalize_words
+from ..kernels.hashing import normalize_words, word_hash64
 
 
 def embed_text(text: str, dim: int = 64) -> list[float]:
@@ -35,11 +35,10 @@ def embed_text(text: str, dim: int = 64) -> list[float]:
     order), the norm is sqrt of an exact integer, and the final
     float32 cast is one IEEE rounding in both engines."""
     vec = np.zeros(dim, dtype=np.float64)
-    cache: dict[str, int] = {}
+    # word hashes come from the kernel's cross-document cache (same md5
+    # values; the cache only skips recomputation — round 8)
     for w in normalize_words(text):
-        h = cache.get(w)
-        if h is None:
-            h = cache[w] = _hash64(w)
+        h = word_hash64(w)
         sign = 1.0 if (h >> 63) else -1.0
         vec[h % dim] += sign
     n = float(np.linalg.norm(vec))

@@ -116,10 +116,17 @@ def _kmeans_np(x: np.ndarray, k: int, n_iter: int) -> np.ndarray:
         d = (-2.0 * x @ cents.T
              + (cents * cents).sum(axis=1)[None, :])
         assign = d.argmin(axis=1)
-        for j in range(k):
-            mask = assign == j
-            if mask.any():
-                cents[j] = x[mask].mean(axis=0)
+        # vectorized per-cluster means (round 8): the 256-cluster
+        # boolean-mask loop was ~0.27 s of pure driver time per
+        # train_pq call (k·n_iter·m masked means); one float64
+        # scatter-add + bincount is ~10 ms. float64 accumulation is at
+        # least as precise as the float32 pairwise means it replaces —
+        # determinism (the only pinned property) is unchanged.
+        sums = np.zeros((k, x.shape[1]), dtype=np.float64)
+        np.add.at(sums, assign, x.astype(np.float64))
+        counts = np.bincount(assign, minlength=k)
+        nz = counts > 0
+        cents[nz] = (sums[nz] / counts[nz, None]).astype(np.float32)
     return cents
 
 

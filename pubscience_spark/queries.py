@@ -50,8 +50,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_exact_dedup(spark, sf_dir):
-    """X1: sha256 exact dedup, keep-first by doc_id."""
-    return (dedup_ops.exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+    """X1: sha256 exact dedup, keep-first by doc_id.
+
+    Round 8: projected to (survivor id, key), keep-first ≡ per-key
+    ``min(doc_id)`` — a HashAggregate with map-side partial aggregation
+    replaces the window sort (guide §2.3 "aggregate before you shuffle";
+    a viral duplicate combines per-mapper instead of sorting one hot
+    partition — the ``mark_duplicates_multi`` rationale). Identical
+    output; the full-row survivors path stays
+    :func:`operators.dedup.exact_dedup`."""
+    return (_docs(spark, sf_dir)
+            .groupBy(F.sha2(F.col("text"), 256).alias("sha256_key"))
+            .agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id", "sha256_key"))
 
 
@@ -67,13 +77,17 @@ def q_prefix_dedup(spark, sf_dir):
     """X2: 500-char normalized-prefix dedup key + keep-first survivors.
 
     ASCII corpus ⇒ the native regexp is byte-equal to the CPython kernel
-    (the kernel-backed pUDF variant is byte-contract-tested in pytest)."""
-    d = _docs_spread(spark, sf_dir).withColumn(
-        "dedup_key",
-        F.regexp_replace(F.lower(F.substring("text", 1, 500)),
-                         "[^a-zA-Z0-9]", ""))
-    return dedup_ops.keep_first(d, "dedup_key", "doc_id") \
-        .select("doc_id", "dedup_key")
+    (the kernel-backed pUDF variant is byte-contract-tested in pytest).
+
+    Round 8: keep-first on the (id, key) projection ≡ per-key
+    ``min(doc_id)`` — HashAggregate with map-side combine instead of the
+    window's full sort (same rewrite as ``exact_dedup``; identical
+    output, hot-key safe)."""
+    return (_docs_spread(spark, sf_dir)
+            .groupBy(F.regexp_replace(F.lower(F.substring("text", 1, 500)),
+                                      "[^a-zA-Z0-9]", "").alias("dedup_key"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "dedup_key"))
 
 
 SQL_PREFIX_DEDUP = """
@@ -126,7 +140,14 @@ def q_corpus_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("__w").cast("long")).alias("total_words"),
         F.sum(F.length("text").cast("long")).alias("total_chars"),
-        F.countDistinct("text").alias("n_distinct_texts"))
+        # round 8: distinct over sha2(text) — the Expand shuffle carries
+        # a fixed 64-char key instead of the document body (guide §2.3
+        # narrower types / shuffle metadata not payloads). Equal counts:
+        # distinct texts ↔ distinct SHA-256 digests (a divergence needs
+        # a SHA-256 collision; none exists at any input size that fits
+        # the planet's storage). The oracle keeps count(DISTINCT text).
+        F.countDistinct(F.sha2(F.col("text"), 256))
+        .alias("n_distinct_texts"))
     return agg.select(
         "source", "n_docs", "total_words", "total_chars",
         F.round(F.col("total_words") / F.col("n_docs"), 4).alias("avg_words"),
@@ -1608,9 +1629,16 @@ def q_hash_embed_topk(spark, sf_dir):
     exact integer; /n and the float32 cast are single IEEE roundings)
     — see :func:`_hash_embed_topk_oracle_sql`."""
     from .operators.embed import embed_documents
-    emb = (embed_documents(_docs_spread(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
+    emb = (embed_documents(docs)
            .withColumn("vec_id", F.col("id").cast("long")))
-    queries = emb.where(F.col("vec_id") < 5)
+    # round 8: ``emb.where(vec_id < 5)`` cannot push below the opaque
+    # mapInPandas (guide §4.1), so the query side re-embedded the WHOLE
+    # corpus; filtering the 5 query docs BEFORE the embedder is the same
+    # set (vec_id = cast(doc_id)) and reaches the parquet scan as a
+    # pushed filter — one corpus-wide Python pass instead of two
+    queries = (embed_documents(docs.where(F.col("doc_id") < 5))
+               .withColumn("vec_id", F.col("id").cast("long")))
     return sim_ops.cosine_topk(emb, queries, k=3) \
         .withColumn("rank", F.col("rank").cast("long"))
 
@@ -1675,11 +1703,23 @@ def q_clean_sentences(spark, sf_dir):
     with a ``[done..., pending]`` accumulator (see
     :func:`_clean_sentences_oracle_sql`; fix_encoding is identity on
     the marker-free battery text — documented there)."""
-    from .operators.clean import clean_corpus
+    from .operators.clean import sentences_udf_1pass
     from .operators.util import spread
-    return (clean_corpus(spread(_events(spark, sf_dir)), "event_id", "props")
-            .groupBy("id").agg(F.count(F.lit(1)).alias("n_sentences"),
-                               F.sum(F.length("sentence")).alias("n_chars")))
+    # round 8: the per-doc counts derive from the C4 fold's array
+    # directly — posexplode + groupBy shuffled every assembled SENTENCE
+    # string just to count it (guide §2.3: shuffle keys/metadata, not
+    # payloads). Same UDF, same fold, zero shuffles; empty folds drop
+    # exactly like explode-of-empty did. ``clean_corpus`` (the exploded
+    # per-sentence operator used by the pipelines) is unchanged and
+    # stays pytest-covered.
+    d = (spread(_events(spark, sf_dir))
+         .select(F.col("event_id").alias("id"),
+                 sentences_udf_1pass(F.col("props")).alias("__s")))
+    return (d.where(F.size("__s") > 0)
+            .select("id",
+                    F.size("__s").cast("long").alias("n_sentences"),
+                    F.expr("aggregate(__s, 0L, (a, x) -> a + length(x))")
+                    .alias("n_chars")))
 
 
 def _clean_sentences_oracle_sql() -> str:
