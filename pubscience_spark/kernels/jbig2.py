@@ -394,6 +394,13 @@ def parse_segments(data: bytes) -> list[dict]:
         else:
             o += 1
         ref_size = 1 if num <= 256 else 2 if num <= 65536 else 4
+        # long-form count is attacker-controlled up to 2^29: require the
+        # refs plus the 5+ remaining header bytes (page assoc + length)
+        # to fit the input BEFORE building the list — a ~70-byte crafted
+        # stream must not spin a multi-million-entry loop and escape
+        # with a raw IndexError (ADVICE r8)
+        if count * ref_size + 5 > n - o:
+            raise Jbig2Error("jbig2-truncated-header")
         refs = []
         for _ in range(count):
             refs.append(int.from_bytes(data[o:o + ref_size], "big"))
@@ -419,6 +426,14 @@ _COMBINE = {
     3: lambda a, b: 1 - (a ^ b),                   # XNOR
     4: lambda a, b: b,                             # REPLACE
 }
+
+# total-pixel budget per decoded region AND for the composed page:
+# dims are attacker-controlled u32s and the per-pixel MQ loops are
+# pure Python, so area — not just per-side 2^16 — must be bounded
+# (ADVICE r8). 2^26 ≈ 67M pixels covers A4 at 600 dpi (~35M) with
+# headroom; a larger declared region raises a named error instead of
+# wedging an executor for hours.
+_MAX_REGION_PIXELS = 1 << 26
 
 # segment types that carry no pixels for the generic tier and are safe
 # to skip: end-of-page/stripe/file, extension, tables
@@ -621,6 +636,14 @@ def _decode_region_segment(seg: dict) -> tuple[np.ndarray, int, int,
         raise Jbig2Error("jbig2-region-truncated")
     w, h = _u32(d, 0), _u32(d, 4)
     x, y = _u32(d, 8), _u32(d, 12)
+    # header-declared u32 dims are attacker-controlled and the MQ
+    # decoder never exhausts its input (past-EOF reads are 0xFF
+    # forever): the same 2^16 guard the text/halftone tiers carry,
+    # plus a total-area cap bounding the per-pixel decode loop and a
+    # placement bound for compose() (ADVICE r8)
+    if not (w and h) or w > 1 << 16 or h > 1 << 16 \
+            or w * h > _MAX_REGION_PIXELS or x > 1 << 16 or y > 1 << 16:
+        raise Jbig2Error("jbig2-region-dims")
     comb = d[16] & 0x07
     gflags = d[17]
     mmr = bool(gflags & 1)
@@ -817,7 +840,8 @@ def _decode_text_region(seg: dict, sym_map: dict
     if not syms:
         raise Jbig2Error("jbig2-textregion-no-symbols")
     codelen = max(0, (len(syms) - 1).bit_length())
-    if not (w and h) or w > 1 << 16 or h > 1 << 16:
+    if not (w and h) or w > 1 << 16 or h > 1 << 16 \
+            or w * h > _MAX_REGION_PIXELS:
         raise Jbig2Error("jbig2-textregion-dims")
     region = np.full((h, w), def_pixel, dtype=np.uint8)
     dec = MQDecoder(d[o:])
@@ -938,7 +962,8 @@ def _decode_refinement_segment(seg: dict, page, default: int
         raise Jbig2Error("jbig2-refinement-truncated")
     if seg["refs"]:
         raise Jbig2Error("jbig2-refinement-intermediate-unsupported")
-    if not (w and h) or w > 1 << 16 or h > 1 << 16:
+    if not (w and h) or w > 1 << 16 or h > 1 << 16 \
+            or w * h > _MAX_REGION_PIXELS:
         raise Jbig2Error("jbig2-refinement-dims")
     if page is None:
         raise Jbig2Error("jbig2-refinement-before-page")
@@ -1014,7 +1039,9 @@ def _decode_halftone_region(seg: dict, pat_map: dict
     if not pats:
         raise Jbig2Error("jbig2-halftone-no-patterns")
     if not (w and h) or w > 1 << 16 or h > 1 << 16 \
-            or hgw > 1 << 16 or hgh > 1 << 16 or not (hgw and hgh):
+            or hgw > 1 << 16 or hgh > 1 << 16 or not (hgw and hgh) \
+            or w * h > _MAX_REGION_PIXELS \
+            or hgw * hgh > _MAX_REGION_PIXELS:
         raise Jbig2Error("jbig2-halftone-dims")
     if comb_op not in _COMBINE:
         raise Jbig2Error(f"jbig2-combine-op-{comb_op}")
@@ -1138,6 +1165,11 @@ def decode_embedded(data: bytes, globals_data: bytes = b""
         if page is None:
             page = np.zeros((y + h, x + w), dtype=np.uint8)
         if y + h > page.shape[0] or x + w > page.shape[1]:
+            if max(y + h, page.shape[0]) * max(x + w, page.shape[1]) \
+                    > 4 * _MAX_REGION_PIXELS:
+                # placement offsets are attacker-controlled: cap the
+                # grown page area before the multi-GB allocation
+                raise Jbig2Error("jbig2-page-dims")
             grown = np.full((max(y + h, page.shape[0]),
                              max(x + w, page.shape[1])),
                             default, dtype=np.uint8)
@@ -1157,6 +1189,10 @@ def decode_embedded(data: bytes, globals_data: bytes = b""
             default = (flags >> 2) & 1
             if ph == 0xFFFFFFFF:
                 ph = 0                             # striped: grow below
+            if pw * ph > 4 * _MAX_REGION_PIXELS:
+                # declared page dims are attacker-controlled u32s —
+                # bound the allocation like compose() bounds growth
+                raise Jbig2Error("jbig2-page-dims")
             page = np.full((ph, pw), default, dtype=np.uint8)
         elif t in _GENERIC_TYPES:
             bmp, x, y, comb = _decode_region_segment(seg)

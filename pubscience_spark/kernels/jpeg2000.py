@@ -984,6 +984,13 @@ def parse_codestream(data: bytes) -> dict:
                 # which the single-precinct packet iterator cannot
                 # parse — named error, never desynced packets
                 raise Jp2Error("jp2-precinct-count-unsupported")
+            if xs * ys * csiz > 1 << 27:
+                # per-side guards alone admit 2^15 × 2^15 × 16
+                # components ≈ 17G samples of float64 band + DWT
+                # intermediates from a tiny crafted header (ADVICE
+                # r8) — budget total samples (~128M ≈ 1 GB transient)
+                # before any band array is allocated
+                raise Jp2Error("jp2-image-too-large")
             siz = {"w": xs, "h": ys, "comps": comps}
             pos += ln
         elif m == b"\xff\x52":                     # COD

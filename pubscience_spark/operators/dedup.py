@@ -77,13 +77,29 @@ def unpersist_input(marked: DataFrame) -> bool:
     return True
 
 
+def _is_orderable(dt) -> bool:
+    """Mirror of Spark's ``RowOrdering.isOrderable``: maps (and types
+    containing them) cannot feed ``min(struct(...))``."""
+    from pyspark.sql import types as T
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _is_orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_is_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def _collapse_tuple_copies(marked: DataFrame, tuple_cols: list[str],
                            flag_col: str) -> DataFrame:
     """Rows value-identical on ``tuple_cols`` (the flag join key) are
     indistinguishable to value-based marking — a keeper tuple carried
     by N physical rows would survive N times. Collapse each such group
     to ONE row, deterministically (min over a struct of the remaining
-    columns — all column types must be orderable). The ``__tuple_n``
+    columns — all column types must be orderable; a non-orderable
+    column such as a map raises a NAMED error here at plan-build time
+    instead of an opaque analysis failure deep in the aggregate —
+    ADVICE r8). The ``__tuple_n``
     column (occurrence count, computed on the slim side) routes the
     overwhelmingly common unique tuples around the wide groupBy, so the
     collapse shuffles only the rare ambiguous rows."""
@@ -91,6 +107,15 @@ def _collapse_tuple_copies(marked: DataFrame, tuple_cols: list[str],
     amb = marked.where(F.col("__tuple_n") > 1).drop("__tuple_n")
     rest = [c for c in clean.columns
             if c not in tuple_cols and c != flag_col]
+    bad = [f.name for f in marked.schema.fields
+           if f.name in rest and not _is_orderable(f.dataType)]
+    if bad:
+        raise ValueError(
+            "mark_duplicates_multi/incremental: non-key column(s) "
+            f"{bad} are not orderable (map-typed), so value-identical "
+            "(order_col, keys) tuples cannot be collapsed "
+            "deterministically — drop or serialize (to_json) these "
+            "columns before marking, or fold them into the key")
     if rest:
         amb = (amb.groupBy(*tuple_cols, flag_col)
                .agg(F.min(F.struct(*rest)).alias("__rest"))
@@ -216,12 +241,35 @@ def mark_duplicates_incremental(df: DataFrame, key_cols: list[str],
     return marked, new_index
 
 
+def _read_index_or_none(spark, path: str) -> DataFrame | None:
+    """Shared loader guard: ONLY a missing path means "no index yet".
+    A transient storage/permission failure or corrupted parquet used to
+    be swallowed as 'no index', silently resetting the cross-run dedup
+    guarantee (boilerplate committed by earlier runs re-kept) — genuine
+    read failures must propagate (ADVICE r8)."""
+    from pyspark.errors import AnalysisException
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = ""
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(e, attr, None)
+            if fn is not None:
+                try:
+                    cond = fn() or ""
+                    break
+                except Exception:
+                    pass
+        if "PATH_NOT_FOUND" in cond or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
+
+
 def load_keeper_index(spark, path: str) -> DataFrame | None:
     """Read the keeper index, re-aggregated so duplicate appends (crash
     retries) collapse to one deterministic keeper per key."""
-    try:
-        raw = spark.read.parquet(path)
-    except Exception:
+    raw = _read_index_or_none(spark, path)
+    if raw is None:
         return None
     return raw.groupBy("key_name", "key").agg(F.min("keeper").alias("keeper"))
 
@@ -385,10 +433,10 @@ def minhash_neardup_incremental(df: DataFrame, id_col: str,
 
 def load_minhash_index(spark, path: str) -> DataFrame | None:
     """Read the near-dup signature index; duplicate appends (crash
-    retries) collapse to one row per doc."""
-    try:
-        raw = spark.read.parquet(path)
-    except Exception:
+    retries) collapse to one row per doc. Missing path → None; real
+    read failures propagate (see :func:`_read_index_or_none`)."""
+    raw = _read_index_or_none(spark, path)
+    if raw is None:
         return None
     return raw.dropDuplicates(["doc_id"])
 
@@ -713,10 +761,11 @@ def paragraph_dedup_incremental(df: DataFrame, id_col: str = "doc_id",
 
 def load_paragraph_index(spark, path: str) -> DataFrame | None:
     """Read the paragraph winner index; duplicate crash-retry appends
-    collapse via distinct() (rows are fully deterministic)."""
-    try:
-        raw = spark.read.parquet(path)
-    except Exception:
+    collapse via distinct() (rows are fully deterministic). Missing
+    path → None; real read failures propagate (see
+    :func:`_read_index_or_none`)."""
+    raw = _read_index_or_none(spark, path)
+    if raw is None:
         return None
     return raw.distinct()
 
