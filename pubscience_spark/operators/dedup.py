@@ -242,9 +242,11 @@ def mark_duplicates_incremental(df: DataFrame, key_cols: list[str],
 
 
 def _read_index_or_none(spark, path: str) -> DataFrame | None:
-    """Shared loader guard: ONLY a missing path means "no index yet".
-    A transient storage/permission failure or corrupted parquet used to
-    be swallowed as 'no index', silently resetting the cross-run dedup
+    """Shared loader guard: ONLY a missing path (or a directory with no
+    parquet files yet — the crash-orphaned empty-dir state, surfaced as
+    UNABLE_TO_INFER_SCHEMA) means "no index yet". A transient
+    storage/permission failure or corrupted parquet used to be
+    swallowed as 'no index', silently resetting the cross-run dedup
     guarantee (boilerplate committed by earlier runs re-kept) — genuine
     read failures must propagate (ADVICE r8)."""
     from pyspark.errors import AnalysisException
@@ -260,7 +262,8 @@ def _read_index_or_none(spark, path: str) -> DataFrame | None:
                     break
                 except Exception:
                     pass
-        if "PATH_NOT_FOUND" in cond or "PATH_NOT_FOUND" in str(e):
+        blob = cond + " " + str(e)
+        if "PATH_NOT_FOUND" in blob or "UNABLE_TO_INFER_SCHEMA" in blob:
             return None
         raise
 
@@ -559,7 +562,8 @@ def simhash_keys(df: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_neardup(df: DataFrame, id_col: str, text_col: str = "text",
                     max_hamming: int = 3, chunks: int = 4,
                     n_rows: int | None = None,
-                    keys_df: DataFrame | None = None) -> DataFrame:
+                    keys_df: DataFrame | None = None,
+                    keep_keys: bool = False) -> DataFrame:
     """SimHash hamming-neighbor pairs: band the 64-bit key into ``chunks``
     equal bit-slices, self-join on (chunk index, slice value), verify
     ``bit_count(a XOR b) <= max_hamming`` on candidates.
@@ -629,9 +633,17 @@ def simhash_neardup(df: DataFrame, id_col: str, text_col: str = "text",
                      F.col("b.sim").alias("sim_b"))
              .distinct())
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (cands.withColumn("hamming", ham.cast("long"))
-            .where(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    out = (cands.withColumn("hamming", ham.cast("long"))
+           .where(F.col("hamming") <= max_hamming))
+    if keep_keys:
+        # the candidate rows already carry both 64-bit keys — emitting
+        # them here saves callers two joins back to the key frame
+        # (round 8: q_simhash_neardup re-joined keys twice for values
+        # the self-join had just compared)
+        return out.select("id_a", "id_b", "hamming",
+                          F.col("sim_a").alias("simhash_a"),
+                          F.col("sim_b").alias("simhash_b"))
+    return out.select("id_a", "id_b", "hamming")
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",

@@ -24,12 +24,38 @@ def spread(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     10× while the rdd probe costs only planning time on a slim
     projection. Only spread SLIM projections; the shuffle moves
     whatever columns the frame carries.
+
+    The probe result is MEMOIZED per (session, analyzed-plan semantic
+    hash, input file list, target): ``df.rdd`` pays a full physical
+    planning + RDD conversion round-trip (~40-800 ms of driver time,
+    round-8 measurement) and repeated invocations of the same query
+    re-probe an identical frame every time. Same logical plan over the
+    same files in the same session splits identically, so the cached
+    count is exact. (A file overwritten in-place with a different size
+    mid-session would go stale — inputs here are immutable runs.)
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
     thresh = max(1, int(target * min_ratio))
-    if df.rdd.getNumPartitions() < thresh:
+    key = None
+    try:
+        key = (id(sess), df._jdf.queryExecution().analyzed().semanticHash(),
+               tuple(df.inputFiles()), target)
+    except Exception:
+        pass
+    n = _SPREAD_MEMO.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            if len(_SPREAD_MEMO) > 4096:
+                _SPREAD_MEMO.clear()
+            _SPREAD_MEMO[key] = n
+    if n < thresh:
         return df.repartition(target)
     return df
+
+
+_SPREAD_MEMO: dict = {}
 
 
 # Expected rows per LSH band bucket above which the candidate self-join

@@ -191,6 +191,14 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     else:
         flagged = flagged.withColumn("__rep_ok", F.lit(True))
 
+    # ``flagged`` feeds THREE passes (the funnel aggregation, the slim
+    # keeper projection, the survivor join) — unpersisted, the whole
+    # gate chain (C4 line rewrite, gopher signals, quality regexes)
+    # re-executed per consumer (round-8 audit). One cache build, three
+    # reads; released after the write.
+    from pyspark.storagelevel import StorageLevel
+    flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+
     # exact-dedup keeper per sha256 among gate survivors (min() agg —
     # map-side combine, viral-duplicate safe)
     gated = flagged.where(
@@ -205,7 +213,6 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
 
     # near-dup drop over the exact-dedup survivors: slim candidate pairs,
     # exact verify, drop the HIGHER id of each pair (keep-first)
-    from pyspark.storagelevel import StorageLevel
     exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = dedup_ops.minhash_neardup(exact, id_col, text_col,
                                       threshold=neardup_threshold,
@@ -317,6 +324,7 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str, *,
     else:
         split_counts = {}
     n_written = sum(split_counts.values())
+    flagged.unpersist()
     exact.unpersist()
     if pd_out is not None:
         pd_out.unpersist()

@@ -768,15 +768,14 @@ def q_simhash_neardup(spark, sf_dir):
         .select("doc_id", "simhash")
     from pyspark.storagelevel import StorageLevel
     keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = dedup_ops.simhash_neardup(_docs(spark, sf_dir), "doc_id",
-                                      max_hamming=3, keys_df=keys)
-    out = (pairs
-           .join(keys.select(F.col("doc_id").alias("id_a"),
-                             F.col("simhash").alias("simhash_a")),
-                 "id_a")
-           .join(keys.select(F.col("doc_id").alias("id_b"),
-                             F.col("simhash").alias("simhash_b")),
-                 "id_b"))
+    # keep_keys (round 8): the banded self-join already carries both
+    # 64-bit keys per candidate pair — emitting them from the operator
+    # replaces the two key-frame re-joins this query used to do (same
+    # values, two exchanges fewer). keys stays persisted: it feeds both
+    # sides of the operator's self-join.
+    out = dedup_ops.simhash_neardup(_docs(spark, sf_dir), "doc_id",
+                                    max_hamming=3, keys_df=keys,
+                                    keep_keys=True)
     # register the persist handle the way the dedup operators do, so a
     # battery invocation does not leak one cached RDD per run
     # (ADVICE r5); bench.py unpersists after materializing

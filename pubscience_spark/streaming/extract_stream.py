@@ -190,11 +190,13 @@ def run_incremental_curated(spark: SparkSession, input_dir: str,
     index_path = os.path.join(out_dir, "dedup_index")
     committed = set(_lineage_batches(
         spark, os.path.join(out_dir, "lineage")))
-    try:
-        done = {r["batch_id"] for r in spark.read.parquet(curated_path)
-                .select("batch_id").distinct().collect()}
-    except Exception:
-        done = set()
+    # only PATH_NOT_FOUND means "nothing curated yet": a transient read
+    # failure swallowed here would re-curate every batch and mask the
+    # corruption (the ADVICE-r8 index-loader rule, applied consistently)
+    cur = dedup_ops._read_index_or_none(spark, curated_path)
+    done = (set() if cur is None else
+            {r["batch_id"]
+             for r in cur.select("batch_id").distinct().collect()})
     pending = sorted(committed - done)
     res.update({"curated_path": curated_path, "index_path": index_path,
                 "pending_batches": pending,
