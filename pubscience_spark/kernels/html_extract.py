@@ -172,17 +172,18 @@ class _TreeBuilder(HTMLParser):
             self._overflow_stack.clear()
             self._suppress = 0
         node = self.cur
+        steps = 0
         while node is not self.root and node.tag != tag:
             node = node.parent
+            steps += 1
         if node is not self.root:
-            # recompute depth as distance from root of the new cursor
+            # _depth is the cursor's distance from root; the unwind
+            # climbed ``steps`` to reach the matching tag and lands on
+            # its parent — O(1) bookkeeping instead of re-walking to
+            # the root on EVERY end tag (round 8: the re-walk was
+            # O(depth) × ~55 end tags per page in the hot stage)
             self.cur = node.parent
-            d = 0
-            n = self.cur
-            while n is not self.root:
-                d += 1
-                n = n.parent
-            self._depth = d
+            self._depth -= steps + 1
 
     def handle_data(self, data):
         if self._in_title:

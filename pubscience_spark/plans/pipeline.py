@@ -58,11 +58,15 @@ def plan_buckets(pages: DataFrame, target_bytes: int = BYTES_PER_BUCKET,
 
 
 def committed_buckets(spark: SparkSession, lineage_path: str) -> DataFrame | None:
-    """Buckets whose lineage row exists (= committed)."""
-    try:
-        return spark.read.parquet(lineage_path).select("bucket").distinct()
-    except Exception:
-        return None  # no lineage yet → nothing committed
+    """Buckets whose lineage row exists (= committed). Missing/empty
+    lineage → None (nothing committed yet); a genuine read failure
+    propagates — treating it as "nothing committed" would silently
+    reprocess every bucket (idempotent but masks the failure; the
+    ADVICE-r8 loader rule, applied consistently)."""
+    raw = dedup_ops._read_index_or_none(spark, lineage_path)
+    if raw is None:
+        return None
+    return raw.select("bucket").distinct()
 
 
 def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
