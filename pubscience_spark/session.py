@@ -27,6 +27,18 @@ def get_spark(app_name: str = "pubscience-spark",
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         # SIZE-based post-shuffle coalescing (guide §2.2/§9): the
+         # parallelismFirst default keeps ~shuffle.partitions tiny
+         # reduce tasks alive, paying pure scheduling latency on every
+         # exchange; targeting the advisory size instead coalesces a
+         # small stage to a handful of tasks while a 100 TB stage
+         # still gets bytes/64 MB tasks — the scale-adaptive shape
+         # (round-8 A/B: battery hot-set −7%, headline unchanged-to-
+         # better; production may raise the advisory toward 256 MB,
+         # guide §9, via extra_conf)
+         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                 "false")
+         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          # html blobs are multi-MB: keep Arrow batches bounded so a batch of
